@@ -1,0 +1,131 @@
+"""STFT / iSTFT as jit-friendly XLA ops.
+
+TPU-first design: framing is an im2col (`conv_general_dilated_patches`) so the
+window-multiply + rfft fuse into a single XLA computation; the inverse is an
+irfft + scatter-add overlap-add. No data-dependent shapes — frame counts are
+static functions of input length.
+
+Semantics match the reference exactly:
+* forward STFT = torch.stft(center=True|False, hann, onesided, normalized=False)
+  as used by torchaudio MelSpectrogram (ttts/vocoder/feature_extractors.py:80-99)
+  and the librosa-style variant with manual reflect pad
+  (ttts/vocoder/feature_extractors.py:41-48).
+* ISTFT "same"/"center" padding with window-envelope normalization matches
+  ttts/vocoder/spectral_ops.py:7-75 (used by the Vocos ISTFTHead).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (matches torch.hann_window(periodic=True))."""
+    n = np.arange(win_length)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def _reflect_pad_1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-pad last axis (torch 'reflect' mode, no edge duplication)."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(B, T) -> (B, n_frames, frame_length) via XLA im2col."""
+    b, t = x.shape
+    n_frames = 1 + (t - frame_length) // hop
+    # conv_general_dilated_patches wants NCW
+    patches = jax.lax.conv_general_dilated_patches(
+        x[:, None, :],
+        filter_shape=(frame_length,),
+        window_strides=(hop,),
+        padding="VALID",
+    )  # (B, frame_length, n_frames)
+    return jnp.transpose(patches, (0, 2, 1))[:, :n_frames]
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    magnitude: bool = False,
+    mag_eps: float = 0.0,
+):
+    """Short-time Fourier transform of (B, T) -> complex (B, n_fft//2+1, frames).
+
+    center=True reflect-pads by n_fft//2 (torch.stft default used by
+    torchaudio.transforms.Spectrogram). Returns magnitude if requested:
+    sqrt(re^2+im^2+mag_eps) to match ttts/vocoder/feature_extractors.py:48.
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length, dtype=x.dtype)
+    if win_length < n_fft:  # torch centers the window inside n_fft
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    if center:
+        x = _reflect_pad_1d(x, n_fft // 2)
+    frames = frame_signal(x, n_fft, hop_length)  # (B, F, n_fft)
+    frames = frames * window[None, None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (B, F, n_fft//2+1)
+    spec = jnp.transpose(spec, (0, 2, 1))  # (B, bins, F)
+    if magnitude:
+        re, im = jnp.real(spec), jnp.imag(spec)
+        return jnp.sqrt(re * re + im * im + mag_eps)
+    return spec
+
+
+def overlap_add(frames: jnp.ndarray, hop: int, output_size: int) -> jnp.ndarray:
+    """(B, n_frames, win) -> (B, output_size) scatter-add overlap-add."""
+    b, n_frames, win = frames.shape
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]).reshape(-1)
+    out = jnp.zeros((b, output_size), dtype=frames.dtype)
+    return out.at[:, jnp.asarray(idx)].add(frames.reshape(b, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "padding"))
+def istft(
+    spec_real: jnp.ndarray,
+    spec_imag: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int | None = None,
+    padding: str = "same",
+) -> jnp.ndarray:
+    """Inverse STFT of complex (B, bins, T) given as (real, imag).
+
+    Mirrors the custom ISTFT of ttts/vocoder/spectral_ops.py:33-75: irfft per
+    frame, window, fold overlap-add, divide by the window envelope, and trim
+    `pad` samples each side ("same": pad = (win-hop)//2; "center": pad = n_fft//2).
+    """
+    win_length = win_length or n_fft
+    window = hann_window(win_length, dtype=spec_real.dtype)
+    spec = jax.lax.complex(spec_real, spec_imag)  # (B, bins, T)
+    b, bins, t = spec.shape
+    frames = jnp.fft.irfft(jnp.transpose(spec, (0, 2, 1)), n=n_fft, axis=-1)
+    frames = frames[..., :win_length] * window[None, None, :]
+    output_size = (t - 1) * hop_length + win_length
+    y = overlap_add(frames, hop_length, output_size)
+
+    win_sq = jnp.tile((window * window)[None, :], (t, 1))  # (T, win)
+    env = overlap_add(win_sq[None], hop_length, output_size)[0]
+
+    if padding == "same":
+        pad = (win_length - hop_length) // 2
+    elif padding == "center":
+        pad = n_fft // 2
+    else:
+        raise ValueError("padding must be 'same' or 'center'")
+    y = y[:, pad : output_size - pad]
+    env = env[pad : output_size - pad]
+    env = jnp.maximum(env, 1e-11)
+    return y / env[None, :]
