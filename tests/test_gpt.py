@@ -1,0 +1,150 @@
+"""UnifiedVoice GPT tests: training forward, loss masking, and KV-cache
+decode parity against a full-recompute autoregressive loop."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from xtts_tpu.core.config import GPTConfig
+from xtts_tpu.models.gpt import UnifiedVoice, masked_ce
+from xtts_tpu.models.gpt_infer import generate_speech
+from xtts_tpu.nn.transformer import KVCache
+
+CFG = GPTConfig(layers=2, model_dim=64, heads=4, max_mel_tokens=40,
+                max_text_tokens=30, number_text_tokens=16, start_text_token=15,
+                number_mel_codes=34, start_mel_token=32, stop_mel_token=33,
+                mel_bins=20, cond_attn_blocks=2)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = UnifiedVoice(CFG)
+    cond = jnp.zeros((2, 20, 50))
+    text = jnp.zeros((2, 10), jnp.int32)
+    tl = jnp.array([8, 10])
+    mel = jnp.zeros((2, 20), jnp.int32)
+    wl = jnp.array([20 * 1024, 15 * 1024])
+    variables = model.init(jax.random.PRNGKey(0), cond, text, tl, mel, wl)
+    return model, variables
+
+
+def _rand_inputs(rng, b=2, tt=10, tm=20, tc=50):
+    cond = jnp.asarray(rng.standard_normal((b, 20, tc)).astype(np.float32))
+    text = jnp.asarray(rng.integers(2, 15, (b, tt)).astype(np.int32))
+    tl = jnp.asarray(rng.integers(4, tt + 1, (b,)).astype(np.int32))
+    mel = jnp.asarray(rng.integers(0, 32, (b, tm)).astype(np.int32))
+    wl = jnp.asarray((rng.integers(8, tm, (b,)) * 1024).astype(np.int32))
+    return cond, text, tl, mel, wl
+
+
+class TestTrainingForward:
+    def test_losses_finite(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        loss_text, loss_mel = model.apply(variables, *_rand_inputs(rng))
+        assert np.isfinite(float(loss_text)) and np.isfinite(float(loss_mel))
+
+    def test_padding_content_invariance(self, model_and_vars, rng):
+        """Tokens past text/mel lengths are replaced by stop tokens before
+        embedding, so altering them must not change the losses."""
+        model, variables = model_and_vars
+        cond, text, tl, mel, wl = _rand_inputs(rng)
+        tl = jnp.array([5, 6])
+        l1 = model.apply(variables, cond, text, tl, mel, wl)
+        text2 = text.at[:, 7:].set(3)
+        l2 = model.apply(variables, cond, text2, tl, mel, wl)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+    def test_return_latent_shape(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond, text, tl, mel, wl = _rand_inputs(rng)
+        lat = model.apply(variables, cond, text, tl, mel, wl, return_latent=True)
+        # mel span = Tm + 2 (stop pad + aligned) then strip 2
+        assert lat.shape == (2, 20, 64)
+
+    def test_grads_flow(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond, text, tl, mel, wl = _rand_inputs(rng)
+
+        def loss_fn(params):
+            lt, lm = model.apply({"params": params}, cond, text, tl, mel, wl)
+            return 0.01 * lt + lm
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert total > 0
+
+
+class TestMaskedCE:
+    def test_matches_torch_ignore_index(self, rng):
+        logits = rng.standard_normal((3, 7, 11)).astype(np.float32)
+        targets = rng.integers(0, 11, (3, 7))
+        mask = rng.integers(0, 2, (3, 7)).astype(bool)
+        mask[:, 0] = True
+        ours = float(masked_ce(jnp.asarray(logits), jnp.asarray(targets),
+                               jnp.asarray(mask)))
+        t_tar = torch.from_numpy(np.where(mask, targets, -1))
+        theirs = float(F.cross_entropy(
+            torch.from_numpy(logits).permute(0, 2, 1), t_tar, ignore_index=-1))
+        assert ours == pytest.approx(theirs, rel=1e-5)
+
+
+class TestDecodeParity:
+    def test_kv_cache_matches_full_forward(self, model_and_vars, rng):
+        """Greedy decode with the KV cache must match recomputing the full
+        sequence every step."""
+        model, variables = model_and_vars
+        cond = jnp.asarray(rng.standard_normal((1, 20, 50)).astype(np.float32))
+        text = jnp.asarray(rng.integers(2, 15, (1, 8)).astype(np.int32))
+
+        res = generate_speech(model, variables, cond, text,
+                              jax.random.PRNGKey(1), max_gen=6,
+                              do_sample=False, cache_dtype=jnp.float32)
+        fast_codes = np.asarray(res.codes)[0]
+
+        # slow path: full forward each step
+        prefix, _ = model.apply(variables, cond, text,
+                                method=model.encode_prefix)
+
+        def full_logits(m, emb):
+            _, normed = m.gpt(emb)
+            return m.mel_head(m.final_norm(normed[:, -1:]).astype(emb.dtype))[:, 0]
+
+        emb = prefix
+        slow = []
+        for step in range(6):
+            logits = model.apply(variables, emb, method=full_logits)
+            tok = int(jnp.argmax(logits, -1)[0])
+            slow.append(tok)
+
+            def embed_tok(m, t, pos):
+                return (m.mel_embedding(jnp.array([[t]]))
+                        + m.mel_pos_embedding(jnp.array([pos])))
+
+            e = model.apply(variables, tok, step + 1, method=embed_tok)
+            emb = jnp.concatenate([emb, e], axis=1)
+        np.testing.assert_array_equal(fast_codes, np.array(slow))
+
+    def test_stop_token_ends_generation(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond = jnp.asarray(rng.standard_normal((1, 20, 30)).astype(np.float32))
+        text = jnp.asarray(rng.integers(2, 15, (1, 5)).astype(np.int32))
+        res = generate_speech(model, variables, cond, text,
+                              jax.random.PRNGKey(0), max_gen=10)
+        codes = np.asarray(res.codes)[0]
+        length = int(res.lengths[0])
+        # after the recorded length everything is stop padding
+        assert (codes[length:] == CFG.stop_mel_token).all()
+
+    def test_sampling_reproducible(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond = jnp.asarray(rng.standard_normal((1, 20, 30)).astype(np.float32))
+        text = jnp.asarray(rng.integers(2, 15, (1, 5)).astype(np.int32))
+        r1 = generate_speech(model, variables, cond, text,
+                             jax.random.PRNGKey(7), max_gen=8)
+        r2 = generate_speech(model, variables, cond, text,
+                             jax.random.PRNGKey(7), max_gen=8)
+        np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))

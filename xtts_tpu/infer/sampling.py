@@ -1,0 +1,82 @@
+"""Token sampling ops for the AR decode loop.
+
+Reimplements the HF logits-processor semantics the reference relies on
+(ttts/gpt/model.py:586-590 with test.py:113-118 knobs) as pure jnp functions
+usable inside `lax.scan` / `lax.while_loop`:
+
+* repetition penalty 2.0 — divide positive / multiply negative logits of
+  every token id already seen in `input_ids` (HF RepetitionPenaltyLogitsProcessor)
+* temperature warp
+* top-p (nucleus) keeping the first token that crosses the threshold
+  (HF TopPLogitsWarper, min_tokens_to_keep=1)
+* typical sampling (ttts/utils/typical_sampling.py:5-32)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # finite "filter" value; matches HF float("-inf") semantics
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, seen: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """logits (B, V); seen (B, V) bool — ids present in the sequence so far."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Mask tokens outside the nucleus to NEG_INF. Keeps the token that
+    crosses the cumulative threshold (HF convention) and always >= 1 token."""
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep while cumulative prob *before* this token < top_p
+    keep_sorted = (cum - probs) < top_p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
+    # threshold value: smallest kept logit
+    kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+                  keepdims=True)
+    return jnp.where(logits >= kth, logits, NEG_INF)
+
+
+def typical_filter(logits: jnp.ndarray, mass: float = 0.9) -> jnp.ndarray:
+    """TypicalLogitsWarper (ttts/utils/typical_sampling.py): keep tokens whose
+    |-log p - H| is smallest until `mass` probability is covered."""
+    norm = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(norm)
+    ent = -jnp.sum(jnp.where(p > 0, p * norm, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-norm - ent)
+    order = jnp.argsort(shifted, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.sum((cum < mass).astype(jnp.int32), axis=-1, keepdims=True)
+    ranks = jnp.argsort(order, axis=-1)
+    keep = ranks <= last_ind
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def sample_token(key, logits: jnp.ndarray, temperature: float = 1.0,
+                 top_p: float = 1.0, seen: jnp.ndarray | None = None,
+                 repetition_penalty: float = 1.0,
+                 typical_mass: float | None = None) -> jnp.ndarray:
+    """Full HF-order sampling: rep-penalty -> (typical) -> temperature -> top-p
+    -> categorical. logits (B, V) -> (B,) int32."""
+    logits = logits.astype(jnp.float32)
+    if seen is not None:
+        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
+    if typical_mass is not None:
+        logits = typical_filter(logits, typical_mass)
+    if temperature != 1.0:
+        logits = logits / temperature
+    logits = top_p_filter(logits, top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def greedy_token(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

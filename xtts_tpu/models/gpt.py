@@ -1,0 +1,237 @@
+"""UnifiedVoice: GPT-2 over [cond ; text ; mel-codes] (TPU re-design of
+ttts/gpt/model.py:293-591).
+
+Differences from the reference are purely mechanical, not semantic:
+* the HF GPT2Model / GPT2InferenceModel / DeepSpeed trio is one linen stack
+  (xtts_tpu/nn/transformer.py) with an explicit static-shape KV cache;
+* HF `generate` becomes a `lax.while_loop` decode (xtts_tpu/models/gpt_infer)
+  with identical prefix construction (conds + text emb + start mel token,
+  ttts/gpt/model.py:559-591) and HF-order sampling;
+* mel/text padding-to-stop-token preformatting (set_mel_padding :408-434)
+  is vectorised (no Python loops over batch).
+
+Geometry (shipped config ttts/gpt/config.json "gpt"): 15L/1024d/16h,
+positions = mel 604+2+1 cond + text 402+2.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xtts_tpu.core.config import GPTConfig
+from xtts_tpu.nn.blocks import AttentionBlock, PerceiverResampler
+from xtts_tpu.nn.transformer import GPT2Stack, KVCache
+
+Dtype = Any
+
+
+class ConditioningEncoder(nn.Module):
+    """Conv1x1 mel->dim + N AttentionBlocks, first-token pooling
+    (ttts/gpt/model.py:204-228)."""
+
+    spec_dim: int
+    embedding_dim: int
+    attn_blocks: int = 6
+    num_heads: int = 4
+    mean: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel_btc):
+        h = nn.Conv(self.embedding_dim, (1,), dtype=self.dtype, name="init")(mel_btc)
+        for i in range(self.attn_blocks):
+            h = AttentionBlock(self.embedding_dim, self.num_heads,
+                               dtype=self.dtype, name=f"attn_{i}")(h)
+        return jnp.mean(h, axis=1) if self.mean else h[:, 0]
+
+
+def _normal_embed(std=0.02):
+    return nn.initializers.normal(std)
+
+
+class UnifiedVoice(nn.Module):
+    cfg: GPTConfig = GPTConfig()
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        if c.use_perceiver:
+            self.perceiver_encoder = PerceiverResampler(
+                c.model_dim, dim_context=c.mel_bins,
+                num_latents=c.perceiver_latents, dtype=self.dtype)
+        else:
+            self.conditioning_encoder = ConditioningEncoder(
+                c.mel_bins, c.model_dim, attn_blocks=c.cond_attn_blocks,
+                num_heads=c.heads, dtype=self.dtype)
+        self.text_embedding = nn.Embed(
+            c.number_text_tokens * c.types + 1, c.model_dim,
+            embedding_init=_normal_embed())
+        self.mel_embedding = nn.Embed(
+            c.number_mel_codes, c.model_dim, embedding_init=_normal_embed())
+        # segment position embeddings (LearnedPositionEmbeddings, model.py:231-243)
+        self.mel_pos_embedding = nn.Embed(
+            c.max_mel_positions, c.model_dim, embedding_init=_normal_embed())
+        self.text_pos_embedding = nn.Embed(
+            c.max_text_positions, c.model_dim, embedding_init=_normal_embed())
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype)
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       name="final_norm")
+        self.text_head = nn.Dense(c.number_text_tokens * c.types + 1,
+                                  dtype=self.dtype, name="text_head")
+        self.mel_head = nn.Dense(c.number_mel_codes, dtype=self.dtype,
+                                 name="mel_head")
+
+    # ---------------- conditioning ----------------
+
+    def get_conditioning(self, cond_mel_bct: jnp.ndarray) -> jnp.ndarray:
+        """(B, mel, T) -> (B, n_cond, dim); n_cond = 1 (encoder) or 32
+        (perceiver) — ttts/gpt/model.py:463-476."""
+        x = jnp.swapaxes(cond_mel_bct, 1, 2)
+        if self.cfg.use_perceiver:
+            return self.perceiver_encoder(x)
+        return self.conditioning_encoder(x)[:, None, :]
+
+    # ---------------- training forward ----------------
+
+    @staticmethod
+    def _set_padding(tokens: jnp.ndarray, lengths: jnp.ndarray, fill: int):
+        """Replace positions >= length with `fill` (set_mel_padding,
+        ttts/gpt/model.py:408-434, vectorised)."""
+        pos = jnp.arange(tokens.shape[1])[None, :]
+        return jnp.where(pos < lengths[:, None], tokens, fill)
+
+    @staticmethod
+    def _build_aligned(tokens: jnp.ndarray, start: int, stop: int):
+        """inp = [start; x], tar = [x; stop] (ttts/gpt/model.py:403-406)."""
+        inp = jnp.pad(tokens, ((0, 0), (1, 0)), constant_values=start)
+        tar = jnp.pad(tokens, ((0, 0), (0, 1)), constant_values=stop)
+        return inp, tar
+
+    def __call__(
+        self,
+        cond_mel: jnp.ndarray,      # (B, mel, Tc)
+        text_inputs: jnp.ndarray,   # (B, Tt) int
+        text_lengths: jnp.ndarray,  # (B,)
+        mel_codes: jnp.ndarray,     # (B, Tm) int
+        wav_lengths: jnp.ndarray,   # (B,)
+        return_latent: bool = False,
+        return_logits: bool = False,
+    ):
+        """Teacher-forced forward (ttts/gpt/model.py:478-557).
+
+        Returns (loss_text, loss_mel, mel_logits) or latents when
+        `return_latent` (the hidden states feeding the diffusion decoder,
+        final two positions stripped)."""
+        c = self.cfg
+        conds = self.get_conditioning(cond_mel)
+
+        mel_code_lengths = jnp.ceil(
+            wav_lengths / c.mel_length_compression).astype(jnp.int32) + 1
+        mel_codes = self._set_padding(mel_codes, mel_code_lengths, c.stop_mel_token)
+        text_inputs = self._set_padding(text_inputs, text_lengths, c.stop_text_token)
+
+        text_inputs = jnp.pad(text_inputs, ((0, 0), (0, 1)),
+                              constant_values=c.stop_text_token)
+        mel_codes = jnp.pad(mel_codes, ((0, 0), (0, 1)),
+                            constant_values=c.stop_mel_token)
+
+        text_inp, text_tar = self._build_aligned(
+            text_inputs, c.start_text_token, c.stop_text_token)
+        mel_inp, mel_tar = self._build_aligned(
+            mel_codes, c.start_mel_token, c.stop_mel_token)
+
+        text_emb = (self.text_embedding(text_inp)
+                    + self.text_pos_embedding(jnp.arange(text_inp.shape[1])))
+        mel_emb = (self.mel_embedding(mel_inp)
+                   + self.mel_pos_embedding(jnp.arange(mel_inp.shape[1])))
+
+        emb = jnp.concatenate([conds.astype(text_emb.dtype), text_emb, mel_emb],
+                              axis=1)
+        _, normed = self.gpt(emb)
+        n_cond = conds.shape[1]
+        enc = self.final_norm(normed[:, n_cond:]).astype(emb.dtype)
+
+        t_text = text_inp.shape[1]
+        t_mel = mel_inp.shape[1]
+        text_latent = enc[:, :t_text]
+        mel_latent = enc[:, -t_mel:]
+
+        if return_latent:
+            return mel_latent[:, :-2]  # strip the 2 tokens this fwd added (:538)
+
+        text_logits = self.text_head(text_latent)
+        mel_logits = self.mel_head(mel_latent)
+
+        # ignore-index = positions past (length + 1) (ttts/gpt/model.py:545-549)
+        pos_t = jnp.arange(t_text)[None, :]
+        text_mask = pos_t <= (text_lengths[:, None] + 1)
+        pos_m = jnp.arange(t_mel)[None, :]
+        mel_mask = pos_m <= (mel_code_lengths[:, None] + 1)
+
+        loss_text = masked_ce(text_logits, text_tar, text_mask)
+        loss_mel = masked_ce(mel_logits, mel_tar, mel_mask)
+        if return_logits:
+            return loss_text, loss_mel, mel_logits
+        return loss_text, loss_mel
+
+    # ---------------- inference building blocks ----------------
+
+    def encode_prefix(self, cond_mel: jnp.ndarray, text_inputs: jnp.ndarray):
+        """Build the generation prefix embedding (inference_speech,
+        ttts/gpt/model.py:559-584): conds + [start; text; stop; stop] text
+        embedding + trailing start-mel embedding at mel position 0.
+
+        text_inputs here = caller-prepared tokens (test.py:131-136 adds its own
+        0/1 framing); we add the stop pad + start/stop alignment like :562-563.
+        Returns (prefix_emb, n_cond)."""
+        c = self.cfg
+        text_inputs = jnp.pad(text_inputs, ((0, 0), (0, 1)),
+                              constant_values=c.stop_text_token)
+        text_inp, _ = self._build_aligned(text_inputs, c.start_text_token,
+                                          c.stop_text_token)
+        text_emb = (self.text_embedding(text_inp)
+                    + self.text_pos_embedding(jnp.arange(text_inp.shape[1])))
+        conds = self.get_conditioning(cond_mel).astype(text_emb.dtype)
+        start = jnp.full((text_inputs.shape[0], 1), c.start_mel_token)
+        start_emb = (self.mel_embedding(start)
+                     + self.mel_pos_embedding(jnp.zeros((1,), jnp.int32)))
+        prefix = jnp.concatenate([conds, text_emb, start_emb.astype(text_emb.dtype)],
+                                 axis=1)
+        return prefix, conds.shape[1]
+
+    def prefill(self, prefix_emb: jnp.ndarray, cache: KVCache,
+                prefix_mask: Optional[jnp.ndarray] = None):
+        """Seed the KV cache with the prefix; return logits for the first
+        mel code and the updated cache."""
+        _, normed, cache = self.gpt.prefill(prefix_emb, cache, prefix_mask)
+        last = normed[:, -1:]
+        logits = self.mel_head(self.final_norm(last).astype(last.dtype))
+        return logits[:, 0], cache
+
+    def decode_one(self, token: jnp.ndarray, mel_pos: jnp.ndarray,
+                   cache: KVCache, index: jnp.ndarray,
+                   valid_mask: Optional[jnp.ndarray] = None):
+        """One AR step: embed `token` (B,) at mel position `mel_pos`, attend
+        to cache up to absolute `index`, return (logits (B,V), cache)."""
+        pos_emb = self.mel_pos_embedding(jnp.atleast_1d(mel_pos))  # (1, dim)
+        emb = self.mel_embedding(token[:, None]) + pos_emb[None, :, :]
+        normed, cache = self.gpt.decode_step(emb.astype(self.dtype), cache, index)
+        logits = self.mel_head(self.final_norm(normed).astype(normed.dtype))
+        return logits[:, 0], cache
+
+    def latent_dim(self) -> int:
+        return self.cfg.model_dim
+
+
+def masked_ce(logits: jnp.ndarray, targets: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """Cross-entropy with ignore mask (mean over valid positions), matching
+    F.cross_entropy(ignore_index=-1)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
