@@ -1,0 +1,121 @@
+"""Gaussian diffusion process tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtts_tpu.diffusion.gaussian import (
+    GaussianDiffusion, _normal_kl, get_named_beta_schedule, space_timesteps,
+)
+
+
+def dummy_model(x, t):
+    """eps = 0, var_frac = -1 (minimum variance)."""
+    return jnp.concatenate([jnp.zeros_like(x), -jnp.ones_like(x)], axis=1)
+
+
+class TestSchedules:
+    def test_linear_schedule_values(self):
+        betas = get_named_beta_schedule("linear", 1000)
+        assert betas[0] == pytest.approx(0.0001)
+        assert betas[-1] == pytest.approx(0.02)
+        assert len(betas) == 1000
+
+    def test_space_timesteps_50(self):
+        use = space_timesteps(1000, [50])
+        assert len(use) == 50
+        assert 0 in use and 999 in use
+
+    def test_spaced_diffusion_alphas_match(self):
+        gd = GaussianDiffusion.spaced(1000, 50)
+        base = GaussianDiffusion(betas=get_named_beta_schedule("linear", 1000))
+        np.testing.assert_allclose(
+            gd.alphas_cumprod, base.alphas_cumprod[gd.timestep_map], rtol=1e-10)
+        assert gd.num_timesteps == 50
+        assert gd.original_num_steps == 1000
+
+
+class TestQProcess:
+    def test_q_sample(self):
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+        x0 = jnp.ones((2, 3, 8))
+        noise = jnp.full_like(x0, 0.5)
+        t = jnp.array([10, 50])
+        xt = gd.q_sample(x0, t, noise)
+        for b, ti in enumerate([10, 50]):
+            expect = (np.sqrt(gd.alphas_cumprod[ti]) * 1.0
+                      + np.sqrt(1 - gd.alphas_cumprod[ti]) * 0.5)
+            np.testing.assert_allclose(np.asarray(xt[b]), expect, rtol=1e-5)
+
+    def test_xstart_from_eps_roundtrip(self, rng):
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+        x0 = jnp.asarray(rng.standard_normal((2, 3, 8)).astype(np.float32))
+        noise = jnp.asarray(rng.standard_normal((2, 3, 8)).astype(np.float32))
+        t = jnp.array([20, 70])
+        xt = gd.q_sample(x0, t, noise)
+        rec = gd.predict_xstart_from_eps(xt, t, noise)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-4)
+
+
+class TestSampling:
+    @pytest.mark.parametrize("sampler", ["p", "ddim", "dpm++2m"])
+    def test_loop_shapes_finite(self, sampler):
+        gd = GaussianDiffusion.spaced(1000, 10)
+        x = gd.sample_loop(dummy_model, (2, 4, 16), jax.random.PRNGKey(0),
+                           sampler=sampler)
+        assert x.shape == (2, 4, 16)
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_cfg_mix(self):
+        gd = GaussianDiffusion.spaced(1000, 10, conditioning_free=True,
+                                      conditioning_free_k=2.0)
+
+        def cond(x, t):
+            return jnp.concatenate([jnp.ones_like(x), -jnp.ones_like(x)], 1)
+
+        def uncond(x, t):
+            return jnp.concatenate([jnp.zeros_like(x), -jnp.ones_like(x)], 1)
+
+        out = gd.p_mean_variance_from_output(
+            cond(jnp.zeros((1, 2, 4)), None), jnp.zeros((1, 2, 4)),
+            jnp.array([5]), uncond(jnp.zeros((1, 2, 4)), None))
+        t_orig = int(np.asarray(gd.timestep_map)[5])
+        cfk = 2.0 * (1 - t_orig / 1000)
+        # eps = (1+cfk)*1 - cfk*0 = 1+cfk
+        np.testing.assert_allclose(np.asarray(out["eps"]), 1 + cfk, rtol=1e-5)
+
+    def test_dummy_model_p_loop_converges_to_zero(self):
+        # eps=0 prediction means x0_hat = x/sqrt(acp) clipped; ancestral loop
+        # should stay bounded
+        gd = GaussianDiffusion.spaced(1000, 25)
+        x = gd.p_sample_loop(dummy_model, (1, 2, 8), jax.random.PRNGKey(1))
+        assert np.abs(np.asarray(x)).max() < 10
+
+
+class TestTrainingLosses:
+    def test_finite_and_shaped(self, rng):
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 1000))
+        x0 = jnp.asarray(rng.standard_normal((4, 3, 16)).astype(np.float32) * 0.5)
+        t = jnp.array([0, 10, 500, 999])
+        terms = gd.training_losses(dummy_model, x0, t, jax.random.PRNGKey(0))
+        assert terms["loss"].shape == (4,)
+        assert np.isfinite(np.asarray(terms["loss"])).all()
+        assert (np.asarray(terms["mse"]) >= 0).all()
+
+    def test_perfect_model_zero_mse(self, rng):
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 1000))
+        x0 = jnp.asarray(rng.standard_normal((2, 3, 16)).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        noise = jax.random.normal(key, x0.shape)  # same key used internally
+
+        def oracle(x, t):
+            return jnp.concatenate([noise, -jnp.ones_like(x)], axis=1)
+
+        terms = gd.training_losses(oracle, x0, jnp.array([100, 400]), key)
+        np.testing.assert_allclose(np.asarray(terms["mse"]), 0, atol=1e-10)
+
+
+def test_normal_kl_identity():
+    m = jnp.array([0.3, -1.0])
+    lv = jnp.array([0.1, 0.5])
+    np.testing.assert_allclose(np.asarray(_normal_kl(m, lv, m, lv)), 0, atol=1e-7)
