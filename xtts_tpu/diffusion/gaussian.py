@@ -237,7 +237,9 @@ class GaussianDiffusion:
             t_orig = self.map_t(t)
             out = model_fn(x, t_orig)
             out_uc = None
-            if self.conditioning_free:
+            if isinstance(out, tuple):          # paired cond/uncond call
+                out, out_uc = out
+            elif self.conditioning_free:
                 assert model_fn_uncond is not None
                 out_uc = model_fn_uncond(x, t_orig)
             pmv = self.p_mean_variance_from_output(out, x, t, out_uc)
@@ -265,7 +267,11 @@ class GaussianDiffusion:
             t = jnp.full((b,), steps - 1 - i, jnp.int32)
             t_orig = self.map_t(t)
             out = model_fn(x, t_orig)
-            out_uc = model_fn_uncond(x, t_orig) if self.conditioning_free else None
+            if isinstance(out, tuple):
+                out, out_uc = out
+            else:
+                out_uc = (model_fn_uncond(x, t_orig)
+                          if self.conditioning_free else None)
             pmv = self.p_mean_variance_from_output(out, x, t, out_uc)
             # re-derive eps from the (clipped) xstart like the reference
             eps = ((self._ex(self.sqrt_recip_alphas_cumprod, t, x.shape) * x
@@ -308,9 +314,13 @@ class GaussianDiffusion:
             t = jnp.full((b,), idx, jnp.int32)
             t_orig = self.map_t(t)
             out = model_fn(x, t_orig)
-            eps = jnp.split(out, 2, axis=1)[0]
-            if self.conditioning_free:
+            out_uc = None
+            if isinstance(out, tuple):
+                out, out_uc = out
+            elif self.conditioning_free:
                 out_uc = model_fn_uncond(x, t_orig)
+            eps = jnp.split(out, 2, axis=1)[0]
+            if out_uc is not None:
                 eps_uc = jnp.split(out_uc, 2, axis=1)[0]
                 k = self.conditioning_free_k
                 eps = (1 + k) * eps - k * eps_uc

