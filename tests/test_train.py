@@ -1,0 +1,150 @@
+"""Trainer tests: DVAE / GPT / diffusion steps on an 8-virtual-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtts_tpu.core.config import (
+    CLIPRefConfig, DVAEConfig, DiffusionModelConfig, GPTConfig, TrainConfig,
+)
+from xtts_tpu.diffusion.gaussian import GaussianDiffusion, get_named_beta_schedule
+from xtts_tpu.models.aa_diffusion import AADiffusion
+from xtts_tpu.models.dvae import DVAE
+from xtts_tpu.models.gpt import UnifiedVoice
+from xtts_tpu.parallel.mesh import GPT_PARAM_RULES, make_mesh
+from xtts_tpu.train.steps import make_diffusion_loss, make_dvae_loss, make_gpt_loss
+from xtts_tpu.train.trainer import Trainer
+
+MEL = 8
+DVAE_CFG = DVAEConfig(channels=MEL, num_tokens=24, hidden_dim=8,
+                      num_resnet_blocks=1, codebook_dim=8, num_layers=2)
+GPT_CFG = GPTConfig(layers=2, model_dim=32, heads=4, max_mel_tokens=24,
+                    max_text_tokens=16, number_text_tokens=16,
+                    start_text_token=15, number_mel_codes=26,
+                    start_mel_token=24, stop_mel_token=25, mel_bins=MEL,
+                    cond_attn_blocks=1)
+TRAIN_CFG = TrainConfig(accum_grad=1, lr=1e-3, warmup_steps=2, train_steps=100,
+                        grad_clip=1.0)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+class TestDVAETraining:
+    def test_steps_update_params_and_codebook(self, rng):
+        model = DVAE(DVAE_CFG)
+        mel = jnp.asarray(rng.standard_normal((4, MEL, 32)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), mel)
+        trainer = Trainer(make_dvae_loss(model), TRAIN_CFG)
+        state = trainer.init_state(variables["params"],
+                                   {"codebook": dict(variables["codebook"])})
+        cb0 = np.asarray(state.state_cols["codebook"]["embed"])
+        for i in range(3):
+            batch = {"mel": jnp.asarray(
+                rng.standard_normal((4, MEL, 32)).astype(np.float32))}
+            state, metrics = trainer.step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 3
+        # EMA codebook must have moved
+        cb1 = np.asarray(state.state_cols["codebook"]["embed"])
+        assert np.abs(cb1 - cb0).max() > 0
+
+    def test_accumulation(self, rng):
+        model = DVAE(DVAE_CFG)
+        mel = jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), mel)
+        trainer = Trainer(make_dvae_loss(model),
+                          TRAIN_CFG.replace(accum_grad=4), accum_steps=4)
+        state = trainer.init_state(variables["params"],
+                                   {"codebook": dict(variables["codebook"])})
+        batch = {"mel": jnp.asarray(
+            rng.standard_normal((4, 2, MEL, 32)).astype(np.float32))}
+        state, metrics = trainer.step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestGPTTrainingSharded:
+    def test_dp_tp_mesh_step(self, rng):
+        mesh = make_mesh(4, 2)
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        trainer = Trainer(make_gpt_loss(gpt, dvae, dvae_vars),
+                          TRAIN_CFG, mesh=mesh, param_rules=GPT_PARAM_RULES)
+        state = trainer.shard_state(trainer.init_state(gpt_vars["params"]))
+        batch = trainer.shard_batch({
+            "cond_mel": jnp.asarray(rng.standard_normal((8, MEL, 40)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (8, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((8,), 8, jnp.int32),
+            "mel": jnp.asarray(rng.standard_normal((8, MEL, 32)).astype(np.float32)),
+            "wav_lengths": jnp.full((8,), 6 * 1024, jnp.int32),
+        })
+        state, metrics = trainer.step(state, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["loss_mel"]))
+        # qkv kernels actually sharded over the model axis
+        k = state.params["gpt"]["h_0"]["attn"]["c_attn"]["kernel"]
+        assert "model" in str(k.sharding)
+
+    def test_loss_decreases_over_steps(self, rng):
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        trainer = Trainer(make_gpt_loss(gpt, dvae, dvae_vars), TRAIN_CFG)
+        state = trainer.init_state(gpt_vars["params"])
+        batch = {
+            "cond_mel": jnp.asarray(rng.standard_normal((2, MEL, 40)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (2, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((2,), 8, jnp.int32),
+            "mel": jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32)),
+            "wav_lengths": jnp.full((2,), 6 * 1024, jnp.int32),
+        }
+        losses = []
+        for i in range(8):
+            state, metrics = trainer.step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]  # memorizes a fixed batch
+
+
+class TestDiffusionTraining:
+    def test_step(self, rng):
+        diff_cfg = DiffusionModelConfig(
+            in_channels=MEL, out_channels=2 * MEL, model_channels=16,
+            num_res_blocks=1, channel_mult=(1,), num_heads=2, context_dim=16,
+            in_latent_channels=32,
+            clip=CLIPRefConfig(embed_dim=16, width=16, layers=1, head_width=8,
+                               patch_size=4, in_channels=MEL, max_patches=64))
+        diff = AADiffusion(diff_cfg)
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        dvars = diff.init(jax.random.PRNGKey(2), jnp.zeros((2, MEL, 16)),
+                          jnp.array([0, 1]), jnp.zeros((2, 32, 4)),
+                          jnp.zeros((2, MEL, 16)))
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+        trainer = Trainer(
+            make_diffusion_loss(diff, gd, gpt, gpt_vars, dvae, dvae_vars),
+            TRAIN_CFG)
+        state = trainer.init_state(dvars["params"])
+        batch = {
+            "mel": jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32)),
+            "refer_mel": jnp.asarray(rng.standard_normal((2, MEL, 24)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (2, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((2,), 8, jnp.int32),
+            "wav_lengths": jnp.full((2,), 6 * 1024, jnp.int32),
+        }
+        state, metrics = trainer.step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mse"]))

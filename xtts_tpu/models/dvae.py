@@ -181,7 +181,8 @@ class DVAE(nn.Module):
         self._cluster_size = self.variable(
             "codebook", "cluster_size", lambda: jnp.zeros((n,), jnp.float32))
         self._embed_avg = self.variable(
-            "codebook", "embed_avg", lambda: self._embed.value)
+            "codebook", "embed_avg",
+            lambda: jnp.array(self._embed.value))  # copy: donation-safe
 
     def _codebook(self) -> CodebookState:
         return CodebookState(self._embed.value, self._cluster_size.value,
@@ -234,7 +235,11 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM over (B, 1, H, W) image pairs (ttts/vqvae/ssim.py:1-82),
-    separable gaussian filtering as two 1-D convs."""
+    separable gaussian filtering as two 1-D convs. Window shrinks (odd) for
+    images smaller than 11 px so the VALID conv never empties."""
+    window_size = min(window_size, img1.shape[2], img1.shape[3])
+    if window_size % 2 == 0:
+        window_size -= 1
     g = _gaussian_window(window_size)
     kh = g[None, None, :, None]  # (1,1,K,1)
     kw = g[None, None, None, :]

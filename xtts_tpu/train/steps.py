@@ -1,0 +1,111 @@
+"""Per-model loss functions for the generic Trainer.
+
+Mirrors the reference training semantics:
+* DVAE: smooth_l1 + 0.5*SSIM + 0.25*commitment, EMA codebook update
+  (ttts/vqvae/train_ms.py:163-166, ttts/gpt/config.json "vqvae")
+* GPT: 0.01*text CE + 1.0*mel CE over DVAE codes from the frozen quantizer
+  (ttts/gpt/train_ms.py:216-222, ttts/gpt/config.json "train")
+* Diffusion: MSE(eps)+vb on normalized mels, hint = frozen GPT latents with
+  padding zeroed, 10% unconditional dropout
+  (ttts/diffusion/train_ms.py:276-325, aa_model.py:320-328)
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from xtts_tpu.diffusion.gaussian import GaussianDiffusion
+from xtts_tpu.models.aa_diffusion import AADiffusion, normalize_tacotron_mel
+from xtts_tpu.models.dvae import CodebookState, DVAE, ema_codebook_update
+from xtts_tpu.models.gpt import UnifiedVoice
+
+
+def make_dvae_loss(model: DVAE, commitment_weight: float = 0.25,
+                   ema_decay: float = 0.99):
+    """batch: {'mel': (B, bins, T)}; state_cols: {'codebook': {...}}."""
+
+    def loss_fn(params, state_cols, batch, rng):
+        variables = {"params": params, "codebook": state_cols["codebook"]}
+        recon, ssim_l, commit, _, (osum, esum) = model.apply(
+            variables, batch["mel"])
+        loss = recon + ssim_l + commitment_weight * commit
+        cb = CodebookState(**{k: state_cols["codebook"][k]
+                              for k in ("embed", "cluster_size", "embed_avg")})
+        # under jit+GSPMD the sums over the data-sharded batch already
+        # all-reduce; in shard_map contexts pass axis_name instead
+        new_cb = ema_codebook_update(cb, osum, esum, decay=ema_decay)
+        new_cols = {"codebook": {"embed": new_cb.embed,
+                                 "cluster_size": new_cb.cluster_size,
+                                 "embed_avg": new_cb.embed_avg}}
+        aux = {"recon": recon, "ssim": ssim_l, "commitment": commit,
+               "new_state_cols": new_cols}
+        return loss, aux
+
+    return loss_fn
+
+
+def make_gpt_loss(gpt: UnifiedVoice, dvae: DVAE, dvae_vars,
+                  text_weight: float = 0.01, mel_weight: float = 1.0):
+    """batch: {'cond_mel','text','text_lengths','mel','wav_lengths'} —
+    mel-code extraction runs the frozen DVAE online like
+    ttts/gpt/train_ms.py:216-217."""
+
+    def loss_fn(params, state_cols, batch, rng):
+        codes = dvae.apply(dvae_vars, batch["mel"],
+                           method=dvae.get_codebook_indices)
+        codes = jax.lax.stop_gradient(codes)
+        loss_text, loss_mel = gpt.apply(
+            {"params": params}, batch["cond_mel"], batch["text"],
+            batch["text_lengths"], codes, batch["wav_lengths"])
+        loss = text_weight * loss_text + mel_weight * loss_mel
+        return loss, {"loss_text": loss_text, "loss_mel": loss_mel}
+
+    return loss_fn
+
+
+def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
+                        gpt: UnifiedVoice, gpt_vars,
+                        dvae: DVAE, dvae_vars,
+                        unconditioned_percentage: float = 0.1):
+    """batch: {'mel','refer_mel','text','text_lengths','wav_lengths'}.
+
+    Recomputes codes + latents with the frozen GPT/DVAE each step
+    (ttts/diffusion/train_ms.py:311-319), zeroes latent padding, then takes a
+    diffusion training step on the tacotron-normalized target mel.
+    """
+
+    def loss_fn(params, state_cols, batch, rng):
+        r_t, r_noise, r_uc = jax.random.split(rng, 3)
+        mel = batch["mel"]
+        b = mel.shape[0]
+
+        codes = dvae.apply(dvae_vars, mel, method=dvae.get_codebook_indices)
+        latent = gpt.apply(
+            gpt_vars, batch["refer_mel"], batch["text"],
+            batch["text_lengths"], codes, batch["wav_lengths"],
+            return_latent=True)                     # (B, N, D)
+        latent = jax.lax.stop_gradient(jnp.swapaxes(latent, 1, 2))  # (B,D,N)
+        # zero padding positions (make_pad_mask, train_ms.py:317-319)
+        n = latent.shape[-1]
+        code_lens = jnp.ceil(
+            batch["wav_lengths"] / gpt.cfg.mel_length_compression
+        ).astype(jnp.int32) + 1
+        mask = (jnp.arange(n)[None, :] < code_lens[:, None])
+        latent = latent * mask[:, None, :]
+
+        x_start = normalize_tacotron_mel(mel)
+        t = jax.random.randint(r_t, (b,), 0, gd.num_timesteps)
+        uncond = jax.random.uniform(r_uc, (b,)) < unconditioned_percentage
+
+        def model_fn(x_t_batch, t_orig):
+            return diff.apply({"params": params}, x_t_batch, t_orig, latent,
+                              normalize_tacotron_mel(batch["refer_mel"]),
+                              uncond_mask=uncond)
+
+        terms = gd.training_losses(model_fn, x_start, t, r_noise)
+        loss = terms["loss"].mean()
+        return loss, {"mse": terms["mse"].mean(), "vb": terms["vb"].mean()}
+
+    return loss_fn
