@@ -1,0 +1,110 @@
+"""End-to-end zero-shot synthesis benchmark on the real TPU chip.
+
+Measures the BASELINE.json headline: RTF per chip (wall-seconds per
+audio-second) for the full pipeline — GPT AR decode (KV-cache while_loop)
+-> teacher-forced latent re-extract -> 50-step CFG diffusion -> Vocos.
+Random weights (no public checkpoints in this image), flagship shapes
+(233M-class GPT 15L/1024d, 512ch UNet, vocos-24k), bf16 compute.
+
+Prints ONE JSON line:
+  {"metric": "e2e_rtf_per_chip", "value": RTF, "unit": "wall_s_per_audio_s",
+   "vs_baseline": target(0.1)/RTF}      # >1.0 beats the BASELINE target
+
+Knobs (env):
+  BENCH_MAX_GEN     AR token budget           (default 300)
+  BENCH_DIFF_STEPS  diffusion steps           (default 50)
+  BENCH_REPEATS     timed repetitions         (default 3)
+  BENCH_PATH        'e2e' (default) | 'ar' (GPT tokens/sec only)
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_RTF = 0.1  # BASELINE.json north star: <= 0.1 per v5e chip
+
+
+def main():
+    from xtts_tpu.core.config import XTTSConfig
+    from xtts_tpu.infer.api import TTSSettings, TextToSpeech
+    from xtts_tpu.models.gpt_infer import generate_speech
+
+    max_gen = int(os.environ.get("BENCH_MAX_GEN", 300))
+    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 50))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    path = os.environ.get("BENCH_PATH", "e2e")
+
+    cfg = XTTSConfig()
+    tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    # 3 s synthetic reference clip -> conditioning mel
+    sr = cfg.mel.sample_rate
+    t = np.arange(3 * sr) / sr
+    cond_wav = (0.3 * np.sin(2 * np.pi * 220 * t)
+                + 0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
+    cond_mel = tts.cond_mel_from_wav(cond_wav)
+    text_tokens = rng.integers(3, 250, (1, 50)).astype(np.int32)
+
+    settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps)
+
+    hop = cfg.mel.hop_length
+
+    if path == "ar":
+        # GPT mel-tokens/sec (BASELINE config #2)
+        def run(key):
+            res = generate_speech(
+                tts.gpt, tts.vars["gpt"], cond_mel,
+                jnp.asarray(text_tokens), key, max_gen=max_gen,
+                do_sample=False)
+            jax.block_until_ready(res.codes)
+            return int(res.steps)
+
+        run(jax.random.PRNGKey(0))  # compile
+        t0 = time.perf_counter()
+        steps = 0
+        for i in range(repeats):
+            steps += run(jax.random.PRNGKey(i))
+        dt = time.perf_counter() - t0
+        tps = steps / dt
+        audio_per_tok = cfg.gpt.mel_length_compression / sr  # 42.7 ms/code
+        rtf = 1.0 / (tps * audio_per_tok)
+        print(json.dumps({
+            "metric": "gpt_ar_mel_tokens_per_sec", "value": round(tps, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(TARGET_RTF / rtf, 4)}))
+        return
+
+    def run_e2e(key):
+        out = tts.tts_tokens(text_tokens, cond_mel, key, settings,
+                             use_diffusion=True)
+        return out
+
+    # compile pass (cached afterwards)
+    out = run_e2e(jax.random.PRNGKey(99))
+
+    times, audio = [], []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        out = run_e2e(jax.random.PRNGKey(i))
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        audio.append(out["wav"].shape[1] / sr)
+
+    total_audio = sum(audio)
+    total_wall = sum(times)
+    rtf = total_wall / max(total_audio, 1e-9)
+    print(json.dumps({
+        "metric": "e2e_rtf_per_chip",
+        "value": round(rtf, 4),
+        "unit": "wall_s_per_audio_s",
+        "vs_baseline": round(TARGET_RTF / rtf, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

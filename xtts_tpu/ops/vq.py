@@ -37,7 +37,8 @@ def _vq_kernel(x_ref, embed_ref, esq_ref, codes_ref, best_val, best_idx):
     """
     j = pl.program_id(1)
 
-    scores = jnp.dot(x_ref[:], embed_ref[:], preferred_element_type=jnp.float32)
+    scores = jnp.dot(x_ref[:], embed_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     dist = esq_ref[:] - 2.0 * scores  # (TILE_N, TILE_E)
 
     tile_min = jnp.min(dist, axis=1, keepdims=True)                # (TILE_N, 1)
