@@ -1,0 +1,218 @@
+"""Text frontend tests: normalization, G2P, sandhi, tokenizer round-trip.
+
+The reference has no automated tests (SURVEY.md §4); expectations here encode
+the documented rule behavior of ttts/gpt/text/ (chinese.py, tone_sandhi.py,
+zh_normalization/) plus the tokenizer conventions of voice_tokenizer.py.
+"""
+import pytest
+
+from xtts_tpu.text.normalize import (TextNormalizer, decimal_to_zh,
+                                     digits_to_zh, num_to_zh)
+from xtts_tpu.text.pinyin import (G2P, VALID_SYLLABLES, all_syllables,
+                                  is_valid_toned, normalize_syllable,
+                                  parse_toned, split_initial_final)
+
+
+class TestNumToZh:
+    @pytest.mark.parametrize("n,zh", [
+        ("0", "零"), ("5", "五"), ("10", "十"), ("13", "十三"),
+        ("20", "二十"), ("105", "一百零五"), ("110", "一百一十"),
+        ("1005", "一千零五"), ("10001", "一万零一"), ("15000", "一万五千"),
+        ("10500", "一万零五百"), ("100000001", "一亿零一"),
+        ("12340000", "一千二百三十四万"),
+    ])
+    def test_integers(self, n, zh):
+        assert num_to_zh(n) == zh
+
+    def test_decimal(self):
+        assert decimal_to_zh("3.14") == "三点一四"
+        assert decimal_to_zh("-3.5") == "负三点五"
+
+    def test_digit_string(self):
+        assert digits_to_zh("13812345678") == "幺三八幺二三四五六七八"
+
+
+class TestNormalizer:
+    def setup_method(self):
+        self.tn = TextNormalizer()
+
+    def test_date(self):
+        assert self.tn.normalize_sentence("2024年1月5日") == "二零二四年一月五日"
+
+    def test_time(self):
+        assert self.tn.normalize_sentence("15:30") == "十五点三十分"
+        assert self.tn.normalize_sentence("8:05") == "八点零五分"
+
+    def test_percent_fraction(self):
+        assert self.tn.normalize_sentence("50%") == "百分之五十"
+        assert self.tn.normalize_sentence("吃了3/4") == "吃了四分之三"
+
+    def test_temperature(self):
+        assert self.tn.normalize_sentence("-3.5℃") == "负三点五摄氏度"
+
+    def test_mobile(self):
+        out = self.tn.normalize_sentence("13812345678")
+        assert out == "幺三八幺二三四五六七八"
+
+    def test_money(self):
+        assert self.tn.normalize_sentence("¥25.5") == "二十五点五元"
+
+    def test_fullwidth_folding(self):
+        assert self.tn.normalize_sentence("ＡＢＣ１２３") == "ABC一百二十三"
+
+
+class TestPinyin:
+    def test_inventory_size(self):
+        # full Mandarin syllabary is ~410-420 syllables
+        assert 380 < len(VALID_SYLLABLES) < 450
+
+    def test_split(self):
+        assert split_initial_final("zhong") == ("zh", "ong")
+        assert split_initial_final("an") == ("", "an")
+        assert split_initial_final("lv") == ("l", "v")
+
+    def test_normalize_contractions(self):
+        assert normalize_syllable("g", "uei") == "gui"
+        assert normalize_syllable("l", "iou") == "liu"
+        assert normalize_syllable("zh", "uen") == "zhun"
+        assert normalize_syllable("j", "v") == "ju"
+        assert normalize_syllable("j", "van") == "juan"
+        assert normalize_syllable("", "v") == "yu"
+        assert normalize_syllable("", "in") == "yin"
+        assert normalize_syllable("", "u") == "wu"
+
+    def test_toned_parse(self):
+        assert parse_toned("hao3") == ("hao", "3")
+        assert is_valid_toned("zhong1")
+        assert not is_valid_toned("blah1")
+
+    def test_lexicon_g2p(self):
+        g = G2P(prefer_pypinyin=False)
+        assert g("你好") == ["ni3", "hao3"]
+        assert g("银行") == ["yin2", "hang2"]  # polyphone via word lexicon
+        assert g("行走")[0] == "xing2"
+
+    def test_coverage_on_common_text(self):
+        g = G2P(prefer_pypinyin=False)
+        text = "今天天气真好我们一起去公园散步吧"
+        assert g.coverage(text) == 1.0
+
+    def test_all_syllables_sorted_valid(self):
+        syls = all_syllables()
+        assert syls == sorted(syls)
+        assert "zhong" in syls and "yuan" in syls
+
+
+class TestSandhi:
+    def setup_method(self):
+        from xtts_tpu.text.sandhi import ToneSandhi
+        self.ts = ToneSandhi(g2p=G2P(prefer_pypinyin=False))
+
+    def test_third_tone_pair(self):
+        assert self.ts.apply("你好", "l", ["ni3", "hao3"]) == ["ni2", "hao3"]
+
+    def test_bu_before_tone4(self):
+        assert self.ts.apply("不怕", "d", ["bu4", "pa4"]) == ["bu2", "pa4"]
+
+    def test_bu_neutral_infix(self):
+        out = self.ts.apply("看不懂", "v", ["kan4", "bu4", "dong3"])
+        assert out[1] == "bu5"
+
+    def test_yi_before_tone4(self):
+        assert self.ts.apply("一段", "m", ["yi1", "duan4"])[0] == "yi2"
+
+    def test_yi_before_tone1(self):
+        assert self.ts.apply("一天", "m", ["yi1", "tian1"])[0] == "yi4"
+
+    def test_yi_reduplication(self):
+        out = self.ts.apply("看一看", "v", ["kan4", "yi1", "kan4"])
+        assert out[1] == "yi5"
+
+    def test_yi_ordinal(self):
+        assert self.ts.apply("第一", "m", ["di4", "yi1"])[1] == "yi1"
+
+    def test_neutral_particle(self):
+        assert self.ts.apply("好吧", "y", ["hao3", "ba1"])[1] == "ba5"
+
+    def test_neutral_de(self):
+        assert self.ts.apply("我的", "u", ["wo3", "de2"])[1] == "de5"
+
+    def test_neutral_zi_suffix(self):
+        assert self.ts.apply("桌子", "n", ["zhuo1", "zi3"])[1] == "zi5"
+
+    def test_no_neutral_physics_zi(self):
+        assert self.ts.apply("原子", "n", ["yuan2", "zi3"])[1] == "zi3"
+
+    def test_neutral_lexicon_word(self):
+        assert self.ts.apply("东西", "n", ["dong1", "xi1"])[1] == "xi5"
+
+    def test_reduplication_neutral(self):
+        assert self.ts.apply("妈妈", "n", ["ma1", "ma1"])[1] == "ma5"
+
+    def test_four_char_third(self):
+        out = self.ts.apply("彼此理解", "n", ["bi3", "ci3", "li3", "jie3"])
+        assert out == ["bi2", "ci3", "li2", "jie3"]
+
+
+class TestChinesePipeline:
+    def test_basic(self):
+        from xtts_tpu.text.cleaner import clean_text
+        norm, toks = clean_text("你好，世界！", "ZH")
+        assert norm == "你好,世界!"
+        assert toks == ["ni2", "hao3", ",", "shi4", "jie4", "!"]
+
+    def test_numbers_inline(self):
+        from xtts_tpu.text.cleaner import clean_text
+        _, toks = clean_text("我有100个苹果。", "ZH")
+        assert toks[:2] == ["wo2", "you3"]
+        assert "bai3" in toks and "ping2" in toks
+
+    def test_english_passthrough(self):
+        from xtts_tpu.text.cleaner import clean_text
+        _, toks = clean_text("别抢我 switch 手柄", "ZH")
+        assert "switch" in toks
+
+    def test_all_tokens_valid(self):
+        from xtts_tpu.text.cleaner import clean_text
+        from xtts_tpu.text.symbols import PUNCTUATION
+        _, toks = clean_text("今天是2024年1月5日，气温-3.5℃，降水概率80%。", "ZH")
+        for t in toks:
+            assert t in PUNCTUATION or is_valid_toned(t) or t.isascii(), t
+
+    def test_bpe_string(self):
+        from xtts_tpu.text.cleaner import text_to_bpe_string
+        s = text_to_bpe_string("你好", "ZH")
+        assert s.startswith("[ZH] ")
+
+
+class TestEnglish:
+    def test_normalize_numbers(self):
+        from xtts_tpu.text.english import text_normalize
+        assert text_normalize("I have 21 cats") == "I have twenty one cats"
+        assert "percent" in text_normalize("50%")
+
+    def test_g2w(self):
+        from xtts_tpu.text.english import g2w
+        assert g2w("Hello World!") == ["hello", "world!"]
+
+
+class TestTokenizer:
+    def test_default_roundtrip(self):
+        from xtts_tpu.text.tokenizer import VoiceBpeTokenizer
+        tok = VoiceBpeTokenizer()
+        ids = tok.encode("ni2 hao3 shi4 jie4")
+        assert len(ids) > 0
+        assert tok.decode(ids).replace(" ", "") == "ni2hao3shi4jie4"
+
+    def test_vocab_budget(self):
+        # must fit GPT number_text_tokens=256 (ttts/gpt/config.json)
+        from xtts_tpu.text.tokenizer import VoiceBpeTokenizer
+        assert VoiceBpeTokenizer().vocab_size <= 256
+
+    def test_frontend_to_ids(self):
+        from xtts_tpu.text.cleaner import text_to_bpe_string
+        from xtts_tpu.text.tokenizer import VoiceBpeTokenizer
+        tok = VoiceBpeTokenizer()
+        s = text_to_bpe_string("今天天气真好。", "ZH")
+        ids = tok.encode(s)
+        assert all(0 <= i < 256 for i in ids)

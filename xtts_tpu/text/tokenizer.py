@@ -71,7 +71,7 @@ class VoiceBpeTokenizer:
 
 
 def train_tokenizer(lines, vocab_size: int = 255,
-                    specials=("[STOP]", "[UNK]", "[SPACE]")) -> Tokenizer:
+                    specials=tuple(SPECIALS)) -> Tokenizer:
     """BPE trainer with the reference's setup (voice_tokenizer.py:97-100)."""
     trainer = BpeTrainer(special_tokens=list(specials), vocab_size=vocab_size)
     tok = Tokenizer(BPE(unk_token="[UNK]"))
