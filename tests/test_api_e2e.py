@@ -19,8 +19,8 @@ TINY = XTTSConfig(
     vqvae=DVAEConfig(channels=MEL_BINS, num_tokens=30, hidden_dim=16,
                      num_resnet_blocks=1, codebook_dim=16, num_layers=2),
     gpt=GPTConfig(layers=2, model_dim=32, heads=4, max_mel_tokens=24,
-                  max_text_tokens=20, number_text_tokens=16,
-                  start_text_token=15, number_mel_codes=32,
+                  max_text_tokens=64, number_text_tokens=256,
+                  start_text_token=255, number_mel_codes=32,
                   start_mel_token=30, stop_mel_token=31, mel_bins=MEL_BINS,
                   cond_attn_blocks=1),
     diffusion=DiffusionModelConfig(
@@ -74,3 +74,37 @@ def test_dpmpp_sampler_path(tts, rng):
                                      sampler="dpm++2m"),
                          use_diffusion=True)
     assert np.isfinite(out["wav"]).all()
+
+
+def test_text_to_wav_full_frontend(tts):
+    """Raw Mandarin text through frontend + synthesis (shortcut render)."""
+    wav = tts.tts("你好。世界！", np.zeros(4000, np.float32),
+                  jax.random.PRNGKey(4),
+                  TTSSettings(max_mel_tokens=8, diffusion_steps=3),
+                  use_diffusion=False)
+    assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+
+
+def test_clvp_rerank_path(rng):
+    """num_candidates > 1 runs a batched AR + CLVP pick-best."""
+    from xtts_tpu.core.config import CLVPConfig
+    cfg = TINY.replace(clvp=CLVPConfig(
+        dim_text=32, dim_speech=32, dim_latent=16, text_enc_depth=1,
+        speech_enc_depth=1, text_heads=2, speech_heads=2,
+        num_speech_tokens=32))
+    tts2 = TextToSpeech(cfg, rng=jax.random.PRNGKey(7), with_clvp=True)
+    cond_mel = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    tokens = np.array([[1, 3, 4, 2]], np.int32)
+    out = tts2.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(5),
+                          TTSSettings(max_mel_tokens=8, num_candidates=3),
+                          use_diffusion=False)
+    assert out["wav"].shape[0] == 1 and np.isfinite(out["wav"]).all()
+
+
+def test_clvp_rerank_requires_flag(tts, rng):
+    cond_mel = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    with pytest.raises(ValueError):
+        tts.tts_tokens(np.array([[1, 2]], np.int32), cond_mel,
+                       jax.random.PRNGKey(0),
+                       TTSSettings(max_mel_tokens=4, num_candidates=2),
+                       use_diffusion=False)

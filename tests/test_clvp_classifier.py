@@ -1,0 +1,112 @@
+"""CLVP reranker + audio classifier tests (tiny configs, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtts_tpu.core.config import CLVPConfig, ClassifierConfig
+from xtts_tpu.models.classifier import AudioClassifier, make_classifier_loss
+from xtts_tpu.models.clvp import CLVP, make_clvp_loss
+
+TINY_CLVP = CLVPConfig(dim_text=64, dim_speech=64, dim_latent=32,
+                       text_enc_depth=2, speech_enc_depth=2,
+                       text_heads=4, speech_heads=4)
+
+
+@pytest.fixture(scope="module")
+def clvp_setup():
+    model = CLVP(TINY_CLVP)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.integers(0, 256, (4, 20)).astype(np.int32))
+    codes = jnp.asarray(rng.integers(0, 8192, (4, 32)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), text, codes)["params"]
+    return model, params, text, codes
+
+
+class TestCLVP:
+    def test_logits_shape(self, clvp_setup):
+        model, params, text, codes = clvp_setup
+        logits = model.apply({"params": params}, text, codes)
+        assert logits.shape == (4, 4)
+
+    def test_loss_scalar_finite(self, clvp_setup):
+        model, params, text, codes = clvp_setup
+        loss = model.apply({"params": params}, text, codes, return_loss=True)
+        assert loss.shape == () and jnp.isfinite(loss)
+        # random init: loss should be near log(B)
+        assert abs(float(loss) - np.log(4)) < 1.0
+
+    def test_latents_normalized(self, clvp_setup):
+        model, params, text, codes = clvp_setup
+        tl = model.apply({"params": params}, text, method=model.embed_text)
+        np.testing.assert_allclose(np.linalg.norm(tl, axis=-1), 1.0, atol=1e-4)
+
+    def test_masking_changes_pooling(self, clvp_setup):
+        model, params, text, codes = clvp_setup
+        mask = jnp.ones(text.shape, jnp.int32).at[:, 10:].set(0)
+        a = model.apply({"params": params}, text, method=model.embed_text)
+        b = model.apply({"params": params}, text, mask,
+                        method=model.embed_text)
+        assert not np.allclose(a, b)
+
+    def test_mask_invariant_to_padded_content(self, clvp_setup):
+        """Padding tokens must not influence the masked latent."""
+        model, params, text, codes = clvp_setup
+        mask = jnp.ones(text.shape, jnp.int32).at[:, 10:].set(0)
+        a = model.apply({"params": params}, text, mask,
+                        method=model.embed_text)
+        text2 = text.at[:, 10:].set(7)  # mutate only padded region
+        b = model.apply({"params": params}, text2, mask,
+                        method=model.embed_text)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_rerank_scores(self, clvp_setup):
+        model, params, text, codes = clvp_setup
+        scores = model.apply({"params": params}, text[0], codes,
+                             method=model.rerank)
+        assert scores.shape == (4,)
+        # rerank must agree with the (1,K) logits row
+        row = model.apply({"params": params}, text[:1], codes)[0]
+        np.testing.assert_allclose(scores, row, rtol=1e-4, atol=1e-5)
+
+    def test_jit_loss_grad(self, clvp_setup):
+        model, params, text, codes = clvp_setup
+        loss_fn = make_clvp_loss(model)
+        batch = {"text": text, "codes": codes}
+
+        @jax.jit
+        def step(p):
+            (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, batch, jax.random.PRNGKey(0))
+            return l, g
+
+        l, g = step(params)
+        assert jnp.isfinite(l)
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(jnp.all(jnp.isfinite(x)) for x in flat)
+
+
+TINY_CLS = ClassifierConfig(base_channels=8, depth=3, resnet_blocks=1,
+                            attn_blocks=2, num_attn_heads=2)
+
+
+class TestClassifier:
+    def test_forward_and_loss(self):
+        model = AudioClassifier(TINY_CLS)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.standard_normal((2, 64, 100)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), mel)["params"]
+        logits = jax.jit(lambda p, m: model.apply({"params": p}, m))(params, mel)
+        assert logits.shape == (2, 2)
+        loss_fn = make_classifier_loss(model)
+        loss, metrics = loss_fn(params, {"mel": mel,
+                                         "label": jnp.array([0, 1])}, None)
+        assert jnp.isfinite(loss) and 0.0 <= float(metrics["acc"]) <= 1.0
+
+    def test_variable_length(self):
+        """Conv pyramid must accept any T without recompmile-breaking ops."""
+        model = AudioClassifier(TINY_CLS)
+        mel = jnp.zeros((1, 96, 100))
+        params = model.init(jax.random.PRNGKey(0), mel)["params"]
+        out = model.apply({"params": params}, jnp.zeros((1, 128, 100)))
+        assert out.shape == (1, 2)

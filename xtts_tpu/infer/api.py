@@ -59,19 +59,27 @@ class TTSSettings:
     sampler: str = "p"              # live path: spaced-50 ancestral
     diffusion_steps: int = 50
     cond_free_k: float = 2.0
+    # CLVP candidate reranking (ttts/api.py:397-460; tortoise presets
+    # num_autoregressive_samples, api.py:276-281). 1 = off (test.py path).
+    num_candidates: int = 1
 
 
 class TextToSpeech:
     """Holds models + variables; host-side orchestration, device-side math."""
 
     def __init__(self, cfg: XTTSConfig = XTTSConfig(), variables=None,
-                 rng: Optional[jax.Array] = None, dtype=jnp.float32):
+                 rng: Optional[jax.Array] = None, dtype=jnp.float32,
+                 with_clvp: bool = False):
         self.cfg = cfg
         self.mel = MelFrontend(cfg.mel)
         self.gpt = UnifiedVoice(cfg.gpt, dtype=dtype)
         self.dvae = DVAE(cfg.vqvae, dtype=dtype)
         self.diffusion = AADiffusion(cfg.diffusion, dtype=dtype)
         self.vocos = Vocos(cfg.vocos, dtype=dtype)
+        self.clvp = None
+        if with_clvp:
+            from xtts_tpu.models.clvp import CLVP
+            self.clvp = CLVP(cfg.clvp, dtype=dtype)
         self.vars = variables if variables is not None else {}
         if not self.vars:
             self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
@@ -90,6 +98,10 @@ class TextToSpeech:
             jnp.zeros((1, c.diffusion.in_channels, 16)))
         self.vars["vocos"] = self.vocos.init(
             kv, jnp.zeros((1, c.vocos.input_channels, 16)))
+        if self.clvp is not None:
+            kc = jax.random.fold_in(key, 5)
+            self.vars["clvp"] = self.clvp.init(
+                kc, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32))
 
     # ------------------------------------------------------------------
 
@@ -165,11 +177,36 @@ class TextToSpeech:
         if text_tokens.ndim == 1:
             text_tokens = text_tokens[None]
 
-        res = generate_speech(
-            self.gpt, self.vars["gpt"], cond_mel, text_tokens, k1,
-            max_gen=settings.max_mel_tokens, top_p=settings.top_p,
-            temperature=settings.temperature,
-            repetition_penalty=settings.repetition_penalty)
+        k_cand = settings.num_candidates
+        if k_cand > 1:
+            # CLVP reranking: K candidates in one batched AR program, best
+            # row by contrastive score (ttts/api.py:397-460 semantics)
+            if self.clvp is None or "clvp" not in self.vars:
+                raise ValueError(
+                    "num_candidates > 1 needs TextToSpeech(with_clvp=True)")
+            text_k = jnp.tile(text_tokens, (k_cand, 1))
+            cond_k = jnp.tile(cond_mel, (k_cand, 1, 1))
+            res = generate_speech(
+                self.gpt, self.vars["gpt"], cond_k, text_k, k1,
+                max_gen=settings.max_mel_tokens, top_p=settings.top_p,
+                temperature=settings.temperature,
+                repetition_penalty=settings.repetition_penalty)
+            code_mask = (jnp.arange(res.codes.shape[1])[None]
+                         < res.lengths[:, None]).astype(jnp.int32)
+            scores = self.clvp.apply(
+                self.vars["clvp"], text_tokens[0],
+                jnp.clip(res.codes, 0, self.cfg.clvp.num_speech_tokens - 1),
+                code_mask, method=self.clvp.rerank)
+            best = int(jnp.argmax(scores))
+            from xtts_tpu.models.gpt_infer import GenerateResult
+            res = GenerateResult(res.codes[best:best + 1],
+                                 res.lengths[best:best + 1], res.steps)
+        else:
+            res = generate_speech(
+                self.gpt, self.vars["gpt"], cond_mel, text_tokens, k1,
+                max_gen=settings.max_mel_tokens, top_p=settings.top_p,
+                temperature=settings.temperature,
+                repetition_penalty=settings.repetition_penalty)
         n = max(int(res.lengths[0]) - 2, 1)   # strip 2 (test.py:150)
         codes = res.codes[:, :n]
 
@@ -203,11 +240,15 @@ class TextToSpeech:
             use_diffusion: bool = True) -> np.ndarray:
         """Full text in, 24 kHz waveform out — sentence-split like
         test.py:108-177."""
-        from xtts_tpu.text.frontend import sentences_to_token_batches
+        from xtts_tpu.text.frontend import (sentence_to_tokens,
+                                            split_sentences)
         cond_mel = self.cond_mel_from_wav(cond_wav)
         key = key if key is not None else jax.random.PRNGKey(0)
         wavs = []
-        for tokens in sentences_to_token_batches(text, lang):
+        for sent in split_sentences(text):
+            tokens = sentence_to_tokens(
+                sent, lang, start_token=self.cfg.gpt.start_text_token,
+                stop_token=self.cfg.gpt.stop_text_token)
             key, sub = jax.random.split(key)
             out = self.tts_tokens(tokens, cond_mel, sub, settings,
                                   use_diffusion=use_diffusion)

@@ -1,0 +1,106 @@
+"""CLVP — contrastive text/speech-code reranker.
+
+Reference: ttts/clvp/model.py:19-140. Two encoder towers (text BPE tokens,
+mel-VQ codes) -> masked-mean pooled latents -> temperature-scaled cosine
+logits; symmetric cross-entropy for training, row softmax for reranking AR
+candidates at inference (ttts/api.py:397-460 picks top-k by CLVP score).
+
+TPU design: both towers are plain jitted encoder stacks (xtts_tpu.nn.encoder)
+sharing one linen module; reranking scores a whole candidate batch in a
+single forward, which is the batched-serving path of BASELINE config #5.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xtts_tpu.core.config import CLVPConfig
+from xtts_tpu.nn.encoder import TransformerEncoder, masked_mean
+
+Dtype = Any
+
+
+class CLVP(nn.Module):
+    cfg: CLVPConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.text_emb = nn.Embed(c.num_text_tokens, c.dim_text,
+                                 dtype=self.dtype)
+        self.speech_emb = nn.Embed(c.num_speech_tokens, c.dim_speech,
+                                   dtype=self.dtype)
+        self.text_enc = TransformerEncoder(
+            depth=c.text_enc_depth, dim=c.dim_text, heads=c.text_heads,
+            dtype=self.dtype, name="text_transformer")
+        self.speech_enc = TransformerEncoder(
+            depth=c.speech_enc_depth, dim=c.dim_speech, heads=c.speech_heads,
+            dtype=self.dtype, name="speech_transformer")
+        self.to_text_latent = nn.Dense(c.dim_latent, use_bias=False,
+                                       dtype=self.dtype)
+        self.to_speech_latent = nn.Dense(c.dim_latent, use_bias=False,
+                                         dtype=self.dtype)
+        # log temperature (ttts/clvp/model.py:117 temperature param)
+        self.temperature = self.param("temperature",
+                                      nn.initializers.ones, (1,))
+
+    def embed_text(self, text: jnp.ndarray,
+                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = self.text_enc(self.text_emb(text), mask)
+        lat = self.to_text_latent(masked_mean(h, mask))
+        return lat / jnp.linalg.norm(lat, axis=-1, keepdims=True)
+
+    def embed_speech(self, codes: jnp.ndarray,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = self.speech_enc(self.speech_emb(codes), mask)
+        lat = self.to_speech_latent(masked_mean(h, mask))
+        return lat / jnp.linalg.norm(lat, axis=-1, keepdims=True)
+
+    def __call__(self, text: jnp.ndarray, codes: jnp.ndarray,
+                 text_mask: Optional[jnp.ndarray] = None,
+                 code_mask: Optional[jnp.ndarray] = None,
+                 return_loss: bool = False):
+        """Similarity logits (B, B) scaled by learned temperature; with
+        return_loss, the symmetric InfoNCE loss (ttts/clvp/model.py:133-140)."""
+        tl = self.embed_text(text, text_mask)
+        sl = self.embed_speech(codes, code_mask)
+        temp = jnp.exp(self.temperature)
+        logits = jnp.einsum("id,jd->ij", tl, sl) * temp
+        if not return_loss:
+            return logits
+        n = logits.shape[0]
+        labels = jnp.arange(n)
+        loss_t = _ce(logits, labels)
+        loss_s = _ce(logits.T, labels)
+        return (loss_t + loss_s) / 2
+
+    def rerank(self, text: jnp.ndarray, candidate_codes: jnp.ndarray,
+               code_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Score K speech-code candidates against one text.
+
+        text: (T,) int32; candidate_codes: (K, S). Returns (K,) scores —
+        the inference-time use (ttts/api.py:404: clvp(text_repeated, codes)).
+        """
+        tl = self.embed_text(text[None])  # (1, D)
+        sl = self.embed_speech(candidate_codes, code_mask)  # (K, D)
+        return (sl @ tl[0]) * jnp.exp(self.temperature)[0]
+
+
+def _ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+
+def make_clvp_loss(model: CLVP):
+    """Loss closure for the generic Trainer (xtts_tpu/train/trainer.py)."""
+
+    def loss_fn(params, batch, rng):
+        loss = model.apply({"params": params}, batch["text"], batch["codes"],
+                           batch.get("text_mask"), batch.get("code_mask"),
+                           return_loss=True)
+        return loss, {"loss": loss}
+
+    return loss_fn
