@@ -66,12 +66,15 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         param_rules=(),
         accum_steps: Optional[int] = None,
+        ema_decay: Optional[float] = None,
+        checkpoint_dir: Optional[str] = None,
     ):
         self.loss_fn = loss_fn
         self.cfg = cfg
         self.mesh = mesh
         self.param_rules = list(param_rules)
         self.accum = accum_steps if accum_steps is not None else cfg.accum_grad
+        self.ema_decay = ema_decay
         schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.warmup_steps,
                                  cfg.train_steps, cfg.min_lr_ratio)
         self.schedule = schedule
@@ -81,12 +84,20 @@ class Trainer:
                         weight_decay=cfg.weight_decay),
         )
         self._step_jit = None
+        self._ckpt = None
+        if checkpoint_dir is not None:
+            from xtts_tpu.core.checkpoint import CheckpointManager
+            self._ckpt = CheckpointManager(checkpoint_dir, keep=cfg.keep_ckpts)
 
     # ------------------------------------------------------------------
 
     def init_state(self, params, state_cols=None) -> TrainState:
+        cols = dict(state_cols or {})
+        if self.ema_decay is not None:
+            from xtts_tpu.train.ema import ema_init
+            cols["ema"] = ema_init(params)
         return TrainState(params=params, opt_state=self.tx.init(params),
-                          state_cols=state_cols or {},
+                          state_cols=cols,
                           step=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------
@@ -127,6 +138,11 @@ class Trainer:
             aux, cols = split_aux(aux, state.state_cols)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if self.ema_decay is not None:
+            from xtts_tpu.train.ema import ema_update, ema_warmup_decay
+            cols = dict(cols)
+            cols["ema"] = ema_update(cols["ema"], params,
+                                     ema_warmup_decay(state.step, self.ema_decay))
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss, "grad_norm": gnorm,
                    "lr": self.schedule(state.step)}
@@ -160,6 +176,9 @@ class Trainer:
                           put_rep(state.state_cols), put_rep(state.step))
 
     def step(self, state: TrainState, batch, rng):
+        """One optimizer step. NOTE: `state` is donated to the jitted step —
+        its buffers (including the original init params) are dead afterwards;
+        keep only the returned state."""
         if self._step_jit is None:
             self.compile(state, batch, rng)
         return self._step_jit(state, batch, rng)
@@ -171,3 +190,41 @@ class Trainer:
             return batch
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, data_sharding(self.mesh)), batch)
+
+    # ------------------------------------------------------------------
+    # checkpointing (full state: params + moments + collections + step)
+
+    def save(self, state: TrainState, wait: bool = False) -> bool:
+        if self._ckpt is None:
+            raise ValueError("Trainer built without checkpoint_dir")
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "state_cols": state.state_cols,
+                   "step": state.step}
+        return self._ckpt.save(int(state.step), payload, wait=wait)
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        """Exact resume: template supplies structure/shardings."""
+        if self._ckpt is None:
+            raise ValueError("Trainer built without checkpoint_dir")
+        payload = {"params": template.params, "opt_state": template.opt_state,
+                   "state_cols": template.state_cols, "step": template.step}
+        out = self._ckpt.restore(step, target=payload)
+        return TrainState(out["params"], out["opt_state"],
+                          out["state_cols"], out["step"])
+
+    def restore_pretrain(self, template: TrainState, step=None,
+                         include=(), exclude=()) -> TrainState:
+        """Weights-only, module-filtered restore for finetuning
+        (ttts/utils/checkpoint.py:64-103 semantics); optimizer state and
+        step restart fresh."""
+        from xtts_tpu.core.checkpoint import filter_restore
+        if self._ckpt is None:
+            raise ValueError("Trainer built without checkpoint_dir")
+        payload = {"params": template.params, "opt_state": template.opt_state,
+                   "state_cols": template.state_cols, "step": template.step}
+        out = self._ckpt.restore(step, target=payload)
+        params = filter_restore(out["params"], template.params,
+                                include=include, exclude=exclude)
+        return TrainState(params, self.tx.init(params),
+                          template.state_cols, jnp.zeros((), jnp.int32))
