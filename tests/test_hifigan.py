@@ -1,0 +1,169 @@
+"""HiFi-GAN decoder path tests: generator shapes, speaker encoder, MPD/MSD,
+GAN losses, and a combined G/D train step on tiny configs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtts_tpu.core.config import HiFiGANConfig
+from xtts_tpu.models.hifigan import (HifiDecoder, HifiganGenerator,
+                                     ResNetSpeakerEncoder, linear_resize_time)
+from xtts_tpu.models.hifigan_discriminator import (HifiganDiscriminator,
+                                                   avg_pool_1d)
+from xtts_tpu.train.gan import (GANLossWeights, GANTrainer,
+                                discriminator_adv_loss, feature_matching_loss,
+                                generator_adv_loss, multi_scale_stft_loss)
+
+TINY_GEN = dict(in_channels=16, out_channels=1,
+                resblock_dilation_sizes=((1, 3), (1, 3)),
+                resblock_kernel_sizes=(3, 5),
+                upsample_kernel_sizes=(8, 4),
+                upsample_initial_channel=16,
+                upsample_rates=(4, 2),
+                cond_channels=8, cond_in_each_up_layer=True)
+
+
+class TestGenerator:
+    def test_upsample_factor(self):
+        g = HifiganGenerator(**TINY_GEN)
+        x = jnp.zeros((2, 10, 16))
+        cond = jnp.zeros((2, 8))
+        params = g.init(jax.random.PRNGKey(0), x, cond)["params"]
+        y = g.apply({"params": params}, x, cond)
+        assert y.shape == (2, 10 * 8, 1)       # prod(upsample_rates) = 8
+        assert np.abs(np.asarray(y)).max() <= 1.0  # tanh bounded
+
+    def test_uncond(self):
+        g = HifiganGenerator(**{**TINY_GEN, "cond_channels": 0,
+                                "cond_in_each_up_layer": False})
+        x = jnp.zeros((1, 6, 16))
+        params = g.init(jax.random.PRNGKey(0), x)["params"]
+        assert g.apply({"params": params}, x).shape == (1, 48, 1)
+
+
+class TestLinearResize:
+    def test_identity(self):
+        x = jnp.arange(8, dtype=jnp.float32).reshape(1, 8, 1)
+        np.testing.assert_allclose(linear_resize_time(x, 8), x, atol=1e-6)
+
+    def test_doubling_monotone(self):
+        x = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1)
+        y = np.asarray(linear_resize_time(x, 8))[0, :, 0]
+        assert np.all(np.diff(y) >= 0) and y[0] >= 0 and y[-1] <= 3
+
+
+class TestSpeakerEncoder:
+    def test_dvector_normalized(self):
+        enc = ResNetSpeakerEncoder(proj_dim=32, layers=(1, 1),
+                                   num_filters=(4, 8))
+        mel = jnp.asarray(np.random.default_rng(0)
+                          .standard_normal((2, 40, 64)).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), mel)["params"]
+        d = enc.apply({"params": params}, mel)
+        assert d.shape == (2, 32)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+
+
+TINY_HIFI = HiFiGANConfig(
+    decoder_input_dim=16, upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),), d_vector_dim=32)
+
+
+class TestHifiDecoder:
+    def test_latent_to_wav(self):
+        dec = HifiDecoder(TINY_HIFI)
+        lat = jnp.zeros((1, 12, 16))
+        g = jnp.ones((1, 32)) / np.sqrt(32)
+        params = dec.init(jax.random.PRNGKey(0), lat, g)["params"]
+        wav = dec.apply({"params": params}, lat, g)
+        # frames = 12 * (1024/256) * (24000/22050) ~= 52; wav = frames * 8
+        assert wav.ndim == 2 and wav.shape[0] == 1
+        expected_frames = round(12 * 4 * 24000 / 22050)
+        assert wav.shape[1] == expected_frames * 8
+
+
+class TestDiscriminator:
+    def test_scores_and_feats(self):
+        d = HifiganDiscriminator(periods=(2, 3), scales=2)
+        wav = jnp.asarray(np.random.default_rng(0)
+                          .standard_normal((2, 256)).astype(np.float32))
+        params = d.init(jax.random.PRNGKey(0), wav)["params"]
+        scores, feats = d.apply({"params": params}, wav)
+        assert len(scores) == 4       # 2 periods + 2 scales
+        assert len(feats) == 4 and all(len(f) >= 5 for f in feats)
+
+    def test_avg_pool(self):
+        x = jnp.ones((1, 64))
+        assert avg_pool_1d(x).shape[1] == 32
+
+
+class TestGANLosses:
+    def test_adv_losses_at_optimum(self):
+        ones = [jnp.ones((2, 4))]
+        zeros = [jnp.zeros((2, 4))]
+        assert float(generator_adv_loss(ones)) == 0.0
+        assert float(discriminator_adv_loss(ones, zeros)) == 0.0
+
+    def test_stft_loss_zero_for_identical(self):
+        wav = jnp.asarray(np.random.default_rng(0)
+                          .standard_normal((1, 2048)).astype(np.float32))
+        assert float(multi_scale_stft_loss(wav, wav)) < 1e-5
+
+    def test_feature_matching(self):
+        f = [[jnp.ones((1, 4))], [jnp.ones((1, 4))]]
+        g = [[jnp.zeros((1, 4))], [jnp.zeros((1, 4))]]
+        assert float(feature_matching_loss(f, g)) == 1.0
+        assert float(feature_matching_loss(f, f)) == 0.0
+
+
+class TestGANTrainer:
+    def test_combined_step(self):
+        gen = HifiganGenerator(**{**TINY_GEN, "cond_channels": 0,
+                                  "cond_in_each_up_layer": False})
+        disc = HifiganDiscriminator(periods=(2,), scales=1)
+        rng = np.random.default_rng(0)
+        lat = jnp.asarray(rng.standard_normal((2, 32, 16)).astype(np.float32))
+        real = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+        g_params = gen.init(jax.random.PRNGKey(0), lat)["params"]
+        d_params = disc.init(jax.random.PRNGKey(1), real)["params"]
+
+        def gen_fn(p, batch, rng):
+            return gen.apply({"params": p}, batch["latent"])[..., 0]
+
+        def disc_fn(p, wav):
+            return disc.apply({"params": p}, wav)
+
+        tr = GANTrainer(gen_fn, disc_fn)
+        # snapshot one leaf before the (donating) step
+        leaf0 = np.array(jax.tree_util.tree_leaves(g_params)[0])
+        state = tr.init_state(g_params, d_params)
+        batch = {"latent": lat, "wav": real}
+        s1, m1 = tr.step(state, batch, jax.random.PRNGKey(2))
+        assert int(s1.step) == 1
+        for k in ("d_loss", "g_loss", "g_adv", "g_fm", "g_stft"):
+            assert np.isfinite(float(m1[k])), k
+        # params actually moved
+        leaf1 = np.asarray(jax.tree_util.tree_leaves(s1.g_params)[0])
+        assert not np.array_equal(leaf0, leaf1)
+
+    def test_d_learns_to_separate(self):
+        """Few steps on a fixed pair should reduce D loss."""
+        gen = HifiganGenerator(**{**TINY_GEN, "cond_channels": 0,
+                                  "cond_in_each_up_layer": False})
+        disc = HifiganDiscriminator(periods=(2,), scales=1)
+        rng = np.random.default_rng(1)
+        lat = jnp.asarray(rng.standard_normal((1, 16, 16)).astype(np.float32))
+        real = jnp.asarray(np.sin(np.arange(128) / 3)[None].astype(np.float32))
+        g_params = gen.init(jax.random.PRNGKey(0), lat)["params"]
+        d_params = disc.init(jax.random.PRNGKey(1), real)["params"]
+        tr = GANTrainer(lambda p, b, r: gen.apply({"params": p}, b["latent"])[..., 0],
+                        lambda p, w: disc.apply({"params": p}, w),
+                        d_lr=1e-3)
+        state = tr.init_state(g_params, d_params)
+        batch = {"latent": lat, "wav": real}
+        losses = []
+        for i in range(8):
+            state, m = tr.step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["d_loss"]))
+        assert losses[-1] < losses[0]
