@@ -1,0 +1,256 @@
+"""Data layer tests: audio IO, VAD, filelists, datasets, bucketed collation,
+prepare pipeline stages."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xtts_tpu.data.audio import (energy_vad_segments, get_prompt_slice,
+                                 load_wav, make_pad_mask, resample, save_wav)
+from xtts_tpu.data.datasets import (CLVPDataset, ClassifierDataset,
+                                    DiffusionDataset, FilelistEntry,
+                                    GptTTSDataset, MEL_BUCKETS, MelCache,
+                                    TEXT_BUCKETS, VQVAEMelDataset,
+                                    batch_iterator, collate_bucketed,
+                                    next_bucket, pad_to, read_filelist,
+                                    write_filelist)
+from xtts_tpu.data.prepare import (build_bpe_corpus, cache_mels,
+                                   cache_vq_codes, high_freq_energy_ratio,
+                                   preprocess_text, transcribe, vad_split_file)
+
+
+class TestAudio:
+    def test_wav_roundtrip(self, tmp_path):
+        wav = np.sin(np.arange(2400) / 10).astype(np.float32) * 0.5
+        p = str(tmp_path / "a.wav")
+        save_wav(p, wav, 24000)
+        loaded, sr = load_wav(p)
+        assert sr == 24000
+        np.testing.assert_allclose(loaded, wav, atol=1e-3)
+
+    def test_resample_halves_length(self):
+        wav = np.random.default_rng(0).standard_normal(24000).astype(np.float32)
+        out = resample(wav, 24000, 12000)
+        assert abs(len(out) - 12000) <= 1
+
+    def test_load_resamples(self, tmp_path):
+        p = str(tmp_path / "b.wav")
+        save_wav(p, np.zeros(24000, np.float32), 24000)
+        w, sr = load_wav(p, target_sr=16000)
+        assert sr == 16000 and abs(len(w) - 16000) <= 1
+
+    def test_prompt_slice_bounds(self):
+        wav = np.zeros(24000 * 30, np.float32)
+        s = get_prompt_slice(wav, 24000, deterministic=True)
+        assert len(s) == 24000 * 3  # deterministic -> min length
+
+    def test_pad_mask(self):
+        m = make_pad_mask(np.array([2, 4]), max_len=5)
+        assert m.tolist() == [[False, False, True, True, True],
+                              [False, False, False, False, True]]
+
+    def test_vad_finds_speech_islands(self):
+        sr = 16000
+        sil = np.zeros(sr, np.float32)
+        tone = (np.sin(np.arange(sr * 5) * 0.2) * 0.5).astype(np.float32)
+        wav = np.concatenate([sil, tone, sil, sil, tone[:sr * 4], sil])
+        segs = energy_vad_segments(wav, sr, keep_min_sec=2, keep_max_sec=10)
+        assert len(segs) == 2
+        s0 = segs[0]
+        assert abs(s0[0] - sr) < sr * 0.2  # starts near 1 s
+
+
+class TestFilelist:
+    def test_roundtrip(self, tmp_path):
+        entries = [FilelistEntry("k1", "/x/a.wav", "s1", "ZH", "你好", "ni2 hao3")]
+        p = str(tmp_path / "fl.txt")
+        write_filelist(p, entries)
+        back = read_filelist(p)
+        assert back == entries
+
+    def test_malformed_skipped(self, tmp_path):
+        p = str(tmp_path / "fl.txt")
+        open(p, "w").write("bad line\nk|w|s|l|r|c\n")
+        assert len(read_filelist(p)) == 1
+
+
+class TestBucketing:
+    def test_next_bucket(self):
+        assert next_bucket(33, TEXT_BUCKETS) == 64
+        assert next_bucket(5000, MEL_BUCKETS) == 2000  # clamps to last
+
+    def test_pad_to(self):
+        x = np.ones((2, 5))
+        assert pad_to(x, 8).shape == (2, 8)
+        assert pad_to(x, 3).shape == (2, 3)
+
+    def test_collate_drops_none_and_buckets(self):
+        samples = [
+            {"text": np.ones(10, np.int32), "mel": np.ones((4, 50))},
+            None,
+            {"text": np.ones(20, np.int32), "mel": np.ones((4, 80))},
+        ]
+        out = collate_bucketed(
+            samples, pad_axes={"text": 0, "mel": 1},
+            buckets={"text": TEXT_BUCKETS, "mel": MEL_BUCKETS})
+        assert out["text"].shape == (2, 32)          # bucket 32 >= 20
+        assert out["mel"].shape == (2, 4, 100)       # bucket 100 >= 80
+        assert out["text_length"].tolist() == [10, 20]
+
+    def test_collate_all_none(self):
+        assert collate_bucketed([None, None], {}, {}) is None
+
+
+def _mk_wavs(tmp_path, n=3, seconds=1.0, sr=24000):
+    paths = []
+    for i in range(n):
+        w = (np.sin(np.arange(int(sr * seconds)) * (0.02 + 0.01 * i)) * 0.4
+             ).astype(np.float32)
+        p = str(tmp_path / f"w{i}.wav")
+        save_wav(p, w, sr)
+        paths.append(p)
+    return paths
+
+
+def _fake_mel_fn(n_mels=10, hop=256):
+    def fn(wav):
+        f = len(wav) // hop
+        return np.random.default_rng(0).standard_normal(
+            (1, n_mels, f)).astype(np.float32)
+    return fn
+
+
+class TestDatasets:
+    def test_vqvae_dataset_crop(self, tmp_path):
+        paths = _mk_wavs(tmp_path)
+        entries = [FilelistEntry(f"k{i}", p, "s", "ZH", "", "")
+                   for i, p in enumerate(paths)]
+        ds = VQVAEMelDataset(entries, MelCache(_fake_mel_fn()), crop_frames=60)
+        s = ds[0]
+        assert s["mel"].shape == (10, 60)
+
+    def test_gpt_dataset(self, tmp_path):
+        paths = _mk_wavs(tmp_path, seconds=2.0)
+        entries = [FilelistEntry(f"k{i}", p, "s", "ZH", "你好", "ni2 hao3")
+                   for i, p in enumerate(paths)]
+
+        class Tok:
+            def encode(self, s):
+                return [1, 2, 3]
+
+        ds = GptTTSDataset(entries, MelCache(_fake_mel_fn()), Tok())
+        s = ds[0]
+        assert s["text"].tolist() == [1, 2, 3]
+        assert s["mel"].shape[0] == 10
+        assert 0 < s["cond_mel"].shape[1] < s["mel"].shape[1]
+        assert s["wav_length"] == s["mel"].shape[1] * 256
+
+    def test_gpt_dataset_rejects_long(self, tmp_path):
+        paths = _mk_wavs(tmp_path, n=1)
+        entries = [FilelistEntry("k", paths[0], "s", "ZH", "", "")]
+
+        class Tok:
+            def encode(self, s):
+                return list(range(500))
+
+        ds = GptTTSDataset(entries, MelCache(_fake_mel_fn()), Tok())
+        assert ds[0] is None
+
+    def test_diffusion_dataset(self, tmp_path):
+        paths = _mk_wavs(tmp_path, seconds=3.0)
+        entries = [FilelistEntry(f"k{i}", p, "s", "ZH", "x", "x")
+                   for i, p in enumerate(paths)]
+
+        class Tok:
+            def encode(self, s):
+                return [1]
+
+        ds = DiffusionDataset(entries, MelCache(_fake_mel_fn()), Tok())
+        s = ds[0]
+        assert s["mel"].shape[1] <= 400
+        assert s["refer_mel"].shape[1] <= 300
+
+    def test_classifier_dataset(self, tmp_path):
+        mel = np.zeros((10, 100), np.float32)
+        p = str(tmp_path / "m.mel.npy")
+        np.save(p, mel)
+        ds = ClassifierDataset([p], [p], MelCache(), crop_frames=50)
+        assert ds[0]["label"] == 0 and ds[1]["label"] == 1
+        assert ds[0]["mel"].shape == (10, 50)
+
+    def test_batch_iterator(self, tmp_path):
+        paths = _mk_wavs(tmp_path, n=4)
+        entries = [FilelistEntry(f"k{i}", p, "s", "ZH", "", "")
+                   for i, p in enumerate(paths)]
+        ds = VQVAEMelDataset(entries, MelCache(_fake_mel_fn()), crop_frames=40)
+        it = batch_iterator(
+            ds, 2, lambda ss: collate_bucketed(ss, {}, {}), epochs=1)
+        batches = list(it)
+        assert len(batches) == 2
+        assert batches[0]["mel"].shape == (2, 10, 40)
+
+
+class TestPrepare:
+    def test_vad_split_file(self, tmp_path):
+        sr = 24000
+        sil = np.zeros(sr, np.float32)
+        tone = (np.sin(np.arange(sr * 5) * 0.2) * 0.5).astype(np.float32)
+        p = str(tmp_path / "long.wav")
+        save_wav(p, np.concatenate([sil, tone, sil]), sr)
+        clips = vad_split_file(p, str(tmp_path / "clips"), sr,
+                               keep_min_sec=2, keep_max_sec=10)
+        assert len(clips) == 1 and os.path.exists(clips[0])
+
+    def test_transcribe_without_backend_raises(self):
+        with pytest.raises(RuntimeError, match="ASR backend"):
+            transcribe("/x.wav")
+
+    def test_transcribe_with_backend(self):
+        assert transcribe("/x.wav", lambda p: "你好") == "你好"
+
+    def test_preprocess_text(self, tmp_path):
+        recs = [{"path": "/a/x1.wav", "text": "你好世界"},
+                {"path": "/a/x2.wav", "text": ""}]
+        out = str(tmp_path / "fl.txt")
+        entries = preprocess_text(recs, out, "ZH")
+        assert len(entries) == 1
+        assert "ni2" in entries[0].cleaned_text
+        assert read_filelist(out)[0].key == "x1"
+
+    def test_mel_and_vq_cache(self, tmp_path):
+        paths = _mk_wavs(tmp_path, n=2)
+        n = cache_mels(paths, _fake_mel_fn())
+        assert n == 2 and os.path.exists(paths[0] + ".mel.npy")
+        assert cache_mels(paths, _fake_mel_fn()) == 0  # cached; skip
+        n = cache_vq_codes(paths, lambda mel: np.zeros(
+            (1, mel.shape[-1] // 4), np.int64))
+        assert n == 2
+        codes = np.load(paths[0] + ".melvq.npy")
+        assert codes.dtype == np.int32
+
+    def test_clvp_dataset_reads_vq(self, tmp_path):
+        paths = _mk_wavs(tmp_path, n=1)
+        np.save(paths[0] + ".melvq.npy", np.arange(20, dtype=np.int32))
+
+        class Tok:
+            def encode(self, s):
+                return [1, 2]
+
+        entries = [FilelistEntry("k", paths[0], "s", "ZH", "x", "x")]
+        ds = CLVPDataset(entries, Tok())
+        s = ds[0]
+        assert s["codes"].shape == (20,) and s["text"].tolist() == [1, 2]
+
+    def test_bpe_corpus_and_hifreq(self, tmp_path):
+        entries = [FilelistEntry("k", "/x.wav", "s", "ZH", "你好", "ni2 hao3")]
+        out = str(tmp_path / "corpus.txt")
+        assert build_bpe_corpus(entries, out) == 1
+        wav = np.random.default_rng(0).standard_normal(24000).astype(np.float32)
+        r_full = high_freq_energy_ratio(wav, 24000)
+        # low-passed signal must score lower
+        from scipy.signal import butter, sosfilt
+        sos = butter(8, 4000, fs=24000, output="sos")
+        r_lp = high_freq_energy_ratio(
+            sosfilt(sos, wav).astype(np.float32), 24000)
+        assert r_lp < r_full
