@@ -21,6 +21,11 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: repeat bench runs skip the multi-minute
+# full-model compiles (safe no-op if the dir is unwritable)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_xtts"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,8 +89,10 @@ def main():
                              use_diffusion=True)
         return out
 
-    # compile pass (cached afterwards)
-    out = run_e2e(jax.random.PRNGKey(99))
+    # compile pass: run every timed key once untimed so all shape buckets
+    # (code-length ladder) are compiled before measurement
+    for i in range(repeats):
+        run_e2e(jax.random.PRNGKey(i))
 
     times, audio = [], []
     for i in range(repeats):

@@ -37,17 +37,18 @@ def _reflect_pad_1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """(B, T) -> (B, n_frames, frame_length) via XLA im2col."""
+    """(B, T) -> (B, n_frames, frame_length) via static gather.
+
+    A gather with a precomputed (n_frames, frame_length) index grid compiles
+    in milliseconds; the previous conv_general_dilated_patches im2col made
+    XLA build (and constant-fold) a frame_length^2 identity kernel — ~90 s of
+    compile for a 1024-tap window.
+    """
     b, t = x.shape
     n_frames = 1 + (t - frame_length) // hop
-    # conv_general_dilated_patches wants NCW
-    patches = jax.lax.conv_general_dilated_patches(
-        x[:, None, :],
-        filter_shape=(frame_length,),
-        window_strides=(hop,),
-        padding="VALID",
-    )  # (B, frame_length, n_frames)
-    return jnp.transpose(patches, (0, 2, 1))[:, :n_frames]
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(frame_length)[None, :])
+    return x[:, jnp.asarray(idx)]
 
 
 def stft(

@@ -62,6 +62,9 @@ class TTSSettings:
     # CLVP candidate reranking (ttts/api.py:397-460; tortoise presets
     # num_autoregressive_samples, api.py:276-281). 1 = off (test.py path).
     num_candidates: int = 1
+    # pad text tokens up to a bucket length (with stop tokens) so the AR
+    # program compiles once per bucket instead of once per sentence length
+    pad_text_to_bucket: bool = True
 
 
 class TextToSpeech:
@@ -85,22 +88,27 @@ class TextToSpeech:
             self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
 
     def init_random(self, key):
-        """Random-weight init (shapes per the shipped configs)."""
+        """Random-weight init (shapes per the shipped configs).
+
+        Each init is jitted: eager flax init dispatches hundreds of tiny ops
+        (5 min over a remote-TPU tunnel); one compiled program takes seconds.
+        """
         kg, kd, kf, kv = jax.random.split(key, 4)
         c = self.cfg
-        self.vars["gpt"] = self.gpt.init(
+        self.vars["gpt"] = jax.jit(self.gpt.init)(
             kg, jnp.zeros((1, c.gpt.mel_bins, 64)), jnp.zeros((1, 8), jnp.int32),
             jnp.array([8]), jnp.zeros((1, 16), jnp.int32), jnp.array([16 * 1024]))
-        self.vars["dvae"] = self.dvae.init(kd, jnp.zeros((1, c.vqvae.channels, 64)))
-        self.vars["diffusion"] = self.diffusion.init(
+        self.vars["dvae"] = jax.jit(self.dvae.init)(
+            kd, jnp.zeros((1, c.vqvae.channels, 64)))
+        self.vars["diffusion"] = jax.jit(self.diffusion.init)(
             kf, jnp.zeros((1, c.diffusion.in_channels, 16)), jnp.array([0]),
             jnp.zeros((1, c.diffusion.in_latent_channels, 4)),
             jnp.zeros((1, c.diffusion.in_channels, 16)))
-        self.vars["vocos"] = self.vocos.init(
+        self.vars["vocos"] = jax.jit(self.vocos.init)(
             kv, jnp.zeros((1, c.vocos.input_channels, 16)))
         if self.clvp is not None:
             kc = jax.random.fold_in(key, 5)
-            self.vars["clvp"] = self.clvp.init(
+            self.vars["clvp"] = jax.jit(self.clvp.init)(
                 kc, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32))
 
     # ------------------------------------------------------------------
@@ -108,6 +116,27 @@ class TextToSpeech:
     def cond_mel_from_wav(self, wav: np.ndarray) -> jnp.ndarray:
         """Reference audio (T,) or (1, T) float -> conditioning mel."""
         return self.mel(wav)
+
+    # jitted model entry points (eager flax apply dispatches per-op — ~100x
+    # slower over a remote-TPU tunnel; one compiled program per shape bucket)
+
+    @functools.cached_property
+    def _latent_jit(self):
+        return jax.jit(functools.partial(self.gpt.apply, return_latent=True))
+
+    @functools.cached_property
+    def _vocos_jit(self):
+        return jax.jit(self.vocos.apply)
+
+    @functools.cached_property
+    def _dvae_decode_jit(self):
+        return jax.jit(functools.partial(self.dvae.apply,
+                                         method=self.dvae.decode))
+
+    @functools.cached_property
+    def _clvp_rerank_jit(self):
+        return jax.jit(functools.partial(self.clvp.apply,
+                                         method=self.clvp.rerank))
 
     def _diffuser(self, settings: TTSSettings) -> GaussianDiffusion:
         return GaussianDiffusion.spaced(
@@ -193,10 +222,10 @@ class TextToSpeech:
                 repetition_penalty=settings.repetition_penalty)
             code_mask = (jnp.arange(res.codes.shape[1])[None]
                          < res.lengths[:, None]).astype(jnp.int32)
-            scores = self.clvp.apply(
+            scores = self._clvp_rerank_jit(
                 self.vars["clvp"], text_tokens[0],
                 jnp.clip(res.codes, 0, self.cfg.clvp.num_speech_tokens - 1),
-                code_mask, method=self.clvp.rerank)
+                code_mask)
             best = int(jnp.argmax(scores))
             from xtts_tpu.models.gpt_infer import GenerateResult
             res = GenerateResult(res.codes[best:best + 1],
@@ -208,32 +237,49 @@ class TextToSpeech:
                 temperature=settings.temperature,
                 repetition_penalty=settings.repetition_penalty)
         n = max(int(res.lengths[0]) - 2, 1)   # strip 2 (test.py:150)
-        codes = res.codes[:, :n]
+        # pad codes (with stop tokens, as training does per wav_lengths) up to
+        # a bucket so latent/diffusion/vocos programs compile once per bucket,
+        # not once per utterance length; outputs are trimmed to the true n
+        n_b = bucket_len(n, self._code_buckets())
+        stop = self.cfg.gpt.stop_mel_token
+        # pad on host: a device slice/update would compile one tiny program
+        # per distinct n (~1 s each over a remote-TPU tunnel)
+        codes_host = np.asarray(res.codes)   # fixed (B, max_gen) shape
+        codes_np = np.full((codes_host.shape[0], n_b), stop, np.int32)
+        m = min(n, n_b)
+        codes_np[:, :m] = codes_host[:, :m]
+        codes = jnp.asarray(codes_np)
+        hop = self.cfg.vocos.hop_length   # wav samples per mel frame
+        comp = self.cfg.vqvae.compression
 
         out = {"codes": np.asarray(res.codes), "lengths": np.asarray(res.lengths)}
         if not use_diffusion:
-            mel_rec, _ = self.dvae.apply(self.vars["dvae"], codes,
-                                         method=self.dvae.decode)
-            wav = self.vocos.apply(self.vars["vocos"], mel_rec)
-            out["mel"] = np.asarray(mel_rec)
-            out["wav"] = np.asarray(wav)
+            mel_rec, _ = self._dvae_decode_jit(self.vars["dvae"], codes)
+            wav = self._vocos_jit(self.vars["vocos"], mel_rec)
+            out["mel"] = np.asarray(mel_rec[:, :, :n * comp])
+            out["wav"] = np.asarray(wav[:, :n * comp * hop])
             return out
 
-        latent = self.gpt.apply(
+        latent = self._latent_jit(
             self.vars["gpt"], cond_mel, text_tokens,
             jnp.array([text_tokens.shape[-1]]), codes,
-            jnp.array([codes.shape[-1] * self.cfg.gpt.mel_length_compression]),
-            return_latent=True)                      # (B, N, D)
+            jnp.array([n * self.cfg.gpt.mel_length_compression]))
         latent = jnp.swapaxes(latent, 1, 2)          # (B, D, N) like test.py:160
         mel = self._diffusion_mel(
             latent, normalize_tacotron_mel(cond_mel), k2,
             steps=settings.diffusion_steps, sampler=settings.sampler,
             cond_free_k=settings.cond_free_k,
             temperature=settings.diffusion_temperature)
-        wav = self.vocos.apply(self.vars["vocos"], mel)
-        out.update(latent=np.asarray(latent), mel=np.asarray(mel),
-                   wav=np.asarray(wav))
+        wav = self._vocos_jit(self.vars["vocos"], mel)
+        out.update(latent=np.asarray(latent[:, :, :n]),
+                   mel=np.asarray(mel[:, :, :n * comp]),
+                   wav=np.asarray(wav[:, :n * comp * hop]))
         return out
+
+    def _code_buckets(self):
+        m = self.cfg.gpt.max_mel_tokens
+        ladder = [64, 128, 192, 256, 384, 512]
+        return tuple([b for b in ladder if b < m] + [m])
 
     def tts(self, text: str, cond_wav: np.ndarray, key=None,
             settings: TTSSettings = TTSSettings(), lang: str = "ZH",
@@ -249,6 +295,12 @@ class TextToSpeech:
             tokens = sentence_to_tokens(
                 sent, lang, start_token=self.cfg.gpt.start_text_token,
                 stop_token=self.cfg.gpt.stop_text_token)
+            if settings.pad_text_to_bucket:
+                tb = bucket_len(len(tokens),
+                                (16, 32, 64, 128, 256,
+                                 self.cfg.gpt.max_text_tokens))
+                tokens = np.pad(tokens, (0, max(0, tb - len(tokens))),
+                                constant_values=self.cfg.gpt.stop_text_token)
             key, sub = jax.random.split(key)
             out = self.tts_tokens(tokens, cond_mel, sub, settings,
                                   use_diffusion=use_diffusion)

@@ -240,6 +240,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     window_size = min(window_size, img1.shape[2], img1.shape[3])
     if window_size % 2 == 0:
         window_size -= 1
+    img1 = img1.astype(jnp.float32)  # SSIM statistics in f32 for stability
+    img2 = img2.astype(jnp.float32)
     g = _gaussian_window(window_size)
     kh = g[None, None, :, None]  # (1,1,K,1)
     kw = g[None, None, None, :]

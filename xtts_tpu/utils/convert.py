@@ -1,0 +1,170 @@
+"""Torch -> JAX weight conversion for reference checkpoints.
+
+The public reference checkpoints (README.md:10) are torch state dicts; this
+module maps them onto the xtts_tpu param trees (SURVEY.md §7 "weight
+conversion" hard part). Key facts:
+
+* HF GPT2 Conv1D stores weight as (in, out) — the SAME layout as a flax
+  Dense kernel, so attention/MLP weights transfer without transpose
+  (ttts/gpt/model.py:246-266 builds a stock GPT2Model).
+* torch nn.Linear stores (out, in) — needs a transpose to flax (in, out).
+* torch Conv1d weight (out, in, k) -> flax Conv kernel (k, in, out).
+* torch LayerNorm weight/bias -> flax scale/bias.
+
+`hf_gpt2_to_stack` is unit-tested against transformers' torch GPT2Model for
+logit parity (tests/test_convert.py); the UnifiedVoice-level mapping uses the
+reference state-dict names from ttts/gpt/model.py:294-362.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array-like -> numpy float32."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def linear(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch nn.Linear -> flax Dense {kernel, bias}."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv1d_hf(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """HF transformers Conv1D (already (in, out)) -> flax Dense."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv1d_torch(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch nn.Conv1d (out, in, k) -> flax Conv (k, in, out)."""
+    w = _np(sd[f"{prefix}.weight"])
+    out = {"kernel": np.transpose(w, (2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def layer_norm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def embedding(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"embedding": _np(sd[f"{prefix}.weight"])}
+
+
+# ---------------------------------------------------------------------------
+# GPT2 stack (HF GPT2Model state dict -> xtts_tpu.nn.transformer.GPT2Stack)
+# ---------------------------------------------------------------------------
+
+def hf_gpt2_to_stack(sd: Mapping[str, Any], layers: int,
+                     prefix: str = "") -> Dict[str, Any]:
+    """Map `transformer.h.*` weights onto GPT2Stack's param tree.
+
+    sd keys: f"{prefix}h.{i}.ln_1.weight" etc. (strip any "transformer."
+    by passing prefix).
+    """
+    params: Dict[str, Any] = {}
+    for i in range(layers):
+        p = f"{prefix}h.{i}."
+        params[f"h_{i}"] = {
+            "ln_1": layer_norm(sd, p + "ln_1"),
+            "attn": {
+                "c_attn": conv1d_hf(sd, p + "attn.c_attn"),
+                "c_proj": conv1d_hf(sd, p + "attn.c_proj"),
+            },
+            "ln_2": layer_norm(sd, p + "ln_2"),
+            "mlp": {
+                "c_fc": conv1d_hf(sd, p + "mlp.c_fc"),
+                "c_proj": conv1d_hf(sd, p + "mlp.c_proj"),
+            },
+        }
+    params["ln_f"] = layer_norm(sd, prefix + "ln_f")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# UnifiedVoice (reference ttts/gpt/model.py state dict -> models.gpt)
+# ---------------------------------------------------------------------------
+
+def unified_voice_from_reference(sd: Mapping[str, Any], layers: int,
+                                 cond_attn_blocks: int = 6) -> Dict[str, Any]:
+    """Reference UnifiedVoice state dict -> xtts_tpu UnifiedVoice params.
+
+    Name map (reference module attrs, ttts/gpt/model.py:294-362):
+      text_embedding / mel_embedding        nn.Embedding
+      text_pos_embedding.emb / mel_pos_...  LearnedPositionEmbeddings(:268-280)
+      gpt.h.* / gpt.ln_f                    HF GPT2Model
+      final_norm                            nn.LayerNorm
+      text_head / mel_head                  nn.Linear
+      conditioning_encoder.init             nn.Conv1d mel->dim (:210-213)
+      conditioning_encoder.attn.{i}         AttentionBlock (utils.py:270-313)
+    """
+    params: Dict[str, Any] = {
+        "text_embedding": embedding(sd, "text_embedding"),
+        "mel_embedding": embedding(sd, "mel_embedding"),
+        "text_pos_embedding": embedding(sd, "text_pos_embedding.emb"),
+        "mel_pos_embedding": embedding(sd, "mel_pos_embedding.emb"),
+        "gpt": hf_gpt2_to_stack(sd, layers, prefix="gpt."),
+        "final_norm": layer_norm(sd, "final_norm"),
+        "text_head": linear(sd, "text_head"),
+        "mel_head": linear(sd, "mel_head"),
+    }
+    ce: Dict[str, Any] = {"init": conv1d_torch(sd, "conditioning_encoder.init")}
+    for i in range(cond_attn_blocks):
+        p = f"conditioning_encoder.attn.{i}."
+        blk = {
+            # reference AttentionBlock qkv/proj_out are nn.Conv1d with k=1
+            "qkv": _squeeze_conv1x1(sd, p + "qkv"),
+            "proj_out": _squeeze_conv1x1(sd, p + "proj_out"),
+            "GroupNorm32_0": {"GroupNorm_0": {
+                "scale": _np(sd[p + "norm.weight"]),
+                "bias": _np(sd[p + "norm.bias"])}},
+        }
+        ce[f"attn_{i}"] = blk
+    params["conditioning_encoder"] = ce
+    return params
+
+
+def _squeeze_conv1x1(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Conv1d k=1 (out, in, 1) -> flax Dense (in, out)."""
+    w = _np(sd[f"{prefix}.weight"])[:, :, 0].T
+    out = {"kernel": w}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generic state-dict utilities
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load a reference checkpoint; unwraps the {'model': ...} frame
+    the trainers save (ttts/gpt/train_ms.py:131-140)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return sd
+
+
+def to_jax(params: Dict[str, Any], dtype=None):
+    import jax.numpy as jnp
+
+    def cast(x):
+        arr = jnp.asarray(x)
+        return arr.astype(dtype) if dtype is not None else arr
+
+    import jax
+    return jax.tree_util.tree_map(cast, params)
