@@ -22,6 +22,13 @@ def _asdict(obj) -> Any:
     return obj
 
 
+def _relist(v):
+    """Recursively convert lists (from JSON) to tuples."""
+    if isinstance(v, list):
+        return tuple(_relist(x) for x in v)
+    return v
+
+
 class ConfigBase:
     """Mixin: to_dict / to_json / from_dict with nested dataclass support."""
 
@@ -39,10 +46,20 @@ class ConfigBase:
             if f.name not in d:
                 continue
             v = d[f.name]
-            typ = f.type
-            # nested dataclass support
-            if dataclasses.is_dataclass(f.default.__class__) and isinstance(v, dict):
-                kwargs[f.name] = f.default.__class__.from_dict(v)
+            # nested dataclass support: resolve the nested type from either a
+            # plain default or a default_factory
+            nested = None
+            if dataclasses.is_dataclass(f.default.__class__) \
+                    and not isinstance(f.default, dataclasses._MISSING_TYPE):
+                nested = f.default.__class__
+            elif f.default_factory is not dataclasses.MISSING \
+                    and dataclasses.is_dataclass(f.default_factory):
+                nested = f.default_factory
+            if nested is not None and isinstance(v, dict):
+                kwargs[f.name] = nested.from_dict(v)
+            elif isinstance(v, list) and f.name not in ("betas",):
+                # JSON round-trips tuples as lists; freeze back for hashability
+                kwargs[f.name] = _relist(v)
             else:
                 kwargs[f.name] = v
         return cls(**kwargs)

@@ -1,0 +1,183 @@
+"""Batched synthesis serving (BASELINE config #5).
+
+The reference has no server; its closest analogue is tortoise's fixed
+num_autoregressive_samples batching (ttts/api.py:276-281). Here:
+
+* `synthesize_batch` — B utterances through ONE AR program (per-sequence
+  done-masking in the while_loop), one latent-extract, one diffusion, one
+  vocode; all shapes bucketed. Per-chip throughput scales near-linearly with
+  batch until HBM/compute saturates.
+* `BatchServer` — a microbatching front: submit() returns a Future; a worker
+  thread packs requests arriving within `window_ms` (up to `max_batch`) into
+  one device program. This is the TPU-idiomatic replacement for per-request
+  GPU streams.
+
+KV-cache memory note: the decode cache is (L, B, S, H, hd) preallocated per
+batch bucket — "paging" on TPU means choosing S from the text/code buckets
+rather than dynamic allocation (static shapes are what XLA wants).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtts_tpu.infer.api import TTSSettings, TextToSpeech, bucket_len
+from xtts_tpu.models.gpt_infer import generate_speech
+
+
+@dataclass
+class SynthesisRequest:
+    text_tokens: np.ndarray          # (T,) int32, framed [start..stop]
+    key: Optional[jax.Array] = None
+
+
+def _pad_texts(texts: Sequence[np.ndarray], stop_token: int,
+               buckets) -> np.ndarray:
+    max_len = max(len(t) for t in texts)
+    tb = bucket_len(max_len, buckets)
+    out = np.full((len(texts), tb), stop_token, np.int32)
+    for i, t in enumerate(texts):
+        out[i, :min(len(t), tb)] = t[:tb]
+    return out
+
+
+def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
+                     cond_mel: jnp.ndarray,
+                     settings: TTSSettings = TTSSettings(),
+                     use_diffusion: bool = False,
+                     key: Optional[jax.Array] = None) -> List[np.ndarray]:
+    """Synthesize B utterances sharing one reference voice in one pass.
+
+    Returns per-request waveforms trimmed to their true lengths.
+    """
+    cfg = tts.cfg
+    key = key if key is not None else jax.random.PRNGKey(0)
+    text_buckets = (16, 32, 64, 128, 256, cfg.gpt.max_text_tokens)
+    texts = _pad_texts([r.text_tokens for r in requests],
+                       cfg.gpt.stop_text_token, text_buckets)
+    b = texts.shape[0]
+    cond = jnp.tile(cond_mel, (b, 1, 1)) if cond_mel.shape[0] == 1 else cond_mel
+
+    res = generate_speech(
+        tts.gpt, tts.vars["gpt"], cond, jnp.asarray(texts), key,
+        max_gen=settings.max_mel_tokens, top_p=settings.top_p,
+        temperature=settings.temperature,
+        repetition_penalty=settings.repetition_penalty)
+
+    codes_host = np.asarray(res.codes)
+    lengths = np.asarray(res.lengths)
+    ns = np.maximum(lengths - 2, 1)
+    n_b = bucket_len(int(ns.max()), tts._code_buckets())
+    stop = cfg.gpt.stop_mel_token
+    codes_np = np.full((b, n_b), stop, np.int32)
+    for i in range(b):
+        m = min(int(ns[i]), n_b)
+        codes_np[i, :m] = codes_host[i, :m]
+    codes = jnp.asarray(codes_np)
+    hop = cfg.vocos.hop_length
+    comp = cfg.vqvae.compression
+
+    if not use_diffusion:
+        mel_rec, _ = tts._dvae_decode_jit(tts.vars["dvae"], codes)
+        wav = np.asarray(tts._vocos_jit(tts.vars["vocos"], mel_rec))
+    else:
+        latent = tts._latent_jit(
+            tts.vars["gpt"], cond, jnp.asarray(texts),
+            jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
+            codes,
+            jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32))
+        latent = jnp.swapaxes(latent, 1, 2)
+        from xtts_tpu.models.aa_diffusion import normalize_tacotron_mel
+        key, k2 = jax.random.split(key)
+        mel = tts._diffusion_mel(
+            latent, normalize_tacotron_mel(cond), k2,
+            steps=settings.diffusion_steps, sampler=settings.sampler,
+            cond_free_k=settings.cond_free_k,
+            temperature=settings.diffusion_temperature)
+        wav = np.asarray(tts._vocos_jit(tts.vars["vocos"], mel))
+
+    return [wav[i, :int(ns[i]) * comp * hop] for i in range(b)]
+
+
+class BatchServer:
+    """Microbatching synthesis front-end.
+
+    submit() is thread-safe and returns a concurrent.futures.Future that
+    resolves to the waveform. Requests arriving within `window_ms` of each
+    other are packed into one device program (up to `max_batch`).
+    """
+
+    def __init__(self, tts: TextToSpeech, cond_mel: jnp.ndarray,
+                 settings: TTSSettings = TTSSettings(),
+                 max_batch: int = 8, window_ms: float = 20.0,
+                 use_diffusion: bool = False):
+        self.tts = tts
+        self.cond_mel = cond_mel
+        self.settings = settings
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.use_diffusion = use_diffusion
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._seq = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text_tokens: np.ndarray) -> "Future[np.ndarray]":
+        if self._stop.is_set():
+            raise RuntimeError("BatchServer is closed")
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put((np.asarray(text_tokens, np.int32), fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self):
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.window
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            tokens = [t for t, _ in batch]
+            futs = [f for _, f in batch]
+            self._seq += 1
+            try:
+                wavs = synthesize_batch(
+                    self.tts, [SynthesisRequest(t) for t in tokens],
+                    self.cond_mel, self.settings,
+                    use_diffusion=self.use_diffusion,
+                    key=jax.random.PRNGKey(self._seq))
+                for f, w in zip(futs, wavs):
+                    f.set_result(w)
+            except Exception as e:  # pragma: no cover - defensive
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
