@@ -58,13 +58,37 @@ class TestQProcess:
 
 
 class TestSampling:
-    @pytest.mark.parametrize("sampler", ["p", "ddim", "dpm++2m"])
+    @pytest.mark.parametrize("sampler", ["p", "ddim", "dpm++2m", "unipc"])
     def test_loop_shapes_finite(self, sampler):
         gd = GaussianDiffusion.spaced(1000, 10)
         x = gd.sample_loop(dummy_model, (2, 4, 16), jax.random.PRNGKey(0),
                            sampler=sampler)
         assert x.shape == (2, 4, 16)
         assert np.isfinite(np.asarray(x)).all()
+
+    def test_ode_samplers_agree_on_known_target(self):
+        """With a perfect denoiser toward x0=0.7, every ODE sampler must land
+        on the target; UniPC (order 2 corrected) at least as tight as DDIM."""
+        target = 0.7
+
+        def perfect(x, t_orig):
+            # eps consistent with x0 = target at any t
+            acp = jnp.asarray(
+                np.cumprod(1 - np.asarray(
+                    GaussianDiffusion.spaced(1000, 1000).betas)), jnp.float32)
+            ab = acp[t_orig].reshape(-1, 1, 1)
+            eps = (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
+            return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
+
+        errs = {}
+        for sampler in ("ddim", "dpm++2m", "unipc"):
+            gd = GaussianDiffusion.spaced(1000, 8)
+            x = gd.sample_loop(perfect, (1, 1, 8), jax.random.PRNGKey(0),
+                               sampler=sampler)
+            errs[sampler] = float(np.abs(np.asarray(x) - target).max())
+        for s, e in errs.items():
+            assert e < 0.05, (s, e)
+        assert errs["unipc"] <= errs["ddim"] + 1e-6
 
     def test_cfg_mix(self):
         gd = GaussianDiffusion.spaced(1000, 10, conditioning_free=True,

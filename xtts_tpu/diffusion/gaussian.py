@@ -349,10 +349,74 @@ class GaussianDiffusion:
             body, (x, jnp.zeros_like(x), jnp.asarray(0.0)), jnp.arange(steps))
         return x
 
+    def unipc_sample_loop(self, model_fn, shape, key, noise=None,
+                          model_fn_uncond=None):
+        """Order-2 predictor-corrector in log-SNR space (the UniPC family,
+        ttts/sampler/uni_pc.py — unused in the reference's live path).
+
+        Predictor = DPM-Solver++(2M) multistep extrapolation; corrector =
+        trapezoidal update using a model eval at the predicted point
+        (UniC-2 with the midpoint B(h)). Two denoiser calls per step, so at
+        equal step count it costs 2x dpm++2m but tracks the probability-flow
+        ODE one order tighter — useful at very low step counts (<=15).
+        """
+        key, nk = jax.random.split(key)
+        x = noise if noise is not None else jax.random.normal(nk, shape)
+        steps = self.num_timesteps
+        b = shape[0]
+        acp = np.asarray(self.alphas_cumprod)
+        alpha = np.sqrt(acp)
+        sigma = np.sqrt(1.0 - acp)
+        lam = np.log(alpha) - np.log(sigma)
+        alpha_j = jnp.asarray(alpha, jnp.float32)
+        sigma_j = jnp.asarray(sigma, jnp.float32)
+        lam_j = jnp.asarray(lam, jnp.float32)
+
+        def pred_x0(x, idx):
+            t = jnp.full((b,), idx, jnp.int32)
+            t_orig = self.map_t(t)
+            out = model_fn(x, t_orig)
+            out_uc = None
+            if isinstance(out, tuple):
+                out, out_uc = out
+            elif self.conditioning_free:
+                out_uc = model_fn_uncond(x, t_orig)
+            eps = jnp.split(out, 2, axis=1)[0]
+            if out_uc is not None:
+                eps_uc = jnp.split(out_uc, 2, axis=1)[0]
+                k = self.conditioning_free_k
+                eps = (1 + k) * eps - k * eps_uc
+            x0 = self.predict_xstart_from_eps(x, t, eps)
+            return jnp.clip(x0, -1, 1)
+
+        def body(carry, step):
+            x, m_prev, h_prev = carry
+            i = steps - 1 - step
+            i_next = jnp.maximum(i - 1, 0)
+            m0 = pred_x0(x, i)
+            h = lam_j[i_next] - lam_j[i]
+            scale = sigma_j[i_next] / sigma_j[i]
+            phi1 = jnp.expm1(-h)
+            # predictor: multistep extrapolation to the lambda-midpoint
+            r = h_prev / jnp.maximum(h, 1e-12)
+            use_multi = (step > 0).astype(x.dtype)
+            d_p = m0 + use_multi * (m0 - m_prev) / jnp.maximum(2 * r, 1e-12)
+            x_p = scale * x - alpha_j[i_next] * phi1 * d_p
+            # corrector: eval at the predicted point, trapezoid in lambda
+            m1 = pred_x0(x_p, i_next)
+            x_c = scale * x - alpha_j[i_next] * phi1 * 0.5 * (m0 + m1)
+            x_next = jnp.where(step == steps - 1, m1, x_c)
+            return (x_next, m0, h), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x), jnp.asarray(0.0)), jnp.arange(steps))
+        return x
+
     def sample_loop(self, model_fn, shape, key, noise=None,
                     model_fn_uncond=None, sampler: str = "p"):
         fns = {"p": self.p_sample_loop, "ddim": self.ddim_sample_loop,
-               "dpm++2m": self.dpmpp_2m_sample_loop}
+               "dpm++2m": self.dpmpp_2m_sample_loop,
+               "unipc": self.unipc_sample_loop}
         return fns[sampler](model_fn, shape, key, noise=noise,
                             model_fn_uncond=model_fn_uncond)
 

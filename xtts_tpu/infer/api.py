@@ -66,6 +66,22 @@ class TTSSettings:
     # program compiles once per bucket instead of once per sentence length
     pad_text_to_bucket: bool = True
 
+    @classmethod
+    def preset(cls, name: str) -> "TTSSettings":
+        """Tortoise-style quality presets (ttts/api.py:276-281). AR samples
+        map to CLVP candidates (requires with_clvp=True for K>1)."""
+        table = {
+            "ultra_fast": dict(num_candidates=1, diffusion_steps=15,
+                               sampler="dpm++2m"),
+            "fast": dict(num_candidates=4, diffusion_steps=25,
+                         sampler="dpm++2m"),
+            "standard": dict(num_candidates=8, diffusion_steps=50),
+            "high_quality": dict(num_candidates=8, diffusion_steps=100),
+        }
+        if name not in table:
+            raise KeyError(f"unknown preset {name!r}; have {sorted(table)}")
+        return cls(**table[name])
+
 
 class TextToSpeech:
     """Holds models + variables; host-side orchestration, device-side math."""
