@@ -255,6 +255,61 @@ class ClassifierDataset:
         return {"mel": mel.astype(np.float32), "label": np.int32(label)}
 
 
+class HifiGANDataset:
+    """Waveform crops + target mel + 16 kHz speaker-reference mel
+    (ttts/hifigan/dataset.py:16-148: returns wav, wav_refer, text).
+
+    Crops are fixed-length and code-aligned (multiples of 1024 samples =
+    one VQ code) so the GAN batch is one static shape.
+    """
+
+    def __init__(self, entries: Sequence[FilelistEntry], tokenizer,
+                 mel_fn: Callable[[np.ndarray], np.ndarray],
+                 mel16_fn: Callable[[np.ndarray], np.ndarray],
+                 crop_samples: int = 24 * 1024, sample_rate: int = 24000,
+                 refer_sec: float = 2.0, seed: int = 0):
+        assert crop_samples % 1024 == 0
+        self.entries = list(entries)
+        self.tok = tokenizer
+        self.mel_fn = mel_fn
+        self.mel16_fn = mel16_fn
+        self.crop = crop_samples
+        self.sr = sample_rate
+        self.refer_sec = refer_sec
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Optional[Dict[str, np.ndarray]]:
+        from xtts_tpu.data.audio import resample
+        e = self.entries[i]
+        try:
+            wav, _ = load_wav(e.wav_path, self.sr)
+        except Exception:
+            return None
+        if len(wav) < self.crop:
+            wav = np.pad(wav, (0, self.crop - len(wav)))
+            crop = wav
+        else:
+            s = int(self.rng.integers(0, (len(wav) - self.crop) // 1024 + 1))
+            crop = wav[s * 1024:s * 1024 + self.crop]
+        mel = self.mel_fn(crop)
+        mel = mel[0] if mel.ndim == 3 else mel
+        ref = get_prompt_slice(wav, self.sr, max_sec=self.refer_sec + 1,
+                               min_sec=min(self.refer_sec,
+                                           len(wav) / self.sr), rng=self.rng)
+        ref16 = resample(ref, self.sr, 16000)
+        mel16 = self.mel16_fn(ref16)
+        mel16 = mel16[0] if mel16.ndim == 3 else mel16
+        ids = self.tok.encode(f"[{e.lang.upper()}] {e.cleaned_text}")
+        return {"wav": crop.astype(np.float32),
+                "mel": np.asarray(mel, np.float32),
+                "refer_mel16": np.asarray(mel16, np.float32).T,  # (T, 64)
+                "text": np.asarray(ids, np.int32),
+                "wav_length": np.int32(self.crop)}
+
+
 class CLVPDataset:
     """Text BPE ids + cached mel-VQ codes (ttts/clvp/dataset.py:29-102,
     reads `.melvq.pth`; here `.melvq.npy`)."""

@@ -121,9 +121,88 @@ def build_loss(model: str, cfg: XTTSConfig, args):
     raise ValueError(model)
 
 
+def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
+    """GAN loop: HifiDecoder generator vs MPD+MSD (ttts/hifigan/train_ms.py),
+    latents from frozen GPT+DVAE each step."""
+    from xtts_tpu.core.config import MelConfig
+    from xtts_tpu.core.logging import MetricLogger, StepTimer
+    from xtts_tpu.data.datasets import (HifiGANDataset, batch_iterator,
+                                        collate_bucketed, read_filelist)
+    from xtts_tpu.dsp.mel import MelFrontend
+    from xtts_tpu.models.hifigan_discriminator import HifiganDiscriminator
+    from xtts_tpu.train.gan import GANTrainer, make_hifigan_generator_fn
+    from xtts_tpu.utils.registry import load_model
+
+    import jax.numpy as jnp
+
+    mel_fn = MelFrontend(cfg.mel)
+    mel16_fn = MelFrontend(MelConfig(
+        sample_rate=16000, n_mels=64, n_fft=512, win_length=400,
+        hop_length=160))
+    dataset = HifiGANDataset(read_filelist(args.filelist), tok, mel_fn,
+                             mel16_fn, sample_rate=cfg.mel.sample_rate,
+                             seed=cfg.train.seed)
+    logger.info("hifigan dataset: %d samples", len(dataset))
+
+    decoder, dvars = load_model("hifigan", cfg)
+    # decoder init via registry only covers the g= path; re-init with a ref
+    # mel so the speaker encoder gets params too
+    dummy_lat = jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim))
+    dummy_ref = jnp.zeros((1, 16, 64))
+    dvars = jax.jit(decoder.init)(jax.random.PRNGKey(cfg.train.seed),
+                                  dummy_lat, ref_mel16k=dummy_ref)
+    disc = HifiganDiscriminator()
+    disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(cfg.train.seed + 1),
+                                   jnp.zeros((1, 2048)))
+    gpt, gv = load_model("gpt", cfg, weights_path=args.gpt_weights)
+    dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
+
+    gen_fn = make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv)
+    disc_fn = lambda p, wav: disc.apply({"params": p}, wav)
+    trainer = GANTrainer(gen_fn, disc_fn, g_lr=cfg.train.lr,
+                         d_lr=cfg.train.lr, grad_clip=cfg.train.grad_clip)
+    state = trainer.init_state(dvars["params"], disc_vars["params"])
+
+    from xtts_tpu.core.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(os.path.join(args.model_dir, "ckpt"),
+                             keep=cfg.train.keep_ckpts)
+    ml = MetricLogger(os.path.join(args.model_dir, "logs"), console_every=10)
+    timer = StepTimer()
+    collate = lambda ss: collate_bucketed(
+        ss, {"text": 0, "refer_mel16": 0},
+        {"text": (64, 128, 304), "refer_mel16": (100, 200, 300)})
+    it = batch_iterator(dataset, cfg.train.batch_size, collate,
+                        seed=cfg.train.seed)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    step = 0
+    for batch in it:
+        if batch is None:
+            continue
+        batch.pop("text", None)
+        batch.pop("text_length", None)
+        rng, sub = jax.random.split(rng)
+        state, metrics = trainer.step(state, batch, sub)
+        step = int(state.step)
+        timer.tick()
+        ml.scalars(step, {**metrics, "step_time": timer.mean})
+        if step % cfg.train.save_freq == 0:
+            ckpt.save(step, {"g": state.g_params, "d": state.d_params,
+                             "g_opt": state.g_opt, "d_opt": state.d_opt,
+                             "step": state.step})
+        if step >= cfg.train.train_steps:
+            break
+    ckpt.save(step, {"g": state.g_params, "d": state.d_params,
+                     "g_opt": state.g_opt, "d_opt": state.d_opt,
+                     "step": state.step})
+    ckpt.wait()
+    ml.close()
+    logger.info("hifigan done at step %d", step)
+
+
 def main(argv: Optional[list] = None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("model", choices=["vqvae", "gpt", "diffusion", "clvp"])
+    ap.add_argument("model", choices=["vqvae", "gpt", "diffusion", "clvp",
+                                      "hifigan"])
     ap.add_argument("-c", "--config", default=None,
                     help="XTTSConfig JSON (defaults to shipped config)")
     ap.add_argument("-m", "--model-dir", required=True,
@@ -150,6 +229,8 @@ def main(argv: Optional[list] = None):
     logger = get_logger("xtts_tpu.cli",
                         os.path.join(args.model_dir, "train.log"))
     tok = VoiceBpeTokenizer(args.tokenizer)
+    if args.model == "hifigan":
+        return _train_hifigan(args, cfg, tok, logger)
     dataset = build_dataset(args.model, cfg, args.filelist, tok,
                             cfg.train.seed)
     logger.info("dataset: %d samples", len(dataset))

@@ -112,6 +112,37 @@ class GANState:
         return cls(*children)
 
 
+def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
+    """Generator closure for GANTrainer: frozen DVAE codes -> frozen GPT
+    latents -> HifiDecoder waveform (ttts/hifigan/train_ms.py:168-186 does
+    the same latent extraction online per step).
+
+    batch: {'wav': (B, T), 'mel': (B, bins, F), 'refer_mel16': (B, T16, 64),
+            'wav_length': (B,)}
+    """
+    def gen_fn(g_params, batch, rng):
+        codes = dvae.apply(dvae_vars, batch["mel"],
+                           method=dvae.get_codebook_indices)
+        codes = jax.lax.stop_gradient(codes)
+        latent = gpt.apply(
+            gpt_vars, batch["mel"],
+            jnp.zeros((batch["mel"].shape[0], 4), jnp.int32),
+            jnp.full((batch["mel"].shape[0],), 4, jnp.int32),
+            codes, batch["wav_length"], return_latent=True)  # (B, N, D)
+        latent = jax.lax.stop_gradient(latent)
+        wav_hat = decoder.apply({"params": g_params}, latent,
+                                ref_mel16k=batch["refer_mel16"])
+        # trim/pad to the real crop length for the discriminators
+        t = batch["wav"].shape[1]
+        if wav_hat.shape[1] >= t:
+            wav_hat = wav_hat[:, :t]
+        else:
+            wav_hat = jnp.pad(wav_hat, ((0, 0), (0, t - wav_hat.shape[1])))
+        return wav_hat
+
+    return gen_fn
+
+
 class GANTrainer:
     """Generator/discriminator pair with a single jitted combined step.
 
