@@ -208,6 +208,9 @@ def main(argv: Optional[list] = None):
     ap.add_argument("-m", "--model-dir", required=True,
                     help="experiment dir (checkpoints + logs)")
     ap.add_argument("--filelist", required=True)
+    ap.add_argument("--val-filelist", default=None,
+                    help="held-out filelist; eval loss every train.val_freq "
+                         "steps (ttts/gpt/train_ms.py:162-186 eval loop)")
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--dvae-weights", default=None)
     ap.add_argument("--gpt-weights", default=None)
@@ -250,6 +253,18 @@ def main(argv: Optional[list] = None):
                         seed=cfg.train.seed)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
+    eval_fn = None
+    val_batches = []
+    if args.val_filelist:
+        val_ds = build_dataset(args.model, cfg, args.val_filelist, tok,
+                               cfg.train.seed + 1)
+        val_batches = [adapt_batch(args.model, b) for b in batch_iterator(
+            val_ds, cfg.train.batch_size, collate, shuffle=False,
+            epochs=1)][:8]
+        eval_fn = jax.jit(
+            lambda p, cols, b, r: loss_fn(p, cols, b, r)[0])
+        logger.info("eval: %d held-out batches", len(val_batches))
+
     for batch in it:
         batch = adapt_batch(args.model, batch)
         if batch is None:
@@ -259,6 +274,13 @@ def main(argv: Optional[list] = None):
         step = int(state.step)
         timer.tick()
         ml.scalars(step, {**metrics, "step_time": timer.mean})
+        if eval_fn is not None and step % cfg.train.val_freq == 0:
+            losses = [float(eval_fn(state.params, state.state_cols, vb,
+                                    jax.random.PRNGKey(0)))
+                      for vb in val_batches if vb is not None]
+            if losses:
+                ml.scalars(step, {"loss": float(np.mean(losses))},
+                           prefix="eval/")
         if step % cfg.train.save_freq == 0:
             trainer.save(state)
             logger.info("checkpoint @ %d", step)
