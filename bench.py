@@ -14,7 +14,9 @@ Knobs (env):
   BENCH_MAX_GEN     AR token budget           (default 300)
   BENCH_DIFF_STEPS  diffusion steps           (default 50)
   BENCH_REPEATS     timed repetitions         (default 3)
-  BENCH_PATH        'e2e' (default) | 'ar' (GPT tokens/sec only)
+  BENCH_BATCH       serving batch size        (default 8)
+  BENCH_PATH        'e2e' (default) | 'ar' (GPT tokens/sec, batch 1)
+                    | 'serving' (batched synthesis audio-s/s per chip)
 """
 import json
 import os
@@ -82,6 +84,30 @@ def main():
             "metric": "gpt_ar_mel_tokens_per_sec", "value": round(tps, 2),
             "unit": "tokens/s",
             "vs_baseline": round(TARGET_RTF / rtf, 4)}))
+        return
+
+    if path == "serving":
+        # batched shortcut-path serving throughput (BASELINE config #5)
+        from xtts_tpu.infer.serving import SynthesisRequest, synthesize_batch
+        b = int(os.environ.get("BENCH_BATCH", 8))
+        reqs = [SynthesisRequest(text_tokens[0]) for _ in range(b)]
+
+        def run_srv(key):
+            wavs = synthesize_batch(tts, reqs, cond_mel, settings,
+                                    use_diffusion=False, key=key)
+            return sum(w.size for w in wavs) / sr
+
+        run_srv(jax.random.PRNGKey(99))  # compile
+        t0 = time.perf_counter()
+        audio = 0.0
+        for i in range(repeats):
+            audio += run_srv(jax.random.PRNGKey(i))
+        wall = time.perf_counter() - t0
+        thr = audio / wall   # audio-seconds per wall-second per chip
+        print(json.dumps({
+            "metric": "serving_audio_s_per_s_per_chip",
+            "value": round(thr, 2), "unit": "audio_s/s",
+            "vs_baseline": round(thr * TARGET_RTF, 4)}))
         return
 
     def run_e2e(key):
