@@ -7,9 +7,9 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from xtts_tpu.text import chinese, english
+from xtts_tpu.text import chinese, english, japanese
 
-_MODULES = {"ZH": chinese, "EN": english}
+_MODULES = {"ZH": chinese, "EN": english, "JA": japanese, "JP": japanese}
 
 
 def clean_text(text: str, language: str = "ZH") -> Tuple[str, List[str]]:
