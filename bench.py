@@ -15,6 +15,7 @@ Knobs (env):
   BENCH_DIFF_STEPS  diffusion steps           (default 50)
   BENCH_REPEATS     timed repetitions         (default 3)
   BENCH_BATCH       serving batch size        (default 8)
+  BENCH_QUANT       1 (default) = int8 weight-only AR decode engine
   BENCH_PATH        'e2e' (default) | 'ar' (GPT tokens/sec, batch 1)
                     | 'serving' (batched synthesis audio-s/s per chip)
 """
@@ -46,7 +47,9 @@ def main():
     path = os.environ.get("BENCH_PATH", "e2e")
 
     cfg = XTTSConfig()
-    tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+                       quantized_decode=quant)
 
     rng = np.random.default_rng(0)
     # 3 s synthetic reference clip -> conditioning mel
@@ -64,10 +67,17 @@ def main():
     if path == "ar":
         # GPT mel-tokens/sec (BASELINE config #2)
         def run(key):
-            res = generate_speech(
-                tts.gpt, tts.vars["gpt"], cond_mel,
-                jnp.asarray(text_tokens), key, max_gen=max_gen,
-                do_sample=False)
+            if tts._qtree is not None:
+                from xtts_tpu.infer.qdecode import generate_speech_quantized
+                res = generate_speech_quantized(
+                    tts.gpt, tts.vars["gpt"], tts._qtree, cond_mel,
+                    jnp.asarray(text_tokens), key, max_gen=max_gen,
+                    do_sample=False)
+            else:
+                res = generate_speech(
+                    tts.gpt, tts.vars["gpt"], cond_mel,
+                    jnp.asarray(text_tokens), key, max_gen=max_gen,
+                    do_sample=False)
             jax.block_until_ready(res.codes)
             return int(res.steps)
 

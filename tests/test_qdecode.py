@@ -1,0 +1,96 @@
+"""int8 quantized decode engine: numerics vs the bf16 flax path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtts_tpu.core.config import GPTConfig
+from xtts_tpu.infer.qdecode import (generate_speech_quantized, qdot,
+                                    quantize_dense, quantize_gpt_decode,
+                                    _decode_logits)
+from xtts_tpu.models.gpt import UnifiedVoice
+from xtts_tpu.models.gpt_infer import generate_speech
+from xtts_tpu.nn.transformer import KVCache
+
+CFG = GPTConfig(layers=2, model_dim=64, heads=4, max_mel_tokens=24,
+                max_text_tokens=16, number_text_tokens=32,
+                start_text_token=31, number_mel_codes=34, start_mel_token=32,
+                stop_mel_token=33, mel_bins=8, cond_attn_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = UnifiedVoice(CFG)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((1, 8, 20)).astype(np.float32))
+    text = jnp.asarray(rng.integers(1, 30, (1, 6)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), cond, text,
+                           jnp.array([6]), jnp.zeros((1, 8), jnp.int32),
+                           jnp.array([8 * 1024]))
+    qt = quantize_gpt_decode(variables, CFG)
+    return model, variables, qt, cond, text
+
+
+class TestQuantPrimitives:
+    def test_quantize_roundtrip_error(self):
+        rng = np.random.default_rng(0)
+        k = rng.standard_normal((64, 128)).astype(np.float32)
+        q = quantize_dense(jnp.asarray(k))
+        assert q["w"].dtype == jnp.int8
+        deq = np.asarray(q["w"], np.float32) * np.asarray(q["scale"])[None]
+        rel = np.abs(deq - k).max() / np.abs(k).max()
+        assert rel < 0.01   # <= half an int8 step
+
+    def test_qdot_matches_fp(self):
+        rng = np.random.default_rng(1)
+        k = rng.standard_normal((32, 16)).astype(np.float32)
+        x = rng.standard_normal((2, 32)).astype(np.float32)
+        q = quantize_dense(jnp.asarray(k))
+        ref = x @ k
+        out = np.asarray(qdot(jnp.asarray(x, jnp.bfloat16), q))
+        assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6) < 0.05
+
+
+class TestQuantizedDecode:
+    def test_logits_close_to_flax(self, setup):
+        model, variables, qt, cond, text = setup
+        prefix, _ = model.apply(variables, cond, text,
+                                method=model.encode_prefix)
+        b, p_len, _ = prefix.shape
+        cache = KVCache.zeros(CFG.layers, b, p_len + 8, CFG.heads,
+                              CFG.model_dim // CFG.heads, dtype=jnp.float32)
+        _, cache = model.apply(variables, prefix, cache, method=model.prefill)
+
+        tok = jnp.array([5], jnp.int32)
+        ref_logits, _ = model.apply(variables, tok, 1, cache, p_len,
+                                    method=model.decode_one)
+        q_logits, _ = _decode_logits(qt, CFG.heads, tok, 1, cache, p_len)
+        ref = np.asarray(ref_logits, np.float32)
+        got = np.asarray(q_logits, np.float32)
+        denom = np.abs(ref).max() + 1e-6
+        assert np.abs(got - ref).max() / denom < 0.1
+
+    def test_greedy_generation_matches(self, setup):
+        """At random-init scale the logit gaps usually dominate int8 noise;
+        greedy paths should agree on most tokens (and full equality on
+        lengths/shape contracts)."""
+        model, variables, qt, cond, text = setup
+        r1 = generate_speech(model, variables, cond, text,
+                             jax.random.PRNGKey(0), max_gen=8,
+                             do_sample=False, cache_dtype=jnp.float32)
+        r2 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.float32)
+        assert r2.codes.shape == r1.codes.shape
+        agree = float((r1.codes == r2.codes).mean())
+        assert agree >= 0.75, (np.asarray(r1.codes), np.asarray(r2.codes))
+
+    def test_sampled_generation_valid(self, setup):
+        model, variables, qt, cond, text = setup
+        r = generate_speech_quantized(model, variables, qt, cond, text,
+                                      jax.random.PRNGKey(3), max_gen=8,
+                                      do_sample=True, cache_dtype=jnp.float32)
+        codes = np.asarray(r.codes)
+        assert ((codes >= 0) & (codes < CFG.number_mel_codes)).all()
+        assert int(r.lengths[0]) <= 8

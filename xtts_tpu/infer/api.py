@@ -88,7 +88,10 @@ class TextToSpeech:
 
     def __init__(self, cfg: XTTSConfig = XTTSConfig(), variables=None,
                  rng: Optional[jax.Array] = None, dtype=jnp.float32,
-                 with_clvp: bool = False):
+                 with_clvp: bool = False, quantized_decode: bool = False):
+        """quantized_decode: int8 weight-only AR decode engine — ~1.5x
+        tokens/s on v5e, logits within per-channel-int8 error (~99% greedy
+        token agreement); see xtts_tpu/infer/qdecode.py."""
         self.cfg = cfg
         self.mel = MelFrontend(cfg.mel)
         self.gpt = UnifiedVoice(cfg.gpt, dtype=dtype)
@@ -102,6 +105,23 @@ class TextToSpeech:
         self.vars = variables if variables is not None else {}
         if not self.vars:
             self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
+        self.quantized_decode = quantized_decode
+        self._qtree = None
+        if quantized_decode:
+            from xtts_tpu.infer.qdecode import quantize_gpt_decode
+            self._qtree = quantize_gpt_decode(self.vars["gpt"], cfg.gpt)
+
+    def _generate(self, cond, text, key, settings: "TTSSettings"):
+        """AR generation via the active decode engine."""
+        kw = dict(max_gen=settings.max_mel_tokens, top_p=settings.top_p,
+                  temperature=settings.temperature,
+                  repetition_penalty=settings.repetition_penalty)
+        if self._qtree is not None:
+            from xtts_tpu.infer.qdecode import generate_speech_quantized
+            return generate_speech_quantized(
+                self.gpt, self.vars["gpt"], self._qtree, cond, text, key, **kw)
+        return generate_speech(self.gpt, self.vars["gpt"], cond, text, key,
+                               **kw)
 
     def init_random(self, key):
         """Random-weight init (shapes per the shipped configs).
@@ -231,11 +251,7 @@ class TextToSpeech:
                     "num_candidates > 1 needs TextToSpeech(with_clvp=True)")
             text_k = jnp.tile(text_tokens, (k_cand, 1))
             cond_k = jnp.tile(cond_mel, (k_cand, 1, 1))
-            res = generate_speech(
-                self.gpt, self.vars["gpt"], cond_k, text_k, k1,
-                max_gen=settings.max_mel_tokens, top_p=settings.top_p,
-                temperature=settings.temperature,
-                repetition_penalty=settings.repetition_penalty)
+            res = self._generate(cond_k, text_k, k1, settings)
             code_mask = (jnp.arange(res.codes.shape[1])[None]
                          < res.lengths[:, None]).astype(jnp.int32)
             scores = self._clvp_rerank_jit(
@@ -247,11 +263,7 @@ class TextToSpeech:
             res = GenerateResult(res.codes[best:best + 1],
                                  res.lengths[best:best + 1], res.steps)
         else:
-            res = generate_speech(
-                self.gpt, self.vars["gpt"], cond_mel, text_tokens, k1,
-                max_gen=settings.max_mel_tokens, top_p=settings.top_p,
-                temperature=settings.temperature,
-                repetition_penalty=settings.repetition_penalty)
+            res = self._generate(cond_mel, text_tokens, k1, settings)
         n = max(int(res.lengths[0]) - 2, 1)   # strip 2 (test.py:150)
         # pad codes (with stop tokens, as training does per wav_lengths) up to
         # a bucket so latent/diffusion/vocos programs compile once per bucket,

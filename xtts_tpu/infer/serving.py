@@ -66,11 +66,7 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     b = texts.shape[0]
     cond = jnp.tile(cond_mel, (b, 1, 1)) if cond_mel.shape[0] == 1 else cond_mel
 
-    res = generate_speech(
-        tts.gpt, tts.vars["gpt"], cond, jnp.asarray(texts), key,
-        max_gen=settings.max_mel_tokens, top_p=settings.top_p,
-        temperature=settings.temperature,
-        repetition_penalty=settings.repetition_penalty)
+    res = tts._generate(cond, jnp.asarray(texts), key, settings)
 
     codes_host = np.asarray(res.codes)
     lengths = np.asarray(res.lengths)
