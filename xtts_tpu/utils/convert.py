@@ -146,6 +146,59 @@ def _squeeze_conv1x1(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Vocos (pretrained charactr/vocos-mel-24khz state dict -> models.vocos)
+# ---------------------------------------------------------------------------
+
+def vocos_from_pretrained(sd: Mapping[str, Any],
+                          num_layers: int = 8) -> Dict[str, Any]:
+    """Vocos torch state dict -> xtts_tpu Vocos params.
+
+    Reference param names (ttts/vocoder/models.py:26-88 VocosBackbone,
+    heads.py ISTFTHead): backbone.embed (Conv1d), backbone.norm (LayerNorm),
+    backbone.convnext.{i}.{dwconv,norm,pwconv1,pwconv2,gamma},
+    backbone.final_layer_norm, head.out (Linear).
+    Depthwise conv: torch (C, 1, k) -> flax feature-grouped (k, 1, C).
+    """
+    params: Dict[str, Any] = {"backbone": {}, "head": {}}
+    bb = params["backbone"]
+    bb["embed"] = conv1d_torch(sd, "backbone.embed")
+    bb["norm"] = layer_norm(sd, "backbone.norm")
+    for i in range(num_layers):
+        p = f"backbone.convnext.{i}."
+        dw = _np(sd[p + "dwconv.weight"])          # (C, 1, k)
+        blk = {
+            "dwconv": {"kernel": np.transpose(dw, (2, 1, 0)),
+                       "bias": _np(sd[p + "dwconv.bias"])},
+            "LayerNorm_0": layer_norm(sd, p + "norm"),
+            "pwconv1": linear(sd, p + "pwconv1"),
+            "pwconv2": linear(sd, p + "pwconv2"),
+            "gamma": _np(sd[p + "gamma"]),
+        }
+        bb[f"convnext_{i}"] = blk
+    bb["final_layer_norm"] = layer_norm(sd, "backbone.final_layer_norm")
+    params["head"] = {"out": linear(sd, "head.out")}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# DVAE (reference ttts/vqvae/xtts_dvae.py state dict -> models.dvae)
+# ---------------------------------------------------------------------------
+
+def dvae_codebook_from_reference(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Extract the EMA codebook buffers (Quantize registers embed /
+    cluster_size / embed_avg, xtts_dvae.py:67-70) as the 'codebook'
+    collection; conv stacks differ structurally between the reference's
+    sequential builder and our named modules, so the codebook (the part
+    BASELINE.json requires bit-exact) converts directly while conv weights
+    go through filter_restore-style mapping when a checkpoint is available."""
+    return {
+        "embed": _np(sd["quantizer.embed"]),
+        "cluster_size": _np(sd["quantizer.cluster_size"]),
+        "embed_avg": _np(sd["quantizer.embed_avg"]),
+    }
+
+
+# ---------------------------------------------------------------------------
 # generic state-dict utilities
 # ---------------------------------------------------------------------------
 

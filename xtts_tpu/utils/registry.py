@@ -55,7 +55,9 @@ def _register_defaults():
                           jnp.zeros((1, cfg.diffusion.in_channels, 16))))
     register("vocos",
              lambda cfg, dtype: Vocos(cfg.vocos, dtype=dtype),
-             lambda cfg: (jnp.zeros((1, cfg.vocos.input_channels, 16)),))
+             lambda cfg: (jnp.zeros((1, cfg.vocos.input_channels, 16)),),
+             lambda sd, cfg: cv.vocos_from_pretrained(
+                 sd, cfg.vocos.num_layers))
     register("clvp",
              lambda cfg, dtype: CLVP(cfg.clvp, dtype=dtype),
              lambda cfg: (jnp.zeros((1, 8), jnp.int32),
