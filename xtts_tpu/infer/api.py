@@ -20,6 +20,7 @@ TPU-first details:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -122,6 +123,48 @@ class TextToSpeech:
                 self.gpt, self.vars["gpt"], self._qtree, cond, text, key, **kw)
         return generate_speech(self.gpt, self.vars["gpt"], cond, text, key,
                                **kw)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, cfg: Optional[XTTSConfig] = None,
+                        dtype=jnp.float32, **kw) -> "TextToSpeech":
+        """Load per-model weights from a directory (the reference's
+        test.py:32-86 loads gpt/dvae/diffusion/vocos checkpoints separately).
+
+        Looks for <name>.npz (native) or <name>.pth/.pt (torch, converted via
+        xtts_tpu.utils.convert) for each of gpt/vqvae/diffusion/vocos
+        (+clvp when with_clvp); missing files fall back to random init with
+        a warning. An xtts_config.json in the dir overrides `cfg`.
+        """
+        import glob as _glob
+        import logging
+        log = logging.getLogger(__name__)
+        cfg_path = os.path.join(model_dir, "xtts_config.json")
+        if cfg is None:
+            cfg = (XTTSConfig.from_json(cfg_path)
+                   if os.path.exists(cfg_path) else XTTSConfig())
+        tts = cls(cfg, dtype=dtype, **kw)
+        from xtts_tpu.utils.registry import load_model
+        names = ["gpt", "vqvae", "diffusion", "vocos"]
+        if tts.clvp is not None:
+            names.append("clvp")
+        alias = {"vqvae": "dvae"}
+        for name in names:
+            hits = []
+            for stem in (name, alias.get(name, name)):
+                for ext in (".npz", ".pth", ".pt", ".bin"):
+                    hits += _glob.glob(os.path.join(model_dir, stem + ext))
+            if not hits:
+                log.warning("from_pretrained: no weights for %r in %s "
+                            "(random init kept)", name, model_dir)
+                continue
+            _, variables = load_model(name, cfg, weights_path=hits[0],
+                                      dtype=dtype)
+            key = "dvae" if name == "vqvae" else name
+            tts.vars[key] = variables
+        if tts.quantized_decode:
+            from xtts_tpu.infer.qdecode import quantize_gpt_decode
+            tts._qtree = quantize_gpt_decode(tts.vars["gpt"], cfg.gpt)
+        return tts
 
     def init_random(self, key):
         """Random-weight init (shapes per the shipped configs).
