@@ -145,3 +145,17 @@ LIBROSA_MEL_CONFIG = MelConfig(
     n_mels=80, mel_fmax=8000.0, mel_scale="slaney", mel_norm="slaney",
     padding="same", power=1.0,
 )
+
+# Legacy tortoise 22.05 kHz mel (dvae_wav_to_mel, ttts/vqvae/xtts_dvae.py:28-49
+# / TacotronSTFT ttts/utils/stft.py:271): 80 bins, 1024/256/1024, fmax 8000.
+LEGACY_TORTOISE_MEL_CONFIG = MelConfig(
+    sample_rate=22050, n_mels=80, n_fft=1024, hop_length=256, win_length=1024,
+    mel_fmin=0.0, mel_fmax=8000.0, mel_scale="slaney", mel_norm="slaney",
+    padding="center", power=1.0,
+)
+
+# 16 kHz 64-bin mel for the HiFi-GAN speaker encoder
+# (ttts/hifigan/hifigan_vocoder.py:671-678 audio_config)
+SPEAKER_ENCODER_MEL_CONFIG = MelConfig(
+    sample_rate=16000, n_mels=64, n_fft=512, win_length=400, hop_length=160,
+)

@@ -93,6 +93,41 @@ def overlap_add(frames: jnp.ndarray, hop: int, output_size: int) -> jnp.ndarray:
     return out.at[:, jnp.asarray(idx)].add(frames.reshape(b, -1))
 
 
+def _mdct_basis(n: int) -> jnp.ndarray:
+    """(n, n/2) cosine basis cos(pi/M (k + 0.5 + M/2)(m + 0.5)), M = n/2."""
+    half = n // 2
+    k = jnp.arange(n, dtype=jnp.float32)[:, None]
+    m = jnp.arange(half, dtype=jnp.float32)[None, :]
+    return jnp.cos(jnp.pi / half * (k + 0.5 + half / 2) * (m + 0.5))
+
+
+def mdct(x: jnp.ndarray, frame_len: int) -> jnp.ndarray:
+    """Modified DCT of (B, T) -> (B, frames, frame_len//2) with sine window
+    and 50% overlap (ttts/vocoder/spectral_ops.py:78+ MDCT, "same" padding).
+    Direct matmul against the cosine basis — frame_len is small, so this is
+    one MXU matmul rather than the reference's FFT identity."""
+    n = frame_len
+    hop = n // 2
+    window = jnp.sin(jnp.pi / n * (jnp.arange(n) + 0.5))  # Princen-Bradley
+    x = jnp.pad(x, ((0, 0), (hop, hop)), mode="reflect")
+    frames = frame_signal(x, n, hop) * window[None, None, :]
+    return frames @ _mdct_basis(n)                         # (B, frames, n/2)
+
+
+def imdct(coeffs: jnp.ndarray, frame_len: int) -> jnp.ndarray:
+    """Inverse MDCT of (B, frames, frame_len//2) -> (B, T): synthesis matmul,
+    sine window, TDAC overlap-add (perfect reconstruction away from edges)."""
+    n = frame_len
+    half = n // 2
+    b, t, _ = coeffs.shape
+    window = jnp.sin(jnp.pi / n * (jnp.arange(n) + 0.5))
+    frames = (2.0 / half) * (coeffs @ _mdct_basis(n).T)    # (B, T, n)
+    frames = frames * window[None, None, :]
+    out_len = (t - 1) * half + n
+    y = overlap_add(frames, half, out_len)
+    return y[:, half:out_len - half]
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "padding"))
 def istft(
     spec_real: jnp.ndarray,
