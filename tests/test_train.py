@@ -148,3 +148,42 @@ class TestDiffusionTraining:
         state, metrics = trainer.step(state, batch, jax.random.PRNGKey(3))
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["mse"]))
+
+    def test_step_with_importance_sampler(self, rng):
+        """loss_second_moment timestep sampler threads its loss-history state
+        through state_cols and updates it each step."""
+        diff_cfg = DiffusionModelConfig(
+            in_channels=MEL, out_channels=2 * MEL, model_channels=16,
+            num_res_blocks=1, channel_mult=(1,), num_heads=2, context_dim=16,
+            in_latent_channels=32,
+            clip=CLIPRefConfig(embed_dim=16, width=16, layers=1, head_width=8,
+                               patch_size=4, in_channels=MEL, max_patches=64))
+        diff = AADiffusion(diff_cfg)
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        dvars = diff.init(jax.random.PRNGKey(2), jnp.zeros((2, MEL, 16)),
+                          jnp.array([0, 1]), jnp.zeros((2, 32, 4)),
+                          jnp.zeros((2, MEL, 16)))
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+        loss_fn = make_diffusion_loss(diff, gd, gpt, gpt_vars, dvae,
+                                      dvae_vars,
+                                      timestep_sampler="loss_second_moment")
+        trainer = Trainer(loss_fn, TRAIN_CFG)
+        state = trainer.init_state(dvars["params"],
+                                   loss_fn.init_sampler_state())
+        batch = {
+            "mel": jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32)),
+            "refer_mel": jnp.asarray(rng.standard_normal((2, MEL, 24)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (2, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((2,), 8, jnp.int32),
+            "wav_lengths": jnp.full((2,), 6 * 1024, jnp.int32),
+        }
+        c0 = int(np.asarray(state.state_cols["t_sampler"]["counts"]).sum())
+        state, metrics = trainer.step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+        c1 = int(np.asarray(state.state_cols["t_sampler"]["counts"]).sum())
+        assert c1 == c0 + 2   # one history push per batch element

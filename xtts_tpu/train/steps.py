@@ -68,13 +68,23 @@ def make_gpt_loss(gpt: UnifiedVoice, dvae: DVAE, dvae_vars,
 def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
                         gpt: UnifiedVoice, gpt_vars,
                         dvae: DVAE, dvae_vars,
-                        unconditioned_percentage: float = 0.1):
+                        unconditioned_percentage: float = 0.1,
+                        timestep_sampler: str = "uniform"):
     """batch: {'mel','refer_mel','text','text_lengths','wav_lengths'}.
 
     Recomputes codes + latents with the frozen GPT/DVAE each step
     (ttts/diffusion/train_ms.py:311-319), zeroes latent padding, then takes a
     diffusion training step on the tacotron-normalized target mel.
+
+    timestep_sampler: 'uniform' or 'loss_second_moment' (importance sampling
+    with loss-history state in state_cols['t_sampler'] —
+    ttts/utils/resample.py semantics).
     """
+    resampler = None
+    if timestep_sampler == "loss_second_moment":
+        from xtts_tpu.diffusion.resample import (LossAwareState,
+                                                 LossSecondMomentResampler)
+        resampler = LossSecondMomentResampler(gd.num_timesteps)
 
     def loss_fn(params, state_cols, batch, rng):
         r_t, r_noise, r_uc = jax.random.split(rng, 3)
@@ -96,7 +106,13 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
         latent = latent * mask[:, None, :]
 
         x_start = normalize_tacotron_mel(mel)
-        t = jax.random.randint(r_t, (b,), 0, gd.num_timesteps)
+        if resampler is not None:
+            from xtts_tpu.diffusion.resample import LossAwareState
+            st = LossAwareState(**state_cols["t_sampler"])
+            t, w = resampler.sample(r_t, b, st)
+        else:
+            t = jax.random.randint(r_t, (b,), 0, gd.num_timesteps)
+            w = jnp.ones((b,), jnp.float32)
         uncond = jax.random.uniform(r_uc, (b,)) < unconditioned_percentage
 
         def model_fn(x_t_batch, t_orig):
@@ -105,7 +121,18 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
                               uncond_mask=uncond)
 
         terms = gd.training_losses(model_fn, x_start, t, r_noise)
-        loss = terms["loss"].mean()
-        return loss, {"mse": terms["mse"].mean(), "vb": terms["vb"].mean()}
+        loss = (terms["loss"] * w).mean()
+        aux = {"mse": terms["mse"].mean(), "vb": terms["vb"].mean()}
+        if resampler is not None:
+            new_st = resampler.update(st, t, jax.lax.stop_gradient(
+                terms["loss"]))
+            aux["new_state_cols"] = {
+                **state_cols,
+                "t_sampler": {"history": new_st.history,
+                              "counts": new_st.counts}}
+        return loss, aux
 
+    if resampler is not None:
+        loss_fn.init_sampler_state = lambda: {
+            "t_sampler": resampler.init_state()._asdict()}
     return loss_fn
