@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import logging
-from typing import Callable, Iterable, List, Sequence, Tuple, TypeVar
+from typing import Callable, List, Sequence, Tuple, TypeVar
 
 log = logging.getLogger(__name__)
 

@@ -22,7 +22,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import jax
@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from xtts_tpu.infer.api import TTSSettings, TextToSpeech, bucket_len
-from xtts_tpu.models.gpt_infer import generate_speech
 
 
 @dataclass

@@ -11,7 +11,7 @@ single forward, which is the batched-serving path of BASELINE config #5.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

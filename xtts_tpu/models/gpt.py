@@ -15,7 +15,7 @@ positions = mel 604+2+1 cond + text 402+2.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

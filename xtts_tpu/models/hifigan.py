@@ -16,8 +16,7 @@ TPU design notes:
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Blocks mirror the reference inventory (SURVEY.md §1 L1):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ ttts/gpt/model.py:260-262).
 from __future__ import annotations
 
 import math
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,10 +14,8 @@ usable out of the box.
 """
 from __future__ import annotations
 
-import json
 import os
 import re
-import tempfile
 from typing import List, Optional
 
 from tokenizers import Tokenizer

@@ -11,7 +11,6 @@ Mirrors the reference training semantics:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

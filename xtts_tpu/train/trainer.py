@@ -18,20 +18,16 @@ NCCL all-reduce and the explicit all_reduce at ttts/vqvae/xtts_dvae.py:108-110.
 """
 from __future__ import annotations
 
-import functools
-import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from xtts_tpu.core.config import TrainConfig
-from xtts_tpu.parallel.mesh import (
-    DATA_AXIS, data_sharding, make_mesh, partition_spec_tree, replicated,
-)
+from xtts_tpu.parallel.mesh import data_sharding, replicated
 from xtts_tpu.train.schedules import make_schedule
 
 

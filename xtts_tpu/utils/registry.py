@@ -8,7 +8,6 @@ xtts_tpu.utils.convert.
 """
 from __future__ import annotations
 
-import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
