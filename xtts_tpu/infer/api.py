@@ -354,14 +354,22 @@ class TextToSpeech:
 
     def tts(self, text: str, cond_wav: np.ndarray, key=None,
             settings: TTSSettings = TTSSettings(), lang: str = "ZH",
-            use_diffusion: bool = True) -> np.ndarray:
+            use_diffusion: bool = True,
+            batch_sentences: bool = True) -> np.ndarray:
         """Full text in, 24 kHz waveform out — sentence-split like
-        test.py:108-177."""
+        test.py:108-177.
+
+        batch_sentences: run all sentences as ONE batched AR program
+        (xtts_tpu/infer/serving.py) instead of the reference's sequential
+        loop — for multi-sentence text this amortizes the weight-streaming
+        cost per token (PERF.md batch-scaling table). Falls back to
+        sequential when CLVP reranking is on (per-sentence candidate sets).
+        """
         from xtts_tpu.text.frontend import (sentence_to_tokens,
                                             split_sentences)
         cond_mel = self.cond_mel_from_wav(cond_wav)
         key = key if key is not None else jax.random.PRNGKey(0)
-        wavs = []
+        token_lists = []
         for sent in split_sentences(text):
             tokens = sentence_to_tokens(
                 sent, lang, start_token=self.cfg.gpt.start_text_token,
@@ -372,8 +380,23 @@ class TextToSpeech:
                                  self.cfg.gpt.max_text_tokens))
                 tokens = np.pad(tokens, (0, max(0, tb - len(tokens))),
                                 constant_values=self.cfg.gpt.stop_text_token)
+            token_lists.append(tokens)
+        if not token_lists:
+            return np.zeros(0, np.float32)
+
+        if batch_sentences and len(token_lists) > 1 \
+                and settings.num_candidates == 1:
+            from xtts_tpu.infer.serving import (SynthesisRequest,
+                                                synthesize_batch)
+            wavs = synthesize_batch(
+                self, [SynthesisRequest(t) for t in token_lists], cond_mel,
+                settings, use_diffusion=use_diffusion, key=key)
+            return np.concatenate(wavs)
+
+        wavs = []
+        for tokens in token_lists:
             key, sub = jax.random.split(key)
             out = self.tts_tokens(tokens, cond_mel, sub, settings,
                                   use_diffusion=use_diffusion)
             wavs.append(out["wav"][0])
-        return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
+        return np.concatenate(wavs)
