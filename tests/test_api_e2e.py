@@ -58,7 +58,7 @@ def test_full_diffusion_path(tts, rng):
     tokens = np.array([[1, 3, 4, 5, 2]], np.int32)
     out = tts.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(2),
                          TTSSettings(max_mel_tokens=10, diffusion_steps=3),
-                         use_diffusion=True)
+                         use_diffusion=True, return_intermediates=True)
     assert np.isfinite(out["wav"]).all()
     assert out["mel"].shape[1] == MEL_BINS
     # diffusion output = 4 frames per latent step

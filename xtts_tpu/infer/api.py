@@ -276,9 +276,12 @@ class TextToSpeech:
 
     def tts_tokens(self, text_tokens: np.ndarray, cond_mel: jnp.ndarray,
                    key=None, settings: TTSSettings = TTSSettings(),
-                   use_diffusion: bool = True):
+                   use_diffusion: bool = True,
+                   return_intermediates: bool = False):
         """Synthesize from prepared text tokens (B=1). Returns dict with
-        'wav' (np.ndarray), 'codes', 'latent', 'mel'."""
+        'wav' (np.ndarray) and 'codes'; with return_intermediates also
+        'latent'/'mel' (several MB of device->host traffic per call — keep
+        off in serving paths)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         text_tokens = jnp.asarray(text_tokens, jnp.int32)
@@ -327,7 +330,8 @@ class TextToSpeech:
         if not use_diffusion:
             mel_rec, _ = self._dvae_decode_jit(self.vars["dvae"], codes)
             wav = self._vocos_jit(self.vars["vocos"], mel_rec)
-            out["mel"] = np.asarray(mel_rec[:, :, :n * comp])
+            if return_intermediates:
+                out["mel"] = np.asarray(mel_rec[:, :, :n * comp])
             out["wav"] = np.asarray(wav[:, :n * comp * hop])
             return out
 
@@ -342,9 +346,10 @@ class TextToSpeech:
             cond_free_k=settings.cond_free_k,
             temperature=settings.diffusion_temperature)
         wav = self._vocos_jit(self.vars["vocos"], mel)
-        out.update(latent=np.asarray(latent[:, :, :n]),
-                   mel=np.asarray(mel[:, :, :n * comp]),
-                   wav=np.asarray(wav[:, :n * comp * hop]))
+        if return_intermediates:
+            out["latent"] = np.asarray(latent[:, :, :n])
+            out["mel"] = np.asarray(mel[:, :, :n * comp])
+        out["wav"] = np.asarray(wav[:, :n * comp * hop])
         return out
 
     def _code_buckets(self):
