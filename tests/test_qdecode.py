@@ -86,6 +86,30 @@ class TestQuantizedDecode:
         agree = float((r1.codes == r2.codes).mean())
         assert agree >= 0.75, (np.asarray(r1.codes), np.asarray(r2.codes))
 
+    def test_int8_kv_cache_generation(self, setup):
+        """quantize_kv_cache=True stays close to the f32-cache int8 engine."""
+        model, variables, qt, cond, text = setup
+        r1 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.float32)
+        r2 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.float32,
+                                       quantize_kv_cache=True)
+        agree = float((r1.codes == r2.codes).mean())
+        assert agree >= 0.75, (np.asarray(r1.codes), np.asarray(r2.codes))
+
+    def test_quant_kv_roundtrip_error(self):
+        from xtts_tpu.infer.qdecode import QuantKVCache, quantize_kv
+        rng = np.random.default_rng(0)
+        k = jnp.asarray(rng.standard_normal((2, 1, 8, 4, 16)).astype(np.float32))
+        qc = quantize_kv(KVCache(k, k * 2.0))
+        deq = np.asarray(qc.k, np.float32) * np.asarray(qc.k_scale)[..., None]
+        rel = np.abs(deq - np.asarray(k)).max() / np.abs(np.asarray(k)).max()
+        assert rel < 0.01
+
     def test_sampled_generation_valid(self, setup):
         model, variables, qt, cond, text = setup
         r = generate_speech_quantized(model, variables, qt, cond, text,

@@ -20,7 +20,7 @@ kernel injection (ttts/gpt/model.py:384-397).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +95,33 @@ def quantize_gpt_decode(variables, cfg) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# int8 KV cache: at B=8 serving the cache read dominates the per-step byte
+# stream (PERF.md) — per-(position, head) symmetric int8 halves it
+# ---------------------------------------------------------------------------
+
+
+class QuantKVCache(NamedTuple):
+    k: jnp.ndarray         # (L, B, S, H, hd) int8
+    v: jnp.ndarray
+    k_scale: jnp.ndarray   # (L, B, S, H) f32
+    v_scale: jnp.ndarray
+
+
+def _quant_heads(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., hd) f32 -> (int8 values, f32 scale over the hd axis)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_kv(cache: KVCache) -> QuantKVCache:
+    """Quantize a (prefilled) bf16/f32 cache wholesale."""
+    kq, ks = _quant_heads(cache.k.astype(jnp.float32))
+    vq, vs = _quant_heads(cache.v.astype(jnp.float32))
+    return QuantKVCache(kq, vq, ks, vs)
+
+
+# ---------------------------------------------------------------------------
 # functional decode step (mirrors nn/transformer.py Block.step numerics)
 # ---------------------------------------------------------------------------
 
@@ -142,14 +169,57 @@ def _decode_step(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
     return normed, KVCache(kc, vc)
 
 
+def _decode_step_qkv(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
+                     cache: QuantKVCache, index
+                     ) -> Tuple[jnp.ndarray, QuantKVCache]:
+    """_decode_step against an int8 KV cache (dequant fused into the
+    attention reads; new tokens quantized at write)."""
+    b, d = x.shape
+    hd = d // heads
+    scale = 1.0 / np.sqrt(hd)
+    kc, vc, ksc, vsc = cache
+    for li, lp in enumerate(qt["layers"]):
+        h = _layer_norm(x, lp["ln_1"]).astype(jnp.bfloat16)
+        qkv = qdot(h, lp["qkv"], lp["qkv_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, heads, hd)
+        kq, ks = _quant_heads(k.reshape(b, heads, hd))
+        vq, vs = _quant_heads(v.reshape(b, heads, hd))
+        kc = jax.lax.dynamic_update_slice(kc, kq[None, :, None],
+                                          (li, 0, index, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, vq[None, :, None],
+                                          (li, 0, index, 0, 0))
+        ksc = jax.lax.dynamic_update_slice(ksc, ks[None, :, None],
+                                           (li, 0, index, 0))
+        vsc = jax.lax.dynamic_update_slice(vsc, vs[None, :, None],
+                                           (li, 0, index, 0))
+        k_all = kc[li].astype(jnp.bfloat16) * ksc[li][..., None].astype(jnp.bfloat16)
+        v_all = vc[li].astype(jnp.bfloat16) * vsc[li][..., None].astype(jnp.bfloat16)
+        logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
+                            k_all) * scale
+        pos = jnp.arange(k_all.shape[1])
+        valid = (pos <= index)[None, None, :]
+        logits = jnp.where(valid, logits, NEG_INF)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
+                           ).astype(jnp.bfloat16)
+        a = jnp.einsum("bhs,bshd->bhd", w, v_all).reshape(b, d)
+        x = x + qdot(a, lp["proj"], lp["proj_b"]).astype(x.dtype)
+        h2 = _layer_norm(x, lp["ln_2"]).astype(jnp.bfloat16)
+        m = gelu_new(qdot(h2, lp["fc"], lp["fc_b"])).astype(jnp.bfloat16)
+        x = x + qdot(m, lp["out"], lp["out_b"]).astype(x.dtype)
+    normed = _layer_norm(x, qt["ln_f"])
+    return normed, QuantKVCache(kc, vc, ksc, vsc)
+
+
 def _decode_logits(qt: Dict[str, Any], heads: int, token: jnp.ndarray,
-                   mel_pos, cache: KVCache, index):
+                   mel_pos, cache, index):
     """Token (B,) -> (logits (B, V), cache) — UnifiedVoice.decode_one with
     quantized weights (models/gpt.py:214-223 numerics)."""
     emb = (qt["mel_embedding"][token]
            + qt["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
-    normed, cache = _decode_step(qt, heads, emb.astype(jnp.bfloat16),
-                                 cache, index)
+    step = (_decode_step_qkv if isinstance(cache, QuantKVCache)
+            else _decode_step)
+    normed, cache = step(qt, heads, emb.astype(jnp.bfloat16), cache, index)
     final = _layer_norm(normed.astype(jnp.bfloat16), qt["final_norm"])
     logits = qdot(final.astype(jnp.bfloat16), qt["mel_head"],
                   qt["mel_head_b"])
@@ -163,7 +233,8 @@ def _decode_logits(qt: Dict[str, Any], heads: int, token: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_gen", "do_sample", "top_p", "temperature",
-                     "repetition_penalty", "cache_dtype"),
+                     "repetition_penalty", "cache_dtype",
+                     "quantize_kv_cache"),
 )
 def generate_speech_quantized(
     model: UnifiedVoice,
@@ -178,9 +249,15 @@ def generate_speech_quantized(
     temperature: float = 0.8,
     repetition_penalty: float = 2.0,
     cache_dtype=jnp.bfloat16,
+    quantize_kv_cache: bool = False,
 ) -> GenerateResult:
     """generate_speech with the int8 per-token engine. Prefill (one big
-    compute-bound pass) stays bf16-flax; the while_loop uses qtree."""
+    compute-bound pass) stays bf16-flax; the while_loop uses qtree.
+    quantize_kv_cache stores K/V as per-(position, head) int8 — halves the
+    cache bytes IN MEMORY, but measured SLOWER on v5e via XLA (B=8: 0.91 ->
+    1.18 ms/step): the dequant materializes a full bf16 cache copy per layer
+    per step instead of fusing into the attention reads. Kept opt-in for
+    memory-bound regimes / a future Pallas fused-dequant attention kernel."""
     cfg = model.cfg
     stop = cfg.stop_mel_token
     vocab = cfg.number_mel_codes
@@ -192,6 +269,8 @@ def generate_speech_quantized(
     cache = KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
                           cfg.model_dim // cfg.heads, dtype=cache_dtype)
     logits0, cache = model.apply(variables, prefix, cache, method=model.prefill)
+    if quantize_kv_cache:
+        cache = quantize_kv(cache)
 
     seen0 = jnp.zeros((b, vocab), bool)
     seen0 = seen0.at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
