@@ -5,18 +5,21 @@ import numpy as np
 import pytest
 
 from xtts_tpu.ops.decode_attention import (decode_attention,
+                                           decode_attention_batched,
                                            decode_attention_dma,
                                            decode_attention_xla)
 
 
 @pytest.mark.parametrize("index", [0, 63, 128, 255])
-def test_dma_variant_matches_xla(index):
+@pytest.mark.parametrize("fn", [decode_attention_dma,
+                                decode_attention_batched])
+def test_dma_variants_match_xla(fn, index):
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.standard_normal((2, 4, 64)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((2, 256, 4, 64)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((2, 256, 4, 64)).astype(np.float32))
     ref = decode_attention_xla(q, k, v, index)
-    out = decode_attention_dma(q, k, v, index)
+    out = fn(q, k, v, index)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

@@ -243,6 +243,116 @@ def decode_attention_dma(q: jnp.ndarray, k_cache: jnp.ndarray,
     return out.reshape(bsz, h, hd)
 
 
+def _decode_attn_batched_kernel(idx_ref, q_ref, k_hbm, v_hbm, o_ref,
+                                k_buf, v_buf, sem, *, block: int,
+                                scale: float, heads: int, head_dim: int,
+                                bsz: int):
+    """Single-instance variant: ONE strided DMA per block moves all batch
+    rows together (the grid-per-b version serializes B DMA chains)."""
+    index = idx_ref[0]
+    n_valid = index // block + 1
+    d = heads * head_dim
+    ch = jax.lax.broadcasted_iota(jnp.int32, (d, heads), 0) // head_dim
+    hh = jax.lax.broadcasted_iota(jnp.int32, (d, heads), 1)
+    pool = (ch == hh).astype(jnp.float32)                  # (D, H)
+
+    def dma(buf, hbm, slot, blk, col):
+        return pltpu.make_async_copy(
+            hbm.at[:, pl.ds(blk * block, block)], buf.at[slot],
+            sem.at[slot, col])
+
+    dma(k_buf, k_hbm, 0, 0, 0).start()
+    dma(v_buf, v_hbm, 0, 0, 1).start()
+    q = q_ref[:].astype(jnp.float32)                       # (B, D)
+
+    def body(blk, carry):
+        m_prev, l_prev, acc = carry                        # (B,H),(B,H),(B,D)
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < n_valid)
+        def _prefetch():
+            dma(k_buf, k_hbm, nxt, blk + 1, 0).start()
+            dma(v_buf, v_hbm, nxt, blk + 1, 1).start()
+
+        dma(k_buf, k_hbm, slot, blk, 0).wait()
+        dma(v_buf, v_hbm, slot, blk, 1).wait()
+        kb = k_buf[slot].astype(jnp.float32)               # (B, block, D)
+        vb = v_buf[slot].astype(jnp.float32)
+        prod = kb * q[:, None, :]                          # (B, block, D)
+        s = jax.lax.dot_general(
+            prod.reshape(bsz * block, d), pool,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (B*block, H)
+        s = s.reshape(bsz, block, heads)
+        pos = blk * block + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(pos <= index, s, NEG_INF)
+        m_curr = jnp.max(s, axis=1)                        # (B, H)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, None, :])                # (B, block, H)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)
+        p_exp = jax.lax.dot_general(
+            p.reshape(bsz * block, heads), pool.T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(bsz, block, d)
+        pv = jnp.sum(p_exp * vb, axis=1)                   # (B, D)
+        alpha_exp = jax.lax.dot_general(
+            alpha, pool.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (B, D)
+        return m_next, l_next, acc * alpha_exp + pv
+
+    m0 = jnp.full((bsz, heads), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bsz, heads), jnp.float32)
+    a0 = jnp.zeros((bsz, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_valid, body, (m0, l0, a0))
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l_inv_exp = jax.lax.dot_general(
+        l_inv, pool.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * l_inv_exp).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def decode_attention_batched(q: jnp.ndarray, k_cache: jnp.ndarray,
+                             v_cache: jnp.ndarray, index, block: int = 128,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """Valid-prefix decode attention, one strided DMA per block for the whole
+    batch. Same contract as decode_attention."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, s, h, hd = k_cache.shape
+    assert s % block == 0, (s, block)
+    d = h * hd
+    scale = 1.0 / math.sqrt(hd)
+    idx = jnp.reshape(jnp.asarray(index, jnp.int32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((bsz, d), lambda i, idx: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((bsz, d), lambda i, idx: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bsz, block, d), k_cache.dtype),
+            pltpu.VMEM((2, bsz, block, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_attn_batched_kernel, block=block,
+                          scale=scale, heads=h, head_dim=hd, bsz=bsz),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, d), q.dtype),
+        interpret=interpret,
+    )(idx, q.reshape(bsz, d), k_cache.reshape(bsz, s, d),
+      v_cache.reshape(bsz, s, d))
+    return out.reshape(bsz, h, hd)
+
+
 def decode_attention_xla(q, k_cache, v_cache, index):
     """Reference XLA implementation (the einsum path of
     nn/transformer.py SelfAttention.step) for parity tests."""
