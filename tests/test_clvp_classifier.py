@@ -110,3 +110,25 @@ class TestClassifier:
         params = model.init(jax.random.PRNGKey(0), mel)["params"]
         out = model.apply({"params": params}, jnp.zeros((1, 128, 100)))
         assert out.shape == (1, 2)
+
+
+class TestNoiseScorer:
+    def test_score_fn_and_filter(self, tmp_path):
+        import numpy as np
+        from xtts_tpu.data.prepare import filter_noise
+        from xtts_tpu.models.classifier import make_noise_scorer
+        model = AudioClassifier(TINY_CLS)
+        mel0 = np.random.default_rng(0).standard_normal((2, 64, 100)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(mel0))
+        score = make_noise_scorer(model, params, crop_frames=64)
+        p = score(np.random.default_rng(1).standard_normal((100, 32)))  # short clip padded
+        assert 0.0 <= p <= 1.0
+        # end-to-end with filter_noise over cached mel files
+        paths = []
+        for i in range(3):
+            m = np.random.default_rng(i).standard_normal((100, 80)).astype(np.float32)
+            path = str(tmp_path / f"m{i}.mel.npy")
+            np.save(path, m)
+            paths.append(path)
+        clean, noisy = filter_noise(paths, score, threshold=0.5)
+        assert len(clean) + len(noisy) == 3

@@ -88,6 +88,29 @@ class AudioClassifier(nn.Module):
         return nn.Dense(c.classes, dtype=jnp.float32, name="head")(h)
 
 
+def make_noise_scorer(model: AudioClassifier, variables,
+                      crop_frames: int = 200):
+    """Batch noise-probability scorer over cached mels — the inference side
+    of the dataset filter (ttts/classifier/infer.py:26-67 scores `.mel.pth`
+    files; pair with xtts_tpu.data.prepare.filter_noise)."""
+    import jax
+
+    @jax.jit
+    def _score(mel_btc):
+        logits = model.apply(variables, mel_btc)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]   # P(noise)
+
+    def score_fn(mel: "np.ndarray") -> float:
+        import numpy as np
+        mel = np.asarray(mel, np.float32)
+        if mel.shape[-1] < crop_frames:
+            mel = np.pad(mel, ((0, 0), (0, crop_frames - mel.shape[-1])))
+        mel = mel[:, :crop_frames]
+        return float(_score(mel.T[None])[0])           # (1, T, bins)
+
+    return score_fn
+
+
 def make_classifier_loss(model: AudioClassifier):
     """Softmax CE loss closure for the generic Trainer."""
     import jax
