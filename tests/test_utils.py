@@ -107,3 +107,27 @@ class TestAlignment:
         assert len(out) < len(wav)          # something was cut
         out2 = al.redact(wav, "hello", encode=lambda s: [1, 2, 3])
         assert len(out2) == len(wav)        # no brackets -> untouched
+
+
+class TestEvalTools:
+    def test_dvae_roundtrip_and_filelist_eval(self, tmp_path):
+        import numpy as np
+        from xtts_tpu.infer.eval_tools import dvae_roundtrip, evaluate_dvae
+        from xtts_tpu.utils.registry import load_model
+        m, v = load_model("vqvae", TINY)
+        mel = np.random.default_rng(0).standard_normal((8, 64)).astype(np.float32)
+        r = dvae_roundtrip(m, v, mel)
+        assert r["codes"].shape == (16,)          # 4x compression
+        assert np.isfinite(r["mel_l1"]) and r["unique_codes"] >= 1
+        # filelist eval over cached mels + jsonl output
+        paths = []
+        for i in range(2):
+            p = str(tmp_path / f"c{i}.mel.npy")
+            np.save(p, np.random.default_rng(i).standard_normal((8, 40)).astype(np.float32))
+            paths.append(p)
+        out = str(tmp_path / "eval.jsonl")
+        summary = evaluate_dvae(m, v, paths, out_jsonl=out)
+        assert summary["n"] == 2 and np.isfinite(summary["mel_l1_mean"])
+        assert summary["codebook_usage"] >= 1
+        import json
+        assert len(open(out).read().splitlines()) == 2

@@ -1,0 +1,75 @@
+"""Offline evaluation tools.
+
+Reference: ttts/vqvae/inference.py:31-115 (recon loss, VQ code dump, mel
+images, optional wav via vocos over a filelist) and ttts/api_zh.py:25-47
+(single-clip VQVAE round-trip demo). Used to sanity-check a trained DVAE and
+to produce the mel-L1 parity numbers BASELINE.md tracks.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def dvae_roundtrip(dvae, variables, mel: np.ndarray):
+    """One mel (bins, T) -> dict(codes, recon, mel_l1, code_usage)."""
+    mel_j = jnp.asarray(mel, jnp.float32)[None]
+    codes = dvae.apply(variables, mel_j, method=dvae.get_codebook_indices)
+    recon, _ = dvae.apply(variables, codes, method=dvae.decode)
+    t = min(mel.shape[-1] // 4 * 4, recon.shape[-1])
+    l1 = float(jnp.abs(recon[0, :, :t] - mel_j[0, :, :t]).mean())
+    c = np.asarray(codes[0])
+    return {"codes": c, "recon": np.asarray(recon[0]), "mel_l1": l1,
+            "unique_codes": int(len(np.unique(c)))}
+
+
+def evaluate_dvae(dvae, variables, mel_paths: Sequence[str],
+                  out_jsonl: Optional[str] = None,
+                  vocos=None, vocos_vars=None, wav_dir: Optional[str] = None,
+                  sample_rate: int = 24000):
+    """Filelist-scale DVAE eval (ttts/vqvae/inference.py semantics):
+    per-clip mel-L1 + codebook usage; optional wav renders via Vocos.
+
+    Returns summary dict {mel_l1_mean, codebook_usage, n}.
+    """
+    from xtts_tpu.data.datasets import MelCache
+    from xtts_tpu.data.audio import save_wav
+    cache = MelCache()
+    results = []
+    seen_codes: set = set()
+    writer = open(out_jsonl, "w") if out_jsonl else None
+    for p in mel_paths:
+        mel = cache(p)
+        if mel is None:
+            log.warning("no mel for %s", p)
+            continue
+        r = dvae_roundtrip(dvae, variables, mel)
+        seen_codes.update(np.unique(r["codes"]).tolist())
+        rec = {"path": p, "mel_l1": r["mel_l1"],
+               "unique_codes": r["unique_codes"]}
+        results.append(rec)
+        if writer:
+            writer.write(json.dumps(rec) + "\n")
+        if vocos is not None and wav_dir is not None:
+            os.makedirs(wav_dir, exist_ok=True)
+            wav = vocos.apply(vocos_vars, jnp.asarray(r["recon"])[None])
+            name = os.path.splitext(os.path.basename(p))[0] + "_recon.wav"
+            save_wav(os.path.join(wav_dir, name), np.asarray(wav[0]),
+                     sample_rate)
+    if writer:
+        writer.close()
+    if not results:
+        return {"mel_l1_mean": float("nan"), "codebook_usage": 0, "n": 0}
+    return {
+        "mel_l1_mean": float(np.mean([r["mel_l1"] for r in results])),
+        "codebook_usage": len(seen_codes),
+        "n": len(results),
+    }
