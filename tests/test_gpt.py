@@ -148,3 +148,59 @@ class TestDecodeParity:
         r2 = generate_speech(model, variables, cond, text,
                              jax.random.PRNGKey(7), max_gen=8)
         np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
+
+
+class TestPerceiverConditioning:
+    """use_perceiver=True swaps the conv+attention conditioning encoder for a
+    32-latent PerceiverResampler (ttts/gpt/model.py:334-338)."""
+
+    def test_forward_and_generate(self):
+        import numpy as np
+        from xtts_tpu.core.config import GPTConfig
+        from xtts_tpu.models.gpt import UnifiedVoice
+        from xtts_tpu.models.gpt_infer import generate_speech
+        cfg = GPTConfig(layers=1, model_dim=32, heads=2, max_mel_tokens=16,
+                        max_text_tokens=16, number_text_tokens=32,
+                        start_text_token=31, number_mel_codes=34,
+                        start_mel_token=32, stop_mel_token=33, mel_bins=8,
+                        use_perceiver=True, perceiver_latents=4)
+        model = UnifiedVoice(cfg)
+        rng = np.random.default_rng(0)
+        cond = jnp.asarray(rng.standard_normal((1, 8, 20)).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 30, (1, 6)).astype(np.int32))
+        codes = jnp.asarray(rng.integers(0, 32, (1, 8)).astype(np.int32))
+        variables = model.init(jax.random.PRNGKey(0), cond, text,
+                               jnp.array([6]), codes, jnp.array([8 * 1024]))
+        lt, lm = model.apply(variables, cond, text, jnp.array([6]), codes,
+                             jnp.array([8 * 1024]))
+        assert np.isfinite(float(lt)) and np.isfinite(float(lm))
+        # conditioning occupies perceiver_latents prefix positions
+        conds = model.apply(variables, cond, method=model.get_conditioning)
+        assert conds.shape == (1, 4, 32)
+        r = generate_speech(model, variables, cond, text,
+                            jax.random.PRNGKey(1), max_gen=6,
+                            cache_dtype=jnp.float32)
+        assert r.codes.shape == (1, 6)
+
+    def test_typical_sampling_path(self):
+        import numpy as np
+        from xtts_tpu.core.config import GPTConfig
+        from xtts_tpu.models.gpt import UnifiedVoice
+        from xtts_tpu.models.gpt_infer import generate_speech
+        cfg = GPTConfig(layers=1, model_dim=32, heads=2, max_mel_tokens=16,
+                        max_text_tokens=16, number_text_tokens=32,
+                        start_text_token=31, number_mel_codes=34,
+                        start_mel_token=32, stop_mel_token=33, mel_bins=8,
+                        cond_attn_blocks=1)
+        model = UnifiedVoice(cfg)
+        rng = np.random.default_rng(1)
+        cond = jnp.asarray(rng.standard_normal((1, 8, 20)).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 30, (1, 6)).astype(np.int32))
+        variables = model.init(jax.random.PRNGKey(0), cond, text,
+                               jnp.array([6]), jnp.zeros((1, 8), jnp.int32),
+                               jnp.array([8 * 1024]))
+        r = generate_speech(model, variables, cond, text,
+                            jax.random.PRNGKey(2), max_gen=6,
+                            typical_mass=0.9, cache_dtype=jnp.float32)
+        codes = np.asarray(r.codes)
+        assert ((codes >= 0) & (codes < 34)).all()
