@@ -216,3 +216,28 @@ class TestTokenizer:
         s = text_to_bpe_string("今天天气真好。", "ZH")
         ids = tok.encode(s)
         assert all(0 <= i < 256 for i in ids)
+
+
+class TestLexiconCoverage:
+    def test_frequency_weighted_coverage(self):
+        """Built-in lexicon must cover >= 97% of frequency-weighted hanzi
+        occurrences (jieba dict frequencies as the usage proxy)."""
+        import os
+        from collections import Counter
+
+        import jieba
+
+        from xtts_tpu.text.lexicon import CHAR_LEXICON
+        freq = Counter()
+        with open(os.path.join(os.path.dirname(jieba.__file__),
+                               "dict.txt"), encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    for ch in parts[0]:
+                        if "一" <= ch <= "龥":
+                            freq[ch] += int(parts[1])
+        top = freq.most_common(3500)
+        cov = (sum(n for ch, n in top if ch in CHAR_LEXICON)
+               / sum(n for _, n in top))
+        assert cov >= 0.97, cov

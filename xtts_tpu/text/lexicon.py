@@ -172,6 +172,51 @@ _CHAR_DATA = """
 缩suo1 亦yi4 废fei4 搞gao3 胞bao1 曰yue1 俗su2 绩ji4 阻zu3 萨sa4 勒le4 忘wang4
 奏zou4 玩wan2 苹ping2 谱pu3 扭niu3 涨zhang3 抢qiang3 呐na5 吖a1 嘞lei5 噻sai1 哒da1
 幺yao1 畅chang4
+
+默mo4 莲lian2 篇pian1 纺fang3 截jie2 雅ya3 忍ren3 伙huo3 勇yong3 峡xia2 徒tu2
+丈zhang4 尾wei3 泰tai4 佳jia1 伍wu3 署shu3 剩sheng4 贼zei2 冠guan1 倾qing1
+申shen1 贫pin2 诺nuo4 麦mai4 尖jian1 辈bei4 涉she4 贡gong4 缘yuan2 摩mo2
+殊shu1 岳yue4 奋fen4 棉mian2 雕diao1 跃yue4 冒mao4 渡du4 启qi3 阁ge2
+患huan4 伏fu2 池chi2 劲jin4 晋jin4 圈quan1 媒mei2 沟gou1 锋feng1 胆dan3
+隔ge2 弄nong4 曹cao2 苗miao2 迁qian1 叹tan4 唯wei2 振zhen4 贯guan4 彻che4
+祭ji4 符fu2 僧seng1 旋xuan2 凤feng4 黎li2 郎lang2 援yuan2 忌ji4 祥xiang2
+董dong3 辛xin1 敏min3 浪lang4 貌mao4 毁hui3 巧qiao3 净jing4 弃qi4 乃nai3
+湘xiang1 亩mu3 宏hong2 皆jie1 番fan1 尸shi1 览lan3 恢hui1 绕rao4 趣qu4
+晶jing1 魏wei4 伴ban4 绪xu4 舍she4 阅yue4 井jing3 鸿hong2 旦dan4 惯guan4
+扎zha1 穷qiong2 堰yan4 递di4 隶li4 厉li4 杜du4 闲xian2 袭xi2 侍shi4
+寨zhai4 豪hao2 浮fu2 券quan4 赤chi4 腐fu3 译yi4 氧yang3 戴dai4 邓deng4
+煤mei2 牧mu4 孤gu1 诏zhao4 堡bao3 册ce4 锅guo1 柳liu3 阔kuo4 丘qiu1
+趋qu1 锦jin3 陶tao2 晓xiao3 蒋jiang3 艇ting3 穴xue2 辆liang4 腾teng2 绘hui4
+炎yan2 狂kuang2 泊bo2 扑pu1 哲zhe2 寡gua3 偷tou1 懂dong3 琴qin2 悲bei1
+盾dun4 稍shao1 矛mao2 籍ji2 颁ban1 违wei2 亭ting2 眉mei2 屈qu1 曼man4
+饰shi4 碎sui4 悉xi1 寄ji4 迟chi2 描miao2 污wu1 辅fu3 魔mo2 鼻bi2
+盗dao4 幼you4 冈gang1 肃su4 抚fu3 慈ci2 扶fu2 盆pen2 炼lian4 倘tang3
+杰jie2 暂zan4 跨kua4 渔yu2 宾bin1 漫man4 涌yong3 凝ning2 邻lin2 恰qia4
+践jian4 顷qing3 赋fu4 悄qiao1 莱lai2 乏fa2 粒li4 逼bi1 傅fu4 葬zang4
+燃ran2 挺ting3 耐nai4 犹you2 辉hui1 乳ru3 陪pei2 颇po1 斜xie2 棋qi2
+浅qian3 姊zi3 翼yi4 丧sang4 惨can3 俊jun4 袖xiu4 惠hui4 涂tu2 牵qian1
+详xiang2 侯hou2 纤xian1 柔rou2 档dang4 糊hu2 岂qi3 跪gui4 拒ju4 覆fu4
+吓xia4 揭jie1 赖lai4 卢lu2 娃wa2 颗ke1 邮you2 扇shan4 伐fa2 循xun2
+凯kai3 羽yu3 枚mei2 帅shuai4 锁suo3 疏shu1 搭da1 俱ju4 帐zhang4 赫he4
+彼bi3 浙zhe4 弯wan1 拱gong3 肿zhong3 膜mo2 杆gan1 凶xiong1 贾jia3 夹jia1
+乾qian2 廊lang2 丛cong2 牢lao2 脊ji3 熙xi1 卒zu2 碑bei1 徽hui1 踏ta4
+朵duo3 遵zun1 狠hen3 菲fei1 撒sa1 扰rao3 锡xi1 炉lu2 纹wen2 匹pi3
+亏kui1 穆mu4 邀yao1 芳fang1 豫yu4 吾wu2 奸jian1 棒bang4 淮huai2 耕geng1
+艘sou1 脂zhi1 兽shou4 盈ying2 卵luan3 柴chai2 妃fei1 碍ai4 遂sui4 拨bo1
+肌ji1 俘fu2 恒heng2 励li4 鸣ming2 腔qiang1 拦lan2 塑su4 拆chai1 靖jing4
+耗hao4 披pi1 胁xie2 吏li4 纽niu3 烂lan4 辟pi4 耶ye1 艰jian1 佩pei4
+敦dun1 荐jian4 匠jiang4 柏bai3 悠you1 壤rang3 乔qiao2 妖yao1 掩yan3 璃li2
+孟meng4 歇xie1 晨chen2 坊fang1 桑sang1 堤di1 瞎xia1 氨an1 辨bian4 昏hun1
+恭gong1 畜chu4 浩hao4 迪di2 窝wo1 洁jie2 奈nai4 肤fu1 砖zhuan1 幽you1
+赢ying2 藕ou3 舒shu1 耀yao4 篮lan2 尿niao4 唤huan4 梯ti1 勾gou1 霍huo4
+侠xia2 枢shu1 衙ya2 殷yin1 栏lan2 纠jiu1 链lian4 笼long2 寸cun4 冶ye3
+弥mi2 哩li5 稿gao3 娜na4 拼pin1 榜bang3 囊nang2 逆ni4 堪kan1 棺guan1
+胎tai1 俩lia3 匆cong1 乙yi3 藻zao3 携xie2 函han2 悟wu4 祸huo4 秉bing3
+慰wei4 驰chi2 狱yu4 纬wei3 茅mao2 催cui1 踪zong1 叛pan4 浑hun2 牲sheng1
+杖zhang4 鞭bian1 腺xian4 邪xie2 欣xin1 汝ru3 碳tan4 彭peng2 椒jiao1 绳sheng2
+颈jing3 漆qi1 夷yi2 郁yu4 斑ban1 忆yi4 阀fa2 卑bei1 抑yi4 仔zai3
+兆zhao4 庸yong1 疯feng1 斩zhan3 赐ci4 柄bing3 轿jiao4 拓tuo4 扮ban4 砂sha1
+辐fu2 玻bo1 昂ang2 圳zhen4 侨qiao2 吟yin2 刃ren4 昨zuo2 浜bang1
 """
 
 _WORD_DATA = """
