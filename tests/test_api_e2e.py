@@ -108,3 +108,13 @@ def test_clvp_rerank_requires_flag(tts, rng):
                        jax.random.PRNGKey(0),
                        TTSSettings(max_mel_tokens=4, num_candidates=2),
                        use_diffusion=False)
+
+
+def test_inter_sentence_silence(tts):
+    base = tts.tts("你好。再见。", np.zeros(4000, np.float32),
+                   jax.random.PRNGKey(6), TTSSettings(max_mel_tokens=6),
+                   use_diffusion=False)
+    padded = tts.tts("你好。再见。", np.zeros(4000, np.float32),
+                     jax.random.PRNGKey(6), TTSSettings(max_mel_tokens=6),
+                     use_diffusion=False, inter_sentence_silence_ms=100)
+    assert padded.size == base.size + 2400  # 100 ms @ 24 kHz

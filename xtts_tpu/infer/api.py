@@ -360,7 +360,8 @@ class TextToSpeech:
     def tts(self, text: str, cond_wav: np.ndarray, key=None,
             settings: TTSSettings = TTSSettings(), lang: str = "ZH",
             use_diffusion: bool = True,
-            batch_sentences: bool = True) -> np.ndarray:
+            batch_sentences: bool = True,
+            inter_sentence_silence_ms: float = 0.0) -> np.ndarray:
         """Full text in, 24 kHz waveform out — sentence-split like
         test.py:108-177.
 
@@ -389,6 +390,17 @@ class TextToSpeech:
         if not token_lists:
             return np.zeros(0, np.float32)
 
+        gap = np.zeros(int(inter_sentence_silence_ms / 1000.0
+                           * self.cfg.mel.sample_rate), np.float32)
+
+        def join(wavs):
+            out = []
+            for i, w in enumerate(wavs):
+                if i:
+                    out.append(gap)
+                out.append(w)
+            return np.concatenate(out) if out else np.zeros(0, np.float32)
+
         if batch_sentences and len(token_lists) > 1 \
                 and settings.num_candidates == 1:
             from xtts_tpu.infer.serving import (SynthesisRequest,
@@ -396,7 +408,7 @@ class TextToSpeech:
             wavs = synthesize_batch(
                 self, [SynthesisRequest(t) for t in token_lists], cond_mel,
                 settings, use_diffusion=use_diffusion, key=key)
-            return np.concatenate(wavs)
+            return join(wavs)
 
         wavs = []
         for tokens in token_lists:
@@ -404,4 +416,4 @@ class TextToSpeech:
             out = self.tts_tokens(tokens, cond_mel, sub, settings,
                                   use_diffusion=use_diffusion)
             wavs.append(out["wav"][0])
-        return np.concatenate(wavs)
+        return join(wavs)
