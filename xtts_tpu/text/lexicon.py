@@ -295,6 +295,47 @@ _WORD_DATA = """
 多么:duo1,me5 时候:shi2,hou5 已经:yi3,jing1 旗袍:qi2,pao2 玩意:wan2,yi4
 玩具:wan2,ju4 好奇:hao4,qi2 爱好:ai4,hao4 喜好:xi3,hao4 好学:hao4,xue2
 好胜:hao4,sheng4
+
+睡着:shui4,zhao2 着急:zhao2,ji2 着火:zhao2,huo3 着凉:zhao2,liang2
+着手:zhuo2,shou3 着陆:zhuo2,lu4 穿着:chuan1,zhuo2 沿着:yan2,zhe5
+跟着:gen1,zhe5 接着:jie1,zhe5 供给:gong1,ji3 给予:ji3,yu3 补给:bu3,ji3
+脏话:zang1,hua4 肮脏:ang1,zang1 心脏:xin1,zang4 内脏:nei4,zang4
+扎实:zha1,shi2 挣扎:zheng1,zha2 包扎:bao1,za1 单于:chan2,yu2
+仿佛:fang3,fu2 佛教:fo2,jiao4 佛像:fo2,xiang4 薄荷:bo4,he5
+薄弱:bo2,ruo4 刻薄:ke4,bo2 薄片:bao2,pian4 得去:dei3,qu4 得做:dei3,zuo4
+还是:hai2,shi4 还有:hai2,you3 行李:xing2,li5 行动:xing2,dong4
+银行家:yin2,hang2,jia1 行情:hang2,qing2 排行:pai2,hang2 发行:fa1,xing2
+乐意:le4,yi4 乐观:le4,guan1 声乐:sheng1,yue4 乐谱:yue4,pu3
+调料:tiao2,liao4 调查员:diao4,cha2,yuan2 音调:yin1,diao4 调整期:tiao2,zheng3,qi1
+重量:zhong4,liang4 重心:zhong4,xin1 重建:chong2,jian4 重申:chong2,shen1
+重组:chong2,zu3 双重:shuang1,chong2 隆重:long2,zhong4 严重:yan2,zhong4
+干活:gan4,huo2 干部:gan4,bu4 能干:neng2,gan4 晒干:shai4,gan1
+豆干:dou4,gan1 干预:gan1,yu4 相干:xiang1,gan1 树干:shu4,gan4
+长城:chang2,cheng2 长江:chang2,jiang1 特长:te4,chang2 擅长:shan4,chang2
+长辈们:zhang3,bei4,men5 年长:nian2,zhang3 长势:zhang3,shi4
+数据:shu4,ju4 数学:shu4,xue2 数落人:shu3,luo5,ren2 次数:ci4,shu4
+都会:du1,hui4 都城:du1,cheng2 古都:gu3,du1 大都会:da4,du1,hui4
+发现:fa1,xian4 发生:fa1,sheng1 理发师:li3,fa4,shi1 染发:ran3,fa4
+落下:luo4,xia4 落后:luo4,hou4 丢三落四:diu1,san1,la4,si4 落枕:lao4,zhen3
+角落:jiao3,luo4 降落:jiang4,luo4 投降:tou2,xiang2 降服:xiang2,fu2
+下降:xia4,jiang4 降低:jiang4,di1 铺路:pu1,lu4 铺垫:pu1,dian4
+店铺:dian4,pu4 当铺:dang4,pu4 当时:dang1,shi2 当然:dang1,ran2
+当作:dang4,zuo4 上当:shang4,dang4 恰当:qia4,dang4 适当:shi4,dang4
+地得很:de5,de5,hen3 更加:geng4,jia1 更新:geng1,xin1 更换:geng1,huan4
+更正:geng1,zheng4 三更:san1,geng1 便当:bian4,dang1 便捷:bian4,jie2
+便宜货:pian2,yi5,huo4 大腹便便:da4,fu4,pian2,pian2
+强迫:qiang3,po4 勉强:mian3,qiang3 倔强:jue2,jiang4 强大:qiang2,da4
+几率:ji1,lv4 窗明几净:chuang1,ming2,ji1,jing4 率领:shuai4,ling3
+率先:shuai4,xian1 效率:xiao4,lv4 概率:gai4,lv4 汇率:hui4,lv4
+兴致:xing4,zhi4 兴许:xing1,xu3 复兴:fu4,xing1 扫兴:sao3,xing4
+尽头:jin4,tou2 尽情:jin4,qing2 尽善尽美:jin4,shan4,jin4,mei3
+处女:chu3,nv3 独处:du2,chu3 住处:zhu4,chu4 用处:yong4,chu4
+传说:chuan2,shuo1 传统:chuan2,tong3 水浒传:shui3,hu3,zhuan4
+名人传:ming2,ren2,zhuan4 空气:kong1,qi4 空间:kong1,jian1
+空地:kong4,di4 空缺:kong4,que1 抽空:chou1,kong4 有空:you3,kong4
+的士:di1,shi4 目的地:mu4,di4,di4 的确良:di2,que4,liang2
+地球:di4,qiu2 土地:tu3,di4 好好地:hao3,hao3,de5 慢慢地:man4,man4,de5
+悄悄地:qiao1,qiao1,de5 轻轻地:qing1,qing1,de5
 """
 
 
