@@ -321,7 +321,7 @@ _WORD_DATA = """
 下降:xia4,jiang4 降低:jiang4,di1 铺路:pu1,lu4 铺垫:pu1,dian4
 店铺:dian4,pu4 当铺:dang4,pu4 当时:dang1,shi2 当然:dang1,ran2
 当作:dang4,zuo4 上当:shang4,dang4 恰当:qia4,dang4 适当:shi4,dang4
-地得很:de5,de5,hen3 更加:geng4,jia1 更新:geng1,xin1 更换:geng1,huan4
+更加:geng4,jia1 更新:geng1,xin1 更换:geng1,huan4
 更正:geng1,zheng4 三更:san1,geng1 便当:bian4,dang1 便捷:bian4,jie2
 便宜货:pian2,yi5,huo4 大腹便便:da4,fu4,pian2,pian2
 强迫:qiang3,po4 勉强:mian3,qiang3 倔强:jue2,jiang4 强大:qiang2,da4
