@@ -146,9 +146,19 @@ LIBROSA_MEL_CONFIG = MelConfig(
     padding="same", power=1.0,
 )
 
-# Legacy tortoise 22.05 kHz mel (dvae_wav_to_mel, ttts/vqvae/xtts_dvae.py:28-49
-# / TacotronSTFT ttts/utils/stft.py:271): 80 bins, 1024/256/1024, fmax 8000.
+# Legacy tortoise 22.05 kHz mel (dvae_wav_to_mel, ttts/vqvae/xtts_dvae.py:28-49):
+# 80 bins, 1024/256/1024, fmax 8000, POWER 2, torchaudio-default HTK scale with
+# norm="slaney". Parity-pinned by tests/test_reference_parity.py
+# (divide by the checkpoint's mel_norms afterwards, :48-49).
 LEGACY_TORTOISE_MEL_CONFIG = MelConfig(
+    sample_rate=22050, n_mels=80, n_fft=1024, hop_length=256, win_length=1024,
+    mel_fmin=0.0, mel_fmax=8000.0, mel_scale="htk", mel_norm="slaney",
+    padding="center", power=2.0,
+)
+
+# TacotronSTFT mel (ttts/utils/stft.py:271): librosa filterbank
+# (slaney scale + slaney norm), power-1 magnitude, 22.05 kHz.
+TACOTRON_MEL_CONFIG = MelConfig(
     sample_rate=22050, n_mels=80, n_fft=1024, hop_length=256, win_length=1024,
     mel_fmin=0.0, mel_fmax=8000.0, mel_scale="slaney", mel_norm="slaney",
     padding="center", power=1.0,

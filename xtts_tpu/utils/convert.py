@@ -187,14 +187,56 @@ def vocos_from_pretrained(sd: Mapping[str, Any],
 def dvae_codebook_from_reference(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """Extract the EMA codebook buffers (Quantize registers embed /
     cluster_size / embed_avg, xtts_dvae.py:67-70) as the 'codebook'
-    collection; conv stacks differ structurally between the reference's
-    sequential builder and our named modules, so the codebook (the part
-    BASELINE.json requires bit-exact) converts directly while conv weights
-    go through filter_restore-style mapping when a checkpoint is available."""
+    collection. The reference attr is `self.codebook = Quantize(...)`
+    (xtts_dvae.py:296), so keys are codebook.*."""
     return {
-        "embed": _np(sd["quantizer.embed"]),
-        "cluster_size": _np(sd["quantizer.cluster_size"]),
-        "embed_avg": _np(sd["quantizer.embed_avg"]),
+        "embed": _np(sd["codebook.embed"]),
+        "cluster_size": _np(sd["codebook.cluster_size"]),
+        "embed_avg": _np(sd["codebook.embed_avg"]),
+    }
+
+
+def dvae_from_reference(sd: Mapping[str, Any], num_layers: int = 2,
+                        num_resnet_blocks: int = 3) -> Dict[str, Any]:
+    """Full reference DiscreteVAE state dict -> xtts_tpu DVAE variables.
+
+    Sequential index map for the live config (num_layers=2, 3 resblocks,
+    use_transposed_convs=False; builders xtts_dvae.py:253-293):
+
+      encoder.{i}.0        strided conv i            -> encoder.Conv_{i}
+      encoder.{L+j}.net.*  ResBlock j (convs 0,2,4)  -> encoder.res{j}.Conv_*
+      encoder.{L+R}        conv1x1 -> codebook_dim   -> encoder.to_codes
+      decoder.0            conv1x1 codebook -> inner -> decoder.from_codes
+      decoder.{1+j}.net.*  ResBlock                  -> decoder.res{j}.Conv_*
+      decoder.{1+R+i}.0.conv  UpsampledConv i        -> decoder.up{i}
+      decoder.{1+R+L}      conv1x1 -> mel            -> decoder.to_mel
+      codebook.*           Quantize EMA buffers      -> 'codebook' collection
+
+    Returns a full variables dict {"params", "codebook"}.
+    """
+    L, R = num_layers, num_resnet_blocks
+
+    def resblock(prefix: str) -> Dict[str, Any]:
+        return {f"Conv_{j}": conv1d_torch(sd, f"{prefix}.net.{2 * j}")
+                for j in range(3)}
+
+    enc: Dict[str, Any] = {}
+    for i in range(L):
+        enc[f"Conv_{i}"] = conv1d_torch(sd, f"encoder.{i}.0")
+    for j in range(R):
+        enc[f"res{j}"] = resblock(f"encoder.{L + j}")
+    enc["to_codes"] = conv1d_torch(sd, f"encoder.{L + R}")
+
+    dec: Dict[str, Any] = {"from_codes": conv1d_torch(sd, "decoder.0")}
+    for j in range(R):
+        dec[f"res{j}"] = resblock(f"decoder.{1 + j}")
+    for i in range(L):
+        dec[f"up{i}"] = conv1d_torch(sd, f"decoder.{1 + R + i}.0.conv")
+    dec["to_mel"] = conv1d_torch(sd, f"decoder.{1 + R + L}")
+
+    return {
+        "params": {"encoder": enc, "decoder": dec},
+        "codebook": dvae_codebook_from_reference(sd),
     }
 
 

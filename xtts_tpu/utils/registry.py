@@ -45,7 +45,9 @@ def _register_defaults():
     )
     register("vqvae",
              lambda cfg, dtype: DVAE(cfg.vqvae, dtype=dtype),
-             lambda cfg: (jnp.zeros((1, cfg.vqvae.channels, 64)),))
+             lambda cfg: (jnp.zeros((1, cfg.vqvae.channels, 64)),),
+             lambda sd, cfg: cv.dvae_from_reference(
+                 sd, cfg.vqvae.num_layers, cfg.vqvae.num_resnet_blocks))
     register("diffusion",
              lambda cfg, dtype: AADiffusion(cfg.diffusion, dtype=dtype),
              lambda cfg: (jnp.zeros((1, cfg.diffusion.in_channels, 16)),
@@ -100,8 +102,11 @@ def load_model(name: str, cfg: XTTSConfig = XTTSConfig(),
             raise ValueError(f"no torch converter registered for {name!r}")
         from xtts_tpu.utils.convert import load_torch_checkpoint, to_jax
         sd = load_torch_checkpoint(weights_path)
-        params = to_jax(entry["convert"](sd, cfg), dtype)
-        return model, {"params": params}
+        tree = to_jax(entry["convert"](sd, cfg), dtype)
+        # converters return either bare params or a full variables dict
+        # (e.g. DVAE ships a 'codebook' collection alongside 'params')
+        variables = tree if "params" in tree else {"params": tree}
+        return model, variables
     raise ValueError(f"unsupported weights format: {weights_path}")
 
 
