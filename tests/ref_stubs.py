@@ -323,6 +323,35 @@ def _build_misc_stubs() -> None:
         final.LogitsWarper = lp
 
 
+def patch_reference_generate() -> None:
+    """transformers >= 4.50 removed generate() from PreTrainedModel; mix
+    GenerationMixin back into the reference's GPT2InferenceModel
+    (ttts/gpt/model.py:36) so inference_speech works for parity tests."""
+    from transformers.generation import GenerationMixin
+    from ttts.gpt import model as ref_model
+
+    if not issubclass(ref_model.GPT2InferenceModel, GenerationMixin):
+        base = ref_model.GPT2InferenceModel
+        orig_prepare = base.prepare_inputs_for_generation
+
+        def prepare(self, input_ids, past_key_values=None, **kwargs):
+            # era fix: old transformers passed past_key_values=None on the
+            # first generate step; modern versions pass an EMPTY DynamicCache
+            # which is truthy, so the reference's `if past_key_values:`
+            # (ttts/gpt/model.py:82-84) would skip the full-prefix prefill
+            # and never swap in the cached conditioning embeddings.
+            if (past_key_values is not None
+                    and hasattr(past_key_values, "get_seq_length")
+                    and past_key_values.get_seq_length() == 0):
+                past_key_values = None
+            return orig_prepare(self, input_ids,
+                                past_key_values=past_key_values, **kwargs)
+
+        ref_model.GPT2InferenceModel = type(
+            "GPT2InferenceModel", (base, GenerationMixin),
+            {"prepare_inputs_for_generation": prepare})
+
+
 _installed = False
 
 

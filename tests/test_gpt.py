@@ -124,7 +124,10 @@ class TestDecodeParity:
                 return (m.mel_embedding(jnp.array([[t]]))
                         + m.mel_pos_embedding(jnp.array([pos])))
 
-            e = model.apply(variables, tok, step + 1, method=embed_tok)
+            # decode embeds code t at mel position t+1 when the reference
+            # inference quirk is on (ttts/gpt/model.py:147-149)
+            pos = step + 1 + (1 if model.cfg.decode_position_quirk else 0)
+            e = model.apply(variables, tok, pos, method=embed_tok)
             emb = jnp.concatenate([emb, e], axis=1)
         np.testing.assert_array_equal(fast_codes, np.array(slow))
 

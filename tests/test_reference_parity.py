@@ -218,3 +218,111 @@ class TestDVAEParity:
         np.testing.assert_allclose(np.asarray(new.embed),
                                    want["codebook.embed"].numpy(),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# UnifiedVoice GPT
+# ---------------------------------------------------------------------------
+
+TINY_GPT = dict(layers=2, model_dim=64, heads=4, max_text_tokens=30,
+                max_mel_tokens=40, number_text_tokens=20, start_text_token=19,
+                stop_text_token=1, number_mel_codes=50, start_mel_token=48,
+                stop_mel_token=49)
+
+
+@pytest.fixture(scope="module")
+def gpt_pair():
+    from ttts.gpt.model import UnifiedVoice as RefUV
+    from xtts_tpu.core.config import GPTConfig
+    from xtts_tpu.models.gpt import UnifiedVoice
+    from xtts_tpu.utils.convert import to_jax, unified_voice_from_reference
+
+    torch.manual_seed(11)
+    ref = RefUV(checkpointing=False, use_perceiver=False, **TINY_GPT).eval()
+    sd = ref.state_dict()
+    params = to_jax(unified_voice_from_reference(sd, TINY_GPT["layers"]))
+    cfg = GPTConfig(**TINY_GPT)
+    ours = UnifiedVoice(cfg)
+    return ref, ours, {"params": params}, cfg
+
+
+class TestUnifiedVoiceParity:
+    def _inputs(self, seed=0, b=2, tc=24, tt=9, tm=12):
+        rng = np.random.default_rng(seed)
+        cond = rng.standard_normal((b, 100, tc)).astype(np.float32) * 0.5
+        text = rng.integers(2, TINY_GPT["number_text_tokens"] - 1, (b, tt))
+        text_lens = np.array([tt, tt - 3])
+        codes = rng.integers(0, 47, (b, tm))
+        wav_lens = np.array([tm * 1024 - 1536, (tm - 2) * 1024 - 1536])
+        return cond, text.astype(np.int64), text_lens, codes.astype(np.int64), wav_lens
+
+    def test_conditioning_parity(self, gpt_pair):
+        """get_conditioning (ttts/gpt/model.py:463-476)."""
+        ref, ours, variables, cfg = gpt_pair
+        cond, *_ = self._inputs()
+        with torch.no_grad():
+            want = ref.get_conditioning(torch.from_numpy(cond)).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(cond),
+                                    method=ours.get_conditioning))[:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_teacher_forced_losses_and_logits(self, gpt_pair):
+        """Training forward (ttts/gpt/model.py:478-557): dual CE + mel logits."""
+        ref, ours, variables, cfg = gpt_pair
+        cond, text, text_lens, codes, wav_lens = self._inputs(seed=1)
+        with torch.no_grad():
+            r_lt, r_lm, r_logits = ref(
+                torch.from_numpy(cond), torch.from_numpy(text),
+                torch.from_numpy(text_lens), torch.from_numpy(codes),
+                torch.from_numpy(wav_lens))
+        lt, lm, logits = ours.apply(
+            variables, jnp.asarray(cond), jnp.asarray(text),
+            jnp.asarray(text_lens), jnp.asarray(codes), jnp.asarray(wav_lens),
+            return_logits=True)
+        np.testing.assert_allclose(float(lt), float(r_lt), rtol=2e-4)
+        np.testing.assert_allclose(float(lm), float(r_lm), rtol=2e-4)
+        # ref logits are (B, V, T); ours (B, T, V)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   r_logits.numpy().transpose(0, 2, 1),
+                                   rtol=1e-3, atol=2e-4)
+
+    def test_return_latent(self, gpt_pair):
+        """return_latent path feeding the diffusion decoder
+        (ttts/gpt/model.py:536-538)."""
+        ref, ours, variables, cfg = gpt_pair
+        cond, text, text_lens, codes, wav_lens = self._inputs(seed=2)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(cond), torch.from_numpy(text),
+                       torch.from_numpy(text_lens), torch.from_numpy(codes),
+                       torch.from_numpy(wav_lens), return_latent=True).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(cond), jnp.asarray(text),
+            jnp.asarray(text_lens), jnp.asarray(codes), jnp.asarray(wav_lens),
+            return_latent=True))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+    def test_greedy_decode_token_parity(self, gpt_pair):
+        """inference_speech greedy (HF generate, kv_cache) vs our
+        while_loop decode (ttts/gpt/model.py:559-591) — token-for-token."""
+        from xtts_tpu.models.gpt_infer import generate_speech
+
+        from ref_stubs import patch_reference_generate
+
+        patch_reference_generate()
+        ref, ours, variables, cfg = gpt_pair
+        ref.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+        cond, text, *_ = self._inputs(seed=3, b=2, tt=7)
+        max_gen = 12
+        with torch.no_grad():
+            want = ref.inference_speech(
+                torch.from_numpy(cond), torch.from_numpy(text),
+                do_sample=False, num_return_sequences=1,
+                max_generate_length=max_gen).numpy()
+        res = generate_speech(
+            ours, variables, jnp.asarray(cond), jnp.asarray(text),
+            jax.random.PRNGKey(0), max_gen=max_gen, do_sample=False,
+            repetition_penalty=1.0, cache_dtype=jnp.float32)
+        got = np.asarray(res.codes)
+        # HF pads finished rows with pad=stop token; compare the overlap
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])

@@ -127,10 +127,20 @@ class GPTConfig(ConfigBase):
     mel_length_compression: int = 1024   # wav samples per mel code
     number_text_tokens: int = 256
     start_text_token: int = 255
-    stop_text_token: int = 0
+    # the reference ctor default (ttts/gpt/model.py:295): config.json never
+    # overrides it, so live checkpoints were trained with text stop id 1
+    stop_text_token: int = 1
     number_mel_codes: int = 8194
     start_mel_token: int = 8192
     stop_mel_token: int = 8193
+    # Reference AR-decode position quirk: inference_speech's fake_inputs
+    # double-count the cond slot (len = conds + emb, ttts/gpt/model.py:574),
+    # so GPT2InferenceModel embeds generated code t at mel position t+1
+    # (attention_mask.shape[1] - mel_len, :147-149) — position 1 is never
+    # used, diverging from the teacher-forced arange positions. Reference
+    # checkpoints were *inferenced* this way, so reproducing it is required
+    # for token-level parity; set False for the train-consistent convention.
+    decode_position_quirk: bool = True
     use_perceiver: bool = False
     perceiver_latents: int = 32
     cond_attn_blocks: int = 6

@@ -296,7 +296,10 @@ def generate_speech_quantized(
         seen = seen.at[jnp.arange(b), tok].set(True)
         now_done = done | (tok == stop)
         lengths = jnp.where(done, lengths, step + 1)
-        logits, cache = _decode_logits(qtree, cfg.heads, tok, step + 1,
+        # same mel-position convention as gpt_infer (reference quirk at
+        # ttts/gpt/model.py:147-149 embeds code t at position t+1)
+        mel_pos = step + 1 + (1 if cfg.decode_position_quirk else 0)
+        logits, cache = _decode_logits(qtree, cfg.heads, tok, mel_pos,
                                        cache, p_len + step)
         return (step + 1, logits, cache, now_done, seen, codes, lengths, k)
 

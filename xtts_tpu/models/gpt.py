@@ -165,11 +165,12 @@ class UnifiedVoice(nn.Module):
         text_logits = self.text_head(text_latent)
         mel_logits = self.mel_head(mel_latent)
 
-        # ignore-index = positions past (length + 1) (ttts/gpt/model.py:545-549)
+        # targets[l+1:] = -1 (ttts/gpt/model.py:545-549): valid pos <= length,
+        # i.e. all real tokens plus exactly one stop token
         pos_t = jnp.arange(t_text)[None, :]
-        text_mask = pos_t <= (text_lengths[:, None] + 1)
+        text_mask = pos_t <= text_lengths[:, None]
         pos_m = jnp.arange(t_mel)[None, :]
-        mel_mask = pos_m <= (mel_code_lengths[:, None] + 1)
+        mel_mask = pos_m <= mel_code_lengths[:, None]
 
         loss_text = masked_ce(text_logits, text_tar, text_mask)
         loss_mel = masked_ce(mel_logits, mel_tar, mel_mask)

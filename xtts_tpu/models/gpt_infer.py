@@ -91,8 +91,11 @@ def generate_speech(
         seen = seen.at[jnp.arange(b), tok].set(True)
         now_done = done | (tok == stop)
         lengths = jnp.where(done, lengths, step + 1)
+        # mel position of generated code: t+1 under the reference quirk
+        # (ttts/gpt/model.py:147-149), t in the train-consistent convention
+        mel_pos = step + 1 + (1 if cfg.decode_position_quirk else 0)
         logits, cache = model.apply(
-            variables, tok, step + 1, cache, p_len + step,
+            variables, tok, mel_pos, cache, p_len + step,
             method=model.decode_one)
         return (step + 1, logits, cache, now_done, seen, codes, lengths, k)
 
