@@ -298,6 +298,18 @@ def _build_misc_stubs() -> None:
     if "vocos" not in sys.modules:
         _mk_module("vocos")
 
+    if "omegaconf" not in sys.modules:
+        oc = _mk_module("omegaconf")
+        lc = _mk_module("omegaconf.listconfig")
+        oc.listconfig = lc
+
+        class ListConfig(list):  # only isinstance-checked (aa_model.py:90-92)
+            pass
+
+        lc.ListConfig = ListConfig
+        oc.ListConfig = ListConfig
+        oc.OmegaConf = None  # never called on parity paths
+
     if "pypinyin" not in sys.modules:
         # constants-only: zh_normalization needs SUPPORT_UCS4; deliberately
         # NO Style/lazy_pinyin so xtts_tpu.text.pinyin's optional import

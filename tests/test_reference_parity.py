@@ -326,3 +326,91 @@ class TestUnifiedVoiceParity:
         # HF pads finished rows with pad=stop token; compare the overlap
         n = min(got.shape[1], want.shape[1])
         np.testing.assert_array_equal(got[:, :n], want[:, :n])
+
+
+# ---------------------------------------------------------------------------
+# AA_diffusion
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def aa_pair():
+    from ttts.diffusion.aa_model import AA_diffusion as RefAA
+    from xtts_tpu.core.config import CLIPRefConfig, DiffusionModelConfig
+    from xtts_tpu.models.aa_diffusion import AADiffusion
+    from xtts_tpu.utils.convert import aa_diffusion_from_reference, to_jax
+
+    torch.manual_seed(5)
+    # tiny but structure-identical to ttts/diffusion/config.yaml; 128ch keeps
+    # every GroupNorm at 32 groups on both sides (tortoise rule == fixed 32)
+    vision = dict(layers=2, width=64, head_width=16, mlp_ratio=4.0,
+                  patch_dropout=0.4, attentional_pool=False, patch_size=8,
+                  image_size=256, in_channels=16, pool_type="tok",
+                  pos_embed_type="learnable", final_ln_after_pool=False)
+    unet = dict(in_channels=16, out_channels=32, model_channels=128,
+                attention_resolutions=[4, 2, 1], num_res_blocks=2,
+                channel_mult=[1, 1], num_heads=4, use_spatial_transformer=True,
+                transformer_depth=1, context_dim=64, use_checkpoint=False,
+                dims=1, legacy=False)
+    ref = RefAA({"clip": {"embed_dim": 64, "vision_cfg": vision},
+                 "refer_diffusion": unet, "base_diffusion": unet}).eval()
+    # the live latent dim is hardcoded 1024 in the reference
+    # (hint_converter / unconditioned_cat_embedding, aa_model.py:233,318);
+    # shrink both for the tiny test
+    ref.base_model.hint_converter = torch.nn.Conv1d(48, 128, 3, padding=1)
+    ref.unconditioned_cat_embedding = torch.nn.Parameter(torch.randn(1, 48, 1))
+    torch.manual_seed(6)
+
+    cfg = DiffusionModelConfig(
+        in_channels=16, out_channels=32, model_channels=128,
+        num_res_blocks=2, channel_mult=(1, 1), num_heads=4,
+        transformer_depth=1, context_dim=64, in_latent_channels=48,
+        clip=CLIPRefConfig(embed_dim=64, width=64, layers=2, head_width=16,
+                           patch_size=8, in_channels=16, max_patches=(256 // 8) ** 2))
+    params = to_jax(aa_diffusion_from_reference(ref.state_dict(), cfg))
+    ours = AADiffusion(cfg)
+    return ref, ours, {"params": params}
+
+
+class TestAADiffusionParity:
+    def _inputs(self, seed=0, b=2, tx=24, tl=6, tr=32):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((b, 16, tx)).astype(np.float32)
+        t = np.array([37, 512][:b])
+        hint = rng.standard_normal((b, 48, tl)).astype(np.float32)
+        refer = rng.standard_normal((b, 16, tr)).astype(np.float32)
+        return x, t, hint, refer
+
+    def test_clip_context_parity(self, aa_pair):
+        """CLIP reference encoder (cond_emb.py:177-180, normalized tokens)."""
+        ref, ours, variables = aa_pair
+        *_, refer = self._inputs()
+        with torch.no_grad():
+            want = ref.refer_enc(torch.from_numpy(refer)).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(refer),
+                                    method=ours.encode_reference))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
+
+    def test_eps_parity(self, aa_pair):
+        """Full forward (aa_model.py:329-339): eps + learned-range var."""
+        ref, ours, variables = aa_pair
+        x, t, hint, refer = self._inputs(seed=1)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(t),
+                       torch.from_numpy(hint), torch.from_numpy(refer)).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(hint),
+            jnp.asarray(refer)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_conditioning_free_parity(self, aa_pair):
+        """CFG uncond branch replaces the hint (aa_model.py:330-331)."""
+        ref, ours, variables = aa_pair
+        x, t, hint, refer = self._inputs(seed=2)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(t),
+                       torch.from_numpy(hint), torch.from_numpy(refer),
+                       conditioning_free=True).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(hint),
+            jnp.asarray(refer), conditioning_free=True))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -174,7 +174,11 @@ class CLIPRefConfig(ConfigBase):
     mlp_ratio: float = 4.0
     patch_size: int = 32
     in_channels: int = 100
-    max_patches: int = 1000 // 32  # image_size 1000 frames / patch 32
+    # the reference treats image_size as 2-D even for 1-D mels, so its
+    # positional table has grid^2 (+1 cls) rows = (1000//32)^2
+    # (transformer.py:358-371); only the first T+1 rows are ever used, but
+    # the table shape must match for checkpoint conversion
+    max_patches: int = (1000 // 32) ** 2
     patch_dropout: float = 0.4
 
 

@@ -241,6 +241,156 @@ def dvae_from_reference(sd: Mapping[str, Any], num_layers: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# AA_diffusion (reference ttts/diffusion/aa_model.py -> models.aa_diffusion)
+# ---------------------------------------------------------------------------
+
+def mha_to_flax(sd: Mapping[str, Any], prefix: str, heads: int) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+
+    in_proj_weight is (3E, E) packed [q; k; v]; flax wants per-projection
+    kernels (E, heads, head_dim) and out kernel (heads, head_dim, E)."""
+    w = _np(sd[f"{prefix}.in_proj_weight"])
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    e = w.shape[1]
+    hd = e // heads
+    qw, kw, vw = np.split(w, 3, axis=0)
+    qb, kb, vb = np.split(b, 3, axis=0)
+
+    def proj(wm, bm):
+        return {"kernel": wm.T.reshape(e, heads, hd),
+                "bias": bm.reshape(heads, hd)}
+
+    ow = _np(sd[f"{prefix}.out_proj.weight"])   # (E, E)
+    return {
+        "query": proj(qw, qb), "key": proj(kw, kb), "value": proj(vw, vb),
+        "out": {"kernel": ow.T.reshape(heads, hd, e),
+                "bias": _np(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def clip_from_reference(sd: Mapping[str, Any], layers: int, heads: int,
+                        prefix: str = "refer_enc.visual.") -> Dict[str, Any]:
+    """Reference CLIP vision tower (cldm/transformer.py:328-567
+    VisionTransformer; live config ttts/diffusion/config.yaml "clip") ->
+    CLIPRefEncoder params. The dead `proj` parameter (forward early-returns
+    at transformer.py:520) is intentionally dropped."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "conv1": {"kernel": np.transpose(_np(sd[p + "conv1.weight"]), (2, 1, 0))},
+        "class_embedding": _np(sd[p + "class_embedding"]),
+        "positional_embedding": _np(sd[p + "positional_embedding"]),
+        "ln_pre": layer_norm(sd, p + "ln_pre"),
+        "ln_post": layer_norm(sd, p + "ln_post"),
+    }
+    for i in range(layers):
+        rp = f"{p}transformer.resblocks.{i}."
+        out[f"ln1_{i}"] = layer_norm(sd, rp + "ln_1")
+        out[f"attn_{i}"] = mha_to_flax(sd, rp + "attn", heads)
+        out[f"ln2_{i}"] = layer_norm(sd, rp + "ln_2")
+        out[f"mlp_fc_{i}"] = linear(sd, rp + "mlp.c_fc")
+        out[f"mlp_proj_{i}"] = linear(sd, rp + "mlp.c_proj")
+    return out
+
+
+def _openai_resblock(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """openaimodel.py ResBlock (in_layers norm/conv, emb_layers linear,
+    out_layers norm/zero-conv) -> UNetResBlock params."""
+    return {
+        "GroupNorm32_0": {"GroupNorm_0": layer_norm(sd, prefix + "in_layers.0")},
+        "in_conv": conv1d_torch(sd, prefix + "in_layers.2"),
+        "emb_proj": linear(sd, prefix + "emb_layers.1"),
+        "GroupNorm32_1": {"GroupNorm_0": layer_norm(sd, prefix + "out_layers.0")},
+        "out_conv": conv1d_torch(sd, prefix + "out_layers.3"),
+    }
+
+
+def _spatial_transformer(sd: Mapping[str, Any], prefix: str,
+                         depth: int = 1) -> Dict[str, Any]:
+    """ldm attention.py SpatialTransformer (use_linear=False: 1x1 conv
+    projections) -> SpatialTransformer1D params."""
+    out: Dict[str, Any] = {
+        "norm": {"GroupNorm_0": layer_norm(sd, prefix + "norm")},
+        "proj_in": _squeeze_conv1x1(sd, prefix + "proj_in"),
+        "proj_out": _squeeze_conv1x1(sd, prefix + "proj_out"),
+    }
+    for d in range(depth):
+        bp = f"{prefix}transformer_blocks.{d}."
+
+        def xattn(ap):
+            return {
+                "to_q": linear(sd, ap + "to_q"),
+                "to_k": linear(sd, ap + "to_k"),
+                "to_v": linear(sd, ap + "to_v"),
+                "to_out": linear(sd, ap + "to_out.0"),
+            }
+
+        out[f"block_{d}"] = {
+            "norm1": layer_norm(sd, bp + "norm1"),
+            "norm2": layer_norm(sd, bp + "norm2"),
+            "norm3": layer_norm(sd, bp + "norm3"),
+            "attn1": xattn(bp + "attn1."),
+            "attn2": xattn(bp + "attn2."),
+            "ff": {"proj_in": linear(sd, bp + "ff.net.0.proj"),
+                   "proj_out": linear(sd, bp + "ff.net.2")},
+        }
+    return out
+
+
+def unet_trunk_from_reference(sd: Mapping[str, Any], prefix: str,
+                              channel_mult, num_res_blocks: int,
+                              transformer_depth: int = 1) -> Dict[str, Any]:
+    """BaseModel/ReferenceNet trunk (aa_model.py:152-227). blocks layout per
+    level: num_res_blocks x [ResBlock, SpatialTransformer] + closing ResBlock
+    (no actual down/upsampling; `ds *= 2` commented out at :225)."""
+    out: Dict[str, Any] = {
+        "in_conv": conv1d_torch(sd, prefix + "blocks.0.0"),
+        "time_fc1": linear(sd, prefix + "time_embed.0"),
+        "time_fc2": linear(sd, prefix + "time_embed.2"),
+    }
+    blk = 1      # reference blocks index (0 was the initial conv)
+    ri = 0       # our flat res_blocks index
+    ai = 0       # our flat attn_blocks index
+    for _level in channel_mult:
+        for _ in range(num_res_blocks):
+            out[f"res_blocks_{ri}"] = _openai_resblock(sd, f"{prefix}blocks.{blk}.0.")
+            out[f"attn_blocks_{ai}"] = _spatial_transformer(
+                sd, f"{prefix}blocks.{blk}.1.", transformer_depth)
+            ri += 1
+            ai += 1
+            blk += 1
+        out[f"res_blocks_{ri}"] = _openai_resblock(sd, f"{prefix}blocks.{blk}.0.")
+        ri += 1
+        blk += 1
+    return out
+
+
+def aa_diffusion_from_reference(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Full AA_diffusion state dict -> AADiffusion params.
+
+    cfg: DiffusionModelConfig. Reference module attrs (aa_model.py:307-318):
+    refer_enc (CLIP), refer_model (ReferenceNet), base_model (BaseModel),
+    unconditioned_cat_embedding (1, 1024, 1). The ReferenceNet's unused
+    `out` head and both models' duplicate hint_converter are resolved to:
+    base_model.hint_converter -> our single top-level hint_converter."""
+    clip_heads = cfg.clip.width // cfg.clip.head_width
+    params: Dict[str, Any] = {
+        "refer_enc": clip_from_reference(sd, cfg.clip.layers, clip_heads),
+        "refer_model": unet_trunk_from_reference(
+            sd, "refer_model.", cfg.channel_mult, cfg.num_res_blocks,
+            cfg.transformer_depth),
+        "base_model": unet_trunk_from_reference(
+            sd, "base_model.", cfg.channel_mult, cfg.num_res_blocks,
+            cfg.transformer_depth),
+        "hint_converter": conv1d_torch(sd, "base_model.hint_converter"),
+        "out_norm": {"GroupNorm_0": layer_norm(sd, "base_model.out.0")},
+        "out_conv": conv1d_torch(sd, "base_model.out.2"),
+        "unconditioned_cat_embedding": np.transpose(
+            _np(sd["unconditioned_cat_embedding"]), (0, 2, 1)),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
 # generic state-dict utilities
 # ---------------------------------------------------------------------------
 

@@ -53,7 +53,8 @@ def _register_defaults():
              lambda cfg: (jnp.zeros((1, cfg.diffusion.in_channels, 16)),
                           jnp.array([0]),
                           jnp.zeros((1, cfg.diffusion.in_latent_channels, 4)),
-                          jnp.zeros((1, cfg.diffusion.in_channels, 16))))
+                          jnp.zeros((1, cfg.diffusion.in_channels, 16))),
+             lambda sd, cfg: cv.aa_diffusion_from_reference(sd, cfg.diffusion))
     register("vocos",
              lambda cfg, dtype: Vocos(cfg.vocos, dtype=dtype),
              lambda cfg: (jnp.zeros((1, cfg.vocos.input_channels, 16)),),
