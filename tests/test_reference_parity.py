@@ -414,3 +414,197 @@ class TestAADiffusionParity:
             variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(hint),
             jnp.asarray(refer), conditioning_free=True))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian diffusion process library
+# ---------------------------------------------------------------------------
+
+class _FakeTorchDenoiser(torch.nn.Module):
+    """Deterministic stand-in denoiser shared (in math) with the jax twin.
+    An nn.Module because the reference sample loops probe .parameters()."""
+
+    def __init__(self):
+        super().__init__()
+        self._dummy = torch.nn.Parameter(torch.zeros(1))
+
+    def forward(self, x, t, conditioning_free=False):
+        scale = 0.5 if conditioning_free else 1.0
+        eps = 0.1 * torch.sin(x) * scale + (t.float() / 1000.0)[:, None, None]
+        var = torch.tanh(x)
+        return torch.cat([eps, var], dim=1)
+
+
+_fake_model_torch = _FakeTorchDenoiser()
+
+
+def _fake_model_jax(x, t, conditioning_free=False):
+    import jax.numpy as jnp
+    scale = 0.5 if conditioning_free else 1.0
+    eps = 0.1 * jnp.sin(x) * scale + (t.astype(jnp.float32) / 1000.0)[:, None, None]
+    var = jnp.tanh(x)
+    return jnp.concatenate([eps, var], axis=1)
+
+
+@pytest.fixture(scope="module")
+def diffusion_pair():
+    from ttts.utils.diffusion import (SpacedDiffusion, get_named_beta_schedule,
+                                      space_timesteps)
+    from xtts_tpu.diffusion.gaussian import GaussianDiffusion
+
+    ref = SpacedDiffusion(
+        use_timesteps=space_timesteps(1000, [50]),
+        model_mean_type="epsilon", model_var_type="learned_range",
+        loss_type="mse", betas=get_named_beta_schedule("linear", 1000),
+        conditioning_free=True, conditioning_free_k=2.0)
+    ours = GaussianDiffusion.spaced(1000, 50, "linear",
+                                    conditioning_free=True,
+                                    conditioning_free_k=2.0)
+    return ref, ours
+
+
+class TestDiffusionLibParity:
+    def test_schedule_constants(self, diffusion_pair):
+        """Spaced betas/posterior algebra (diffusion.py:1181-1196, 162-242)."""
+        ref, ours = diffusion_pair
+        np.testing.assert_allclose(ours.betas, ref.betas, rtol=1e-12)
+        np.testing.assert_array_equal(ours.timestep_map, ref.timestep_map)
+        np.testing.assert_allclose(ours.posterior_log_variance_clipped,
+                                   ref.posterior_log_variance_clipped,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(ours.posterior_mean_coef1,
+                                   ref.posterior_mean_coef1, rtol=1e-10)
+
+    def test_q_sample(self, diffusion_pair):
+        ref, ours = diffusion_pair
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((2, 4, 8)).astype(np.float32)
+        noise = rng.standard_normal((2, 4, 8)).astype(np.float32)
+        t = np.array([3, 47])
+        want = ref.q_sample(torch.from_numpy(x0), torch.from_numpy(t),
+                            torch.from_numpy(noise)).numpy()
+        got = np.asarray(ours.q_sample(jnp.asarray(x0), jnp.asarray(t),
+                                       jnp.asarray(noise)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("t_idx", [0, 1, 25, 49])
+    def test_p_mean_variance_with_cfg_ramp(self, diffusion_pair, t_idx):
+        """p_mean_variance terms incl. learned-range split + ramped CFG mix
+        (diffusion.py:284-386)."""
+        ref, ours = diffusion_pair
+        rng = np.random.default_rng(t_idx)
+        x = rng.standard_normal((1, 4, 8)).astype(np.float32)
+        t = np.array([t_idx])
+        with torch.no_grad():
+            want = ref.p_mean_variance(_fake_model_torch, torch.from_numpy(x),
+                                       torch.from_numpy(t), model_kwargs={})
+        t_orig = ours.map_t(jnp.asarray(t))
+        out = _fake_model_jax(jnp.asarray(x), t_orig)
+        out_uc = _fake_model_jax(jnp.asarray(x), t_orig, conditioning_free=True)
+        got = ours.p_mean_variance_from_output(out, jnp.asarray(x),
+                                               jnp.asarray(t), out_uc)
+        for k in ("mean", "log_variance", "pred_xstart"):
+            np.testing.assert_allclose(np.asarray(got[k]), want[k].numpy(),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+
+    def test_training_losses(self):
+        """Unspaced 1000-step training losses: mse + frozen-mean vb
+        (diffusion.py:930-1014)."""
+        from ttts.utils.diffusion import (GaussianDiffusion as RefGD,
+                                          get_named_beta_schedule)
+        from xtts_tpu.diffusion.gaussian import GaussianDiffusion
+
+        ref = RefGD(betas=get_named_beta_schedule("linear", 1000),
+                    model_mean_type="epsilon", model_var_type="learned_range",
+                    loss_type="mse")
+        ours = GaussianDiffusion(betas=get_named_beta_schedule("linear", 1000))
+        rng = np.random.default_rng(1)
+        x0 = rng.standard_normal((3, 4, 8)).astype(np.float32)
+        noise = rng.standard_normal((3, 4, 8)).astype(np.float32)
+        t = np.array([0, 250, 999])
+        with torch.no_grad():
+            want = ref.training_losses(_fake_model_torch, torch.from_numpy(x0),
+                                       torch.from_numpy(t), model_kwargs={},
+                                       noise=torch.from_numpy(noise))
+        got = ours.training_losses(_fake_model_jax, jnp.asarray(x0),
+                                   jnp.asarray(t), noise=jnp.asarray(noise))
+        np.testing.assert_allclose(np.asarray(got["mse"]),
+                                   want["mse"].numpy(), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got["vb"]),
+                                   want["vb"].numpy(), rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["loss"]),
+                                   want["loss"].numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_ddim_loop_deterministic_parity(self, diffusion_pair):
+        """Full 50-step DDIM (eta=0) chain from a shared x_T
+        (diffusion.py:744-902) — end-to-end sampler parity."""
+        ref, ours = diffusion_pair
+        rng = np.random.default_rng(2)
+        xt = rng.standard_normal((1, 4, 8)).astype(np.float32)
+        with torch.no_grad():
+            want = ref.ddim_sample_loop(
+                _fake_model_torch, (1, 4, 8), noise=torch.from_numpy(xt),
+                model_kwargs={}, eta=0.0).numpy()
+        got = np.asarray(ours.ddim_sample_loop(
+            lambda x, t: (_fake_model_jax(x, t),
+                          _fake_model_jax(x, t, conditioning_free=True)),
+            (1, 4, 8), jax.random.PRNGKey(0), noise=jnp.asarray(xt)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_p_sample_loop_deterministic_parity(self, diffusion_pair):
+        """p_sample chain with the noise forced to zero on both sides —
+        validates every per-step mean/variance (diffusion.py:654-743)."""
+        ref, ours = diffusion_pair
+        rng = np.random.default_rng(3)
+        xt = rng.standard_normal((1, 4, 8)).astype(np.float32)
+
+        x = torch.from_numpy(xt)
+        with torch.no_grad():
+            for i in reversed(range(50)):
+                t = torch.tensor([i])
+                pmv = ref.p_mean_variance(_fake_model_torch, x, t,
+                                          model_kwargs={})
+                x = pmv["mean"]  # zero-noise ancestral step
+        want = x.numpy()
+
+        import xtts_tpu.diffusion.gaussian as G
+        orig = jax.random.normal
+        try:
+            jax.random.normal = lambda key, shape, *a, **k: jnp.zeros(shape)
+            got = np.asarray(ours.p_sample_loop(
+                lambda x, t: (_fake_model_jax(x, t),
+                              _fake_model_jax(x, t, conditioning_free=True)),
+                (1, 4, 8), jax.random.PRNGKey(0), noise=jnp.asarray(xt)))
+        finally:
+            jax.random.normal = orig
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_dpmpp_2m_update_formula(self):
+        """The second-order multistep update ours uses (gaussian.py
+        dpmpp_2m_sample_loop body) == the reference
+        multistep_dpm_solver_second_update (ttts/sampler/dpm_solver.py,
+        dpmsolver++ data-prediction). Grid/endpoint policy deliberately
+        differs (ours fully denoises on the spaced grid; the reference's
+        k-diffusion path stops at t=1/N on a continuous-VP approximation)."""
+        from ttts.sampler.dpm_solver import DPM_Solver, NoiseScheduleVP
+        from ttts.utils.diffusion import get_named_beta_schedule
+
+        betas = get_named_beta_schedule("linear", 1000)
+        ns = NoiseScheduleVP(schedule="discrete", betas=torch.tensor(betas))
+        solver = DPM_Solver(lambda x, t: x, ns, algorithm_type="dpmsolver++")
+        rng = np.random.default_rng(0)
+        x = torch.from_numpy(rng.standard_normal((1, 4, 8)).astype(np.float32))
+        m0 = torch.from_numpy(rng.standard_normal((1, 4, 8)).astype(np.float32))
+        m1 = torch.from_numpy(rng.standard_normal((1, 4, 8)).astype(np.float32))
+        for (a, b, c) in [(0.8, 0.6, 0.4), (0.9, 0.5, 0.3), (0.5, 0.25, 0.1)]:
+            s1, s0, t = torch.tensor([a]), torch.tensor([b]), torch.tensor([c])
+            want = solver.multistep_dpm_solver_second_update(
+                x, [m1, m0], [s1, s0], t)
+            lam, al, sg = (ns.marginal_lambda, ns.marginal_alpha,
+                           ns.marginal_std)
+            h = lam(t) - lam(s0)
+            r = (lam(s0) - lam(s1)) / h
+            d = (1 + 1 / (2 * r)) * m0 - (1 / (2 * r)) * m1
+            got = (sg(t) / sg(s0)) * x - al(t) * torch.expm1(-h) * d
+            np.testing.assert_allclose(got.numpy(), want.numpy(),
+                                       rtol=1e-5, atol=1e-6)

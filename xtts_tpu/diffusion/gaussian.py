@@ -186,11 +186,13 @@ class GaussianDiffusion:
     # p process
 
     def _cfg_scale(self, t):
-        """Ramped guidance strength (ttts/utils/diffusion.py:349-355)."""
+        """Ramped guidance strength (ttts/utils/diffusion.py:349-355): the
+        reference computes 1 - t/num_timesteps on the SPACED index and spaced
+        count (rescale_timesteps False), not on the mapped original t."""
         if not self.ramp_conditioning_free:
             return self.conditioning_free_k
-        t_orig = self.map_t(t).astype(jnp.float32)
-        return self.conditioning_free_k * (1.0 - t_orig / self.original_num_steps)
+        t = jnp.asarray(t).astype(jnp.float32)
+        return self.conditioning_free_k * (1.0 - t / self.num_timesteps)
 
     def p_mean_variance_from_output(self, model_output, x, t,
                                     model_output_uncond=None):
@@ -423,10 +425,12 @@ class GaussianDiffusion:
     # ------------------------------------------------------------------
     # training
 
-    def training_losses(self, model_fn, x_start, t, key):
+    def training_losses(self, model_fn, x_start, t, key=None, noise=None):
         """MSE(eps) + frozen-mean vb term (ttts/utils/diffusion.py:963-1014).
-        Returns dict with per-example 'loss', 'mse', 'vb'."""
-        noise = jax.random.normal(key, x_start.shape)
+        Returns dict with per-example 'loss', 'mse', 'vb'. Pass either a PRNG
+        key or an explicit noise tensor (parity tests)."""
+        if noise is None:
+            noise = jax.random.normal(key, x_start.shape)
         x_t = self.q_sample(x_start, t, noise)
         model_output = model_fn(x_t, self.map_t(t))
         eps, var_frac = jnp.split(model_output, 2, axis=1)
