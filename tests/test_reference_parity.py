@@ -608,3 +608,162 @@ class TestDiffusionLibParity:
             got = (sg(t) / sg(s0)) * x - al(t) * torch.expm1(-h) * d
             np.testing.assert_allclose(got.numpy(), want.numpy(),
                                        rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Vocos
+# ---------------------------------------------------------------------------
+
+class TestVocosParity:
+    def test_decode_parity(self):
+        """Backbone + ISTFT head vs the real reference modules
+        (ttts/vocoder/models.py:26-88, heads.py:24-67) through the
+        vocos_from_pretrained converter."""
+        from ttts.vocoder.heads import ISTFTHead as RefHead
+        from ttts.vocoder.models import VocosBackbone as RefBackbone
+        from xtts_tpu.core.config import VocosConfig
+        from xtts_tpu.models.vocos import Vocos
+        from xtts_tpu.utils.convert import to_jax, vocos_from_pretrained
+
+        torch.manual_seed(3)
+        bb = RefBackbone(input_channels=12, dim=32, intermediate_dim=96,
+                         num_layers=2).eval()
+        head = RefHead(dim=32, n_fft=64, hop_length=16, padding="same").eval()
+        sd = {f"backbone.{k}": v for k, v in bb.state_dict().items()}
+        sd.update({f"head.{k}": v for k, v in head.state_dict().items()})
+
+        cfg = VocosConfig(input_channels=12, dim=32, intermediate_dim=96,
+                          num_layers=2, n_fft=64, hop_length=16,
+                          padding="same")
+        ours = Vocos(cfg)
+        params = to_jax(vocos_from_pretrained(sd, num_layers=2))
+
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((2, 12, 20)).astype(np.float32)
+        with torch.no_grad():
+            want = head(bb(torch.from_numpy(mel))).numpy()
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(mel)))
+        n = min(got.shape[-1], want.shape[-1])
+        np.testing.assert_allclose(got[:, :n], want[:, :n],
+                                   rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# CLVP (live use_xformers=False tower)
+# ---------------------------------------------------------------------------
+
+class TestCLVPParity:
+    def test_similarity_and_loss(self):
+        """Similarity logits + symmetric InfoNCE vs the reference CLVP
+        (ttts/clvp/model.py:101-140, live tortoise tower)."""
+        from ttts.clvp.model import CLVP as RefCLVP
+        from xtts_tpu.core.config import CLVPConfig
+        from xtts_tpu.models.clvp import CLVP
+        from xtts_tpu.utils.convert import clvp_from_reference, to_jax
+
+        torch.manual_seed(9)
+        ref = RefCLVP(dim_text=32, dim_speech=32, dim_latent=24,
+                      num_text_tokens=40, text_enc_depth=2, text_seq_len=30,
+                      text_heads=2, num_speech_tokens=50, speech_enc_depth=2,
+                      speech_heads=2, speech_seq_len=40,
+                      use_xformers=False).eval()
+        cfg = CLVPConfig(dim_text=32, dim_speech=32, dim_latent=24,
+                         num_text_tokens=40, text_enc_depth=2,
+                         text_seq_len=30, text_heads=2, num_speech_tokens=50,
+                         speech_enc_depth=2, speech_heads=2,
+                         speech_seq_len=40, use_xformers=False)
+        ours = CLVP(cfg)
+        params = to_jax(clvp_from_reference(ref.state_dict(), 2, 2))
+
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 40, (3, 11))
+        codes = rng.integers(0, 50, (3, 17))
+        with torch.no_grad():
+            want_sim = ref(torch.from_numpy(text), torch.from_numpy(codes),
+                           return_loss=False).numpy()
+            want_loss = float(ref(torch.from_numpy(text),
+                                  torch.from_numpy(codes), return_loss=True))
+        got_logits = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(text), jnp.asarray(codes)))
+        # reference no-loss path returns only the diagonal n->n similarity
+        np.testing.assert_allclose(np.diag(got_logits), want_sim,
+                                   rtol=1e-4, atol=1e-5)
+        got_loss = float(ours.apply({"params": params}, jnp.asarray(text),
+                                    jnp.asarray(codes), return_loss=True))
+        np.testing.assert_allclose(got_loss, want_loss, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN (generator + speaker encoder)
+# ---------------------------------------------------------------------------
+
+class TestHifiganParity:
+    def test_generator_parity(self):
+        """MRF generator incl. weight-norm reconstruction and the
+        ConvTranspose mapping (hifigan_vocoder.py:223-377)."""
+        from ttts.hifigan.hifigan_vocoder import HifiganGenerator as RefGen
+        from xtts_tpu.models.hifigan import HifiganGenerator
+        from xtts_tpu.utils.convert import (hifigan_generator_from_reference,
+                                            to_jax)
+
+        torch.manual_seed(4)
+        ref = RefGen(in_channels=12, out_channels=1, resblock_type="1",
+                     resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+                     resblock_kernel_sizes=[3, 7],
+                     upsample_kernel_sizes=[8, 4],
+                     upsample_initial_channel=32,
+                     upsample_factors=[4, 2], cond_channels=6,
+                     conv_pre_weight_norm=False, conv_post_weight_norm=False,
+                     conv_post_bias=False, cond_in_each_up_layer=True).eval()
+        ours = HifiganGenerator(
+            in_channels=12, out_channels=1, resblock_type="1",
+            resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+            resblock_kernel_sizes=(3, 7), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=32, upsample_rates=(4, 2),
+            cond_channels=6, cond_in_each_up_layer=True)
+        params = to_jax(hifigan_generator_from_reference(
+            ref.state_dict(), n_up=2, n_kernels=2))
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 12, 30)).astype(np.float32)
+        g = rng.standard_normal((2, 6)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x),
+                       g=torch.from_numpy(g)[..., None]).numpy()[:, 0]
+        got = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 1)),
+            jnp.asarray(g)))[..., 0]
+        # CPU-XLA conv precision dominates (~2e-3 rel; exact in f64)
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+    def test_speaker_encoder_parity(self):
+        """SE-ResNet d-vector with folded eval BatchNorms
+        (hifigan_vocoder.py:461-654)."""
+        from ttts.hifigan.hifigan_vocoder import ResNetSpeakerEncoder as RefSE
+        from xtts_tpu.models.hifigan import ResNetSpeakerEncoder
+        from xtts_tpu.utils.convert import (speaker_encoder_from_reference,
+                                            to_jax)
+
+        torch.manual_seed(8)
+        ref = RefSE(input_dim=16, proj_dim=8, layers=[1, 1, 1, 1],
+                    num_filters=[8, 8, 16, 16], log_input=False,
+                    use_torch_spec=False).eval()
+        # randomize BN running stats so the affine fold is actually tested
+        with torch.no_grad():
+            for m in ref.modules():
+                if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    m.running_mean.normal_(0, 0.5)
+                    m.running_var.uniform_(0.5, 2.0)
+        ours = ResNetSpeakerEncoder(proj_dim=8, layers=(1, 1, 1, 1),
+                                    num_filters=(8, 8, 16, 16),
+                                    norm_mode="affine")
+        params = to_jax(speaker_encoder_from_reference(
+            ref.state_dict(), layers=(1, 1, 1, 1)))
+
+        rng = np.random.default_rng(1)
+        spec = rng.standard_normal((2, 16, 40)).astype(np.float32)  # (B,F,T)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(spec.copy()), l2_norm=True).numpy()
+        got = np.asarray(ours.apply({"params": params},
+                                    jnp.asarray(spec.transpose(0, 2, 1))))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)

@@ -236,18 +236,21 @@ class VocosConfig(ConfigBase):
 class CLVPConfig(ConfigBase):
     """CLVP contrastive reranker (ttts/clvp/config.json, ttts/clvp/model.py:19-140)."""
 
+    # live values: ttts/clvp/config.json "clvp" + ctor defaults
+    # (ttts/clvp/model.py:27-45); use_xformers defaults False there, so live
+    # checkpoints use the tortoise tower with learned positions
     dim_text: int = 768
     dim_speech: int = 768
     dim_latent: int = 768
     num_text_tokens: int = 256
     text_enc_depth: int = 20
-    text_seq_len: int = 350
-    text_heads: int = 12
+    text_seq_len: int = 120
+    text_heads: int = 16
     num_speech_tokens: int = 8192
     speech_enc_depth: int = 20
-    speech_heads: int = 12
-    speech_seq_len: int = 430
-    use_xformers: bool = True
+    speech_heads: int = 16
+    speech_seq_len: int = 250
+    use_xformers: bool = False
 
 
 @dataclass(frozen=True)
@@ -284,6 +287,9 @@ class HiFiGANConfig(ConfigBase):
     d_vector_dim: int = 512
     cond_d_vector_in_each_upsampling_layer: bool = True
     speaker_encoder_audio_config_sr: int = 16000
+    # "layer" for our own training; "affine" = folded eval-mode BatchNorm,
+    # the layout produced by hifigan_from_reference checkpoint conversion
+    speaker_norm_mode: str = "layer"
 
 
 @dataclass(frozen=True)

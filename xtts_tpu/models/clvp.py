@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xtts_tpu.core.config import CLVPConfig
-from xtts_tpu.nn.encoder import TransformerEncoder, masked_mean
+from xtts_tpu.nn.encoder import TortoiseEncoder, TransformerEncoder, masked_mean
 
 Dtype = Any
 
@@ -33,12 +33,31 @@ class CLVP(nn.Module):
                                  dtype=self.dtype)
         self.speech_emb = nn.Embed(c.num_speech_tokens, c.dim_speech,
                                    dtype=self.dtype)
-        self.text_enc = TransformerEncoder(
-            depth=c.text_enc_depth, dim=c.dim_text, heads=c.text_heads,
-            dtype=self.dtype, name="text_transformer")
-        self.speech_enc = TransformerEncoder(
-            depth=c.speech_enc_depth, dim=c.dim_speech, heads=c.speech_heads,
-            dtype=self.dtype, name="speech_transformer")
+        if c.use_xformers:
+            # the rotary/RMSNorm x-transformers variant (use_xformers=True,
+            # ttts/clvp/model.py:53-84)
+            self.text_enc = TransformerEncoder(
+                depth=c.text_enc_depth, dim=c.dim_text, heads=c.text_heads,
+                dtype=self.dtype, name="text_transformer")
+            self.speech_enc = TransformerEncoder(
+                depth=c.speech_enc_depth, dim=c.dim_speech,
+                heads=c.speech_heads, dtype=self.dtype,
+                name="speech_transformer")
+        else:
+            # LIVE default: tortoise Transformer with learned abs positions
+            # (ttts/clvp/model.py:86-98); note the reference sizes the
+            # speech pos table by num_speech_tokens, not seq_len (:98)
+            self.text_enc = TortoiseEncoder(
+                depth=c.text_enc_depth, dim=c.dim_text, heads=c.text_heads,
+                dtype=self.dtype, name="text_transformer")
+            self.speech_enc = TortoiseEncoder(
+                depth=c.speech_enc_depth, dim=c.dim_speech,
+                heads=c.speech_heads, dtype=self.dtype,
+                name="speech_transformer")
+            self.text_pos_emb = nn.Embed(c.text_seq_len, c.dim_text,
+                                         dtype=self.dtype)
+            self.speech_pos_emb = nn.Embed(c.num_speech_tokens, c.dim_speech,
+                                           dtype=self.dtype)
         self.to_text_latent = nn.Dense(c.dim_latent, use_bias=False,
                                        dtype=self.dtype)
         self.to_speech_latent = nn.Dense(c.dim_latent, use_bias=False,
@@ -49,13 +68,19 @@ class CLVP(nn.Module):
 
     def embed_text(self, text: jnp.ndarray,
                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = self.text_enc(self.text_emb(text), mask)
+        h = self.text_emb(text)
+        if not self.cfg.use_xformers:
+            h = h + self.text_pos_emb(jnp.arange(text.shape[1]))
+        h = self.text_enc(h, mask)
         lat = self.to_text_latent(masked_mean(h, mask))
         return lat / jnp.linalg.norm(lat, axis=-1, keepdims=True)
 
     def embed_speech(self, codes: jnp.ndarray,
                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = self.speech_enc(self.speech_emb(codes), mask)
+        h = self.speech_emb(codes)
+        if not self.cfg.use_xformers:
+            h = h + self.speech_pos_emb(jnp.arange(codes.shape[1]))
+        h = self.speech_enc(h, mask)
         lat = self.to_speech_latent(masked_mean(h, mask))
         return lat / jnp.linalg.norm(lat, axis=-1, keepdims=True)
 

@@ -124,7 +124,9 @@ class HifiganGenerator(nn.Module):
                        name=f"res_{i}_{j}")(o)
                 z = r if z is None else z + r
             o = z / len(self.resblock_kernel_sizes)
-        o = nn.leaky_relu(o, LRELU_SLOPE)
+        # the reference's final activation is F.leaky_relu with the DEFAULT
+        # 0.01 slope, not LRELU_SLOPE (hifigan_vocoder.py:336)
+        o = nn.leaky_relu(o, 0.01)
         o = nn.Conv(self.out_channels, (7,), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="conv_post")(o)
         return jnp.tanh(o)
@@ -135,6 +137,28 @@ class HifiganGenerator(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _ChannelNorm(nn.Module):
+    """Pluggable norm for the speaker encoder.
+
+    mode="layer": LayerNorm over channels — our training-friendly choice (no
+    batch-stat collectives across a pjit mesh, batch-size-independent
+    inference). mode="affine": per-channel scale/shift — exactly what the
+    reference's eval-mode BatchNorm2d computes once its running stats are
+    folded in, the target layout for converted reference checkpoints."""
+
+    channels: int
+    mode: str = "layer"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.mode == "layer":
+            return nn.LayerNorm(dtype=self.dtype)(x)
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        shift = self.param("shift", nn.initializers.zeros, (self.channels,))
+        return x * scale + shift
+
+
 class _SELayer(nn.Module):
     channels: int
     reduction: int = 8
@@ -142,64 +166,97 @@ class _SELayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, T, F, C)
+        # x: (B, T, F, C) — squeeze-excite (hifigan_vocoder.py:378-393)
         s = x.mean(axis=(1, 2))
         s = nn.relu(nn.Dense(max(1, self.channels // self.reduction),
-                             dtype=self.dtype)(s))
-        s = nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype)(s))
+                             dtype=self.dtype, name="fc1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, dtype=self.dtype,
+                                name="fc2")(s))
         return x * s[:, None, None, :]
 
 
 class _SEBasicBlock(nn.Module):
+    """conv1 -> relu -> norm1 -> conv2 -> norm2 -> SE -> +residual -> relu,
+    the exact op order of the reference SEBasicBlock
+    (hifigan_vocoder.py:396-427); convs are biasless like the reference."""
+
     channels: int
     stride: int = 1
+    norm_mode: str = "layer"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        # explicit symmetric padding: flax "SAME" pads (0,1) at stride 2,
+        # torch padding=1 pads (1,1) — different input positions
         h = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", dtype=self.dtype)(x)
-        h = nn.relu(nn.LayerNorm(dtype=self.dtype)(h))
-        h = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype)(h)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
-        h = _SELayer(self.channels, dtype=self.dtype)(h)
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(h)
+        h = _ChannelNorm(self.channels, self.norm_mode, dtype=self.dtype,
+                         name="norm1")(h)
+        h = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(h)
+        h = _ChannelNorm(self.channels, self.norm_mode, dtype=self.dtype,
+                         name="norm2")(h)
+        h = _SELayer(self.channels, dtype=self.dtype, name="se")(h)
         if x.shape[-1] != self.channels or self.stride != 1:
-            x = nn.Conv(self.channels, (1, 1),
+            x = nn.Conv(self.channels, (1, 1), use_bias=False,
                         strides=(self.stride, self.stride),
                         dtype=self.dtype, name="short")(x)
+            x = _ChannelNorm(self.channels, self.norm_mode, dtype=self.dtype,
+                             name="short_norm")(x)
         return nn.relu(x + h)
+
+
+def instance_norm_time(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm1d(no affine) over the time axis of (B, T, F) — the
+    reference normalizes each mel channel per utterance
+    (hifigan_vocoder.py:495,576)."""
+    mean = x.mean(axis=1, keepdims=True)
+    var = x.var(axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
 class ResNetSpeakerEncoder(nn.Module):
     """SE-ResNet34-style d-vector network over a 64-bin 16 kHz log-mel
-    (hifigan_vocoder.py:461-654). Input (B, T, 64) log-mel; output l2-normed
+    (hifigan_vocoder.py:461-654). Input (B, T, 64) LOG-mel (log(mel+1e-6)
+    applied by the caller / speaker_encoder_features); instance-norm over
+    time happens here like the reference (:576). Output l2-normed
     (B, proj_dim).
 
-    Divergence: the reference uses BatchNorm; here LayerNorm — batch-stat
-    synchronization across a pjit mesh costs collectives for no quality gain
-    at this model size, and inference becomes batch-size independent."""
+    norm_mode="layer" (default) trains without batch statistics;
+    norm_mode="affine" is the converted-checkpoint layout (folded eval BN)."""
 
     proj_dim: int = 512
     layers: Tuple[int, ...] = (3, 4, 6, 3)
     num_filters: Tuple[int, ...] = (32, 64, 128, 256)
+    norm_mode: str = "layer"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, mel):
-        x = mel[..., None]  # (B, T, F, 1)
+        x = instance_norm_time(mel)[..., None]  # (B, T, F, 1)
         x = nn.Conv(self.num_filters[0], (3, 3), padding="SAME",
                     dtype=self.dtype, name="stem")(x)
-        x = nn.relu(nn.LayerNorm(dtype=self.dtype)(x))
+        x = nn.relu(x)
+        x = _ChannelNorm(self.num_filters[0], self.norm_mode,
+                         dtype=self.dtype, name="stem_norm")(x)
         for si, (n, ch) in enumerate(zip(self.layers, self.num_filters)):
             for bi in range(n):
                 stride = 2 if (bi == 0 and si > 0) else 1
-                x = _SEBasicBlock(ch, stride, dtype=self.dtype,
+                x = _SEBasicBlock(ch, stride, self.norm_mode,
+                                  dtype=self.dtype,
                                   name=f"stage{si}_block{bi}")(x)
-        # collapse frequency into channels -> (B, T', F'*C)
+        # collapse (C, F') into one vector per frame, channel-major like the
+        # reference's (B, C, F, T) -> (B, C*F, T) reshape (:583)
         b, t, f, c = x.shape
-        x = x.reshape(b, t, f * c)
-        # attentive statistics pooling (ASP)
-        w = nn.tanh(nn.Dense(128, dtype=self.dtype, name="asp_fc")(x))
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, t, c * f)
+        # attentive statistics pooling: conv1x1 -> relu -> norm -> conv1x1
+        # -> softmax over time (:515-521, 586-592)
+        w = nn.relu(nn.Dense(128, dtype=self.dtype, name="asp_fc")(x))
+        w = _ChannelNorm(128, self.norm_mode, dtype=self.dtype,
+                         name="asp_norm")(w)
         w = jax.nn.softmax(nn.Dense(x.shape[-1], dtype=self.dtype,
                                     name="asp_att")(w), axis=1)
         mu = jnp.sum(x * w, axis=1)
@@ -239,7 +296,8 @@ class HifiDecoder(nn.Module):
             dtype=self.dtype,
         )
         self.speaker_encoder = ResNetSpeakerEncoder(
-            proj_dim=c.d_vector_dim, dtype=self.dtype)
+            proj_dim=c.d_vector_dim, norm_mode=c.speaker_norm_mode,
+            dtype=self.dtype)
 
     def __call__(self, latents: jnp.ndarray,
                  g: Optional[jnp.ndarray] = None,

@@ -136,6 +136,90 @@ class TransformerEncoder(nn.Module):
         return self.final_norm(x)
 
 
+class TortoiseAttention(nn.Module):
+    """Bidirectional attention of ttts/utils/transformer.py:135-179: fixed
+    dim_head (inner = heads*dim_head, independent of dim), biasless qkv,
+    biased out projection, pre-softmax -inf masking."""
+
+    dim: int
+    heads: int
+    dim_head: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        b, t, _ = x.shape
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, self.heads, self.dim_head)
+        k = k.reshape(b, t, self.heads, self.dim_head)
+        v = v.reshape(b, t, self.heads, self.dim_head)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.dim_head)
+        if mask is not None:
+            logits = jnp.where(mask[:, None, None, :].astype(bool),
+                               logits, NEG_INF)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, inner)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(y)
+
+
+class TortoiseEncoderBlock(nn.Module):
+    """x += scale_a * attn(ln(x)); x += scale_f * geglu_ff(ln(x)) — the
+    LayerScale/PreNorm/SequentialSequence composition of
+    ttts/utils/transformer.py:50-115,182-223. `depth_index` (1-based) sets
+    the LayerScale init (0.1 / 1e-5 / 1e-6 per :82-88)."""
+
+    dim: int
+    heads: int
+    depth_index: int
+    ff_mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        init_eps = (0.1 if self.depth_index <= 18
+                    else 1e-5 if self.depth_index <= 24 else 1e-6)
+        scale_a = self.param("scale_attn",
+                             nn.initializers.constant(init_eps), (self.dim,))
+        scale_f = self.param("scale_ff",
+                             nn.initializers.constant(init_eps), (self.dim,))
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm_attn")(x).astype(x.dtype)
+        h = TortoiseAttention(self.dim, self.heads, dtype=self.dtype,
+                              name="attn")(h, mask)
+        x = x + h * scale_a
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm_ff")(x).astype(x.dtype)
+        inner = self.dim * self.ff_mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="ff_in")(h)
+        a, gates = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.gelu(gates, approximate=False)   # GEGLU (:113-116)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
+        return x + h * scale_f
+
+
+class TortoiseEncoder(nn.Module):
+    """The reference CLVP's LIVE tower (use_xformers=False default,
+    ttts/clvp/model.py:86-89): learned abs positions are added by the
+    caller; no final norm."""
+
+    depth: int
+    dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.blocks = [TortoiseEncoderBlock(self.dim, self.heads, i + 1,
+                                            dtype=self.dtype,
+                                            name=f"layer_{i}")
+                       for i in range(self.depth)]
+
+    def __call__(self, x, mask=None):
+        for blk in self.blocks:
+            x = blk(x, mask)
+        return x
+
+
 def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """(B, T, D) x (B, T) -> (B, D); plain mean when mask is None
     (ttts/clvp/model.py:15-17 masked_mean)."""

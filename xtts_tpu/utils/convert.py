@@ -391,6 +391,196 @@ def aa_diffusion_from_reference(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# CLVP (reference ttts/clvp/model.py, live use_xformers=False tower)
+# ---------------------------------------------------------------------------
+
+def clvp_from_reference(sd: Mapping[str, Any], text_depth: int = 20,
+                        speech_depth: int = 20) -> Dict[str, Any]:
+    """Reference CLVP state dict -> xtts_tpu CLVP params (live tower:
+    tortoise Transformer, ttts/utils/transformer.py:182-223).
+
+    Reference layer path: {tower}.layers.layers.{i}.{0|1} where 0 =
+    LayerScale(PreNorm(Attention)), 1 = LayerScale(PreNorm(FeedForward));
+    scale is (1, 1, dim) -> squeezed to (dim,)."""
+
+    def tower(prefix: str, depth: int) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for i in range(depth):
+            lp = f"{prefix}.layers.layers.{i}."
+            out[f"layer_{i}"] = {
+                "scale_attn": _np(sd[lp + "0.scale"])[0, 0],
+                "norm_attn": layer_norm(sd, lp + "0.fn.norm"),
+                "attn": {
+                    "to_qkv": linear(sd, lp + "0.fn.fn.to_qkv"),
+                    "to_out": linear(sd, lp + "0.fn.fn.to_out.0"),
+                },
+                "scale_ff": _np(sd[lp + "1.scale"])[0, 0],
+                "norm_ff": layer_norm(sd, lp + "1.fn.norm"),
+                "ff_in": linear(sd, lp + "1.fn.fn.net.0"),
+                "ff_out": linear(sd, lp + "1.fn.fn.net.3"),
+            }
+        return out
+
+    return {
+        "text_emb": embedding(sd, "text_emb"),
+        "speech_emb": embedding(sd, "speech_emb"),
+        "text_pos_emb": embedding(sd, "text_pos_emb"),
+        "speech_pos_emb": embedding(sd, "speech_pos_emb"),
+        "text_transformer": tower("text_transformer", text_depth),
+        "speech_transformer": tower("speech_transformer", speech_depth),
+        "to_text_latent": linear(sd, "to_text_latent"),
+        "to_speech_latent": linear(sd, "to_speech_latent"),
+        "temperature": _np(sd["temperature"]).reshape(1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN (reference ttts/hifigan/hifigan_vocoder.py -> models.hifigan)
+# ---------------------------------------------------------------------------
+
+def _wn_weight(sd: Mapping[str, Any], prefix: str) -> np.ndarray:
+    """Materialize a torch weight_norm'd weight: w = g * v / ||v|| with the
+    norm over all dims except 0 (weight_norm default dim=0). Falls back to a
+    plain `weight` key (post remove_weight_norm checkpoints)."""
+    if f"{prefix}.weight" in sd:
+        return _np(sd[f"{prefix}.weight"])
+    # torch >= 2.1 parametrize-style keys
+    if f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _np(sd[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(sd[f"{prefix}.parametrizations.weight.original1"])
+    else:
+        g = _np(sd[f"{prefix}.weight_g"])
+        v = _np(sd[f"{prefix}.weight_v"])
+    axes = tuple(range(1, v.ndim))
+    return g * v / np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+
+
+def _conv1d_wn(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.transpose(_wn_weight(sd, prefix), (2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convtranspose1d_wn(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch ConvTranspose1d (in, out, k) -> flax ConvTranspose
+    (padding='SAME') kernel (k, in, out) FLIPPED along k — empirically exact
+    for the k=2*stride, padding=(k-stride)//2 geometry HiFi-GAN uses."""
+    w = _wn_weight(sd, prefix)
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _bn_affine(sd: Mapping[str, Any], prefix: str,
+               eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """Fold eval-mode BatchNorm running stats into a per-channel affine
+    (the _ChannelNorm mode='affine' layout)."""
+    w = _np(sd[f"{prefix}.weight"])
+    b = _np(sd[f"{prefix}.bias"])
+    mean = _np(sd[f"{prefix}.running_mean"])
+    var = _np(sd[f"{prefix}.running_var"])
+    scale = w / np.sqrt(var + eps)
+    return {"scale": scale, "shift": b - mean * scale}
+
+
+def _conv2d_swapped(sd: Mapping[str, Any], prefix: str,
+                    weight_key: str = "weight") -> Dict[str, np.ndarray]:
+    """torch Conv2d (out, in, kF, kT) on (B, 1, F, T) images -> flax Conv
+    (kT, kF, in, out) on our (B, T, F, C) layout (spatial axes swapped)."""
+    w = _np(sd[f"{prefix}.{weight_key}"])
+    out = {"kernel": np.transpose(w, (3, 2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def hifigan_generator_from_reference(
+        sd: Mapping[str, Any], prefix: str = "",
+        n_up: int = 4, n_kernels: int = 3,
+        resblock_type: str = "1", n_dilations: int = 3,
+        cond: bool = True, cond_in_each: bool = True) -> Dict[str, Any]:
+    """HifiganGenerator state dict (hifigan_vocoder.py:223-305) ->
+    models.hifigan.HifiganGenerator params."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "conv_pre": _conv1d_wn(sd, p + "conv_pre"),
+        "conv_post": _conv1d_wn(sd, p + "conv_post"),
+    }
+    if cond:
+        out["cond_layer"] = _squeeze_conv1x1(sd, p + "cond_layer")
+    for i in range(n_up):
+        out[f"up_{i}"] = _convtranspose1d_wn(sd, f"{p}ups.{i}")
+        if cond and cond_in_each:
+            out[f"cond_up_{i}"] = _squeeze_conv1x1(sd, f"{p}conds.{i}")
+        for j in range(n_kernels):
+            rp = f"{p}resblocks.{i * n_kernels + j}."
+            blk: Dict[str, Any] = {}
+            for m in range(n_dilations):
+                if resblock_type == "1":
+                    blk[f"c1_{m}"] = _conv1d_wn(sd, f"{rp}convs1.{m}")
+                    blk[f"c2_{m}"] = _conv1d_wn(sd, f"{rp}convs2.{m}")
+                else:
+                    blk[f"c_{m}"] = _conv1d_wn(sd, f"{rp}convs.{m}")
+            out[f"res_{i}_{j}"] = blk
+    return out
+
+
+def speaker_encoder_from_reference(
+        sd: Mapping[str, Any], prefix: str = "",
+        layers=(3, 4, 6, 3)) -> Dict[str, Any]:
+    """ResNetSpeakerEncoder (hifigan_vocoder.py:461-654) ->
+    models.hifigan.ResNetSpeakerEncoder params (norm_mode='affine'):
+    BatchNorms fold to affines; Conv2d spatial axes swap (we run (B,T,F,C),
+    the reference (B,C,F,T)); feature flattening is channel-major on both
+    sides so the ASP/fc weights transfer directly."""
+    p = prefix
+    out: Dict[str, Any] = {
+        "stem": _conv2d_swapped(sd, p + "conv1"),
+        "stem_norm": _bn_affine(sd, p + "bn1"),
+        "asp_fc": _squeeze_conv1x1(sd, p + "attention.0"),
+        "asp_norm": _bn_affine(sd, p + "attention.2"),
+        "asp_att": _squeeze_conv1x1(sd, p + "attention.3"),
+        "proj": linear(sd, p + "fc"),
+    }
+    for si, n in enumerate(layers):
+        for bi in range(n):
+            bp = f"{p}layer{si + 1}.{bi}."
+            blk: Dict[str, Any] = {
+                "conv1": _conv2d_swapped(sd, bp + "conv1"),
+                "norm1": _bn_affine(sd, bp + "bn1"),
+                "conv2": _conv2d_swapped(sd, bp + "conv2"),
+                "norm2": _bn_affine(sd, bp + "bn2"),
+                "se": {"fc1": linear(sd, bp + "se.fc.0"),
+                       "fc2": linear(sd, bp + "se.fc.2")},
+            }
+            if f"{bp}downsample.0.weight" in sd:
+                blk["short"] = _conv2d_swapped(sd, bp + "downsample.0")
+                blk["short_norm"] = _bn_affine(sd, bp + "downsample.1")
+            out[f"stage{si}_block{bi}"] = blk
+    return out
+
+
+def hifigan_from_reference(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """Full HifiDecoder state dict (waveform_decoder + speaker_encoder,
+    hifigan_vocoder.py:655-771) -> HifiDecoder params. Requires
+    cfg.speaker_norm_mode == 'affine' on the target model."""
+    return {
+        "waveform_decoder": hifigan_generator_from_reference(
+            sd, "waveform_decoder.",
+            n_up=len(cfg.upsample_rates),
+            n_kernels=len(cfg.resblock_kernel_sizes),
+            resblock_type=cfg.resblock_type,
+            n_dilations=len(cfg.resblock_dilation_sizes[0]),
+            cond=True,
+            cond_in_each=cfg.cond_d_vector_in_each_upsampling_layer),
+        "speaker_encoder": speaker_encoder_from_reference(
+            sd, "speaker_encoder."),
+    }
+
+
+# ---------------------------------------------------------------------------
 # generic state-dict utilities
 # ---------------------------------------------------------------------------
 

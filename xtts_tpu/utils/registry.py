@@ -63,14 +63,17 @@ def _register_defaults():
     register("clvp",
              lambda cfg, dtype: CLVP(cfg.clvp, dtype=dtype),
              lambda cfg: (jnp.zeros((1, 8), jnp.int32),
-                          jnp.zeros((1, 8), jnp.int32)))
+                          jnp.zeros((1, 8), jnp.int32)),
+             lambda sd, cfg: cv.clvp_from_reference(
+                 sd, cfg.clvp.text_enc_depth, cfg.clvp.speech_enc_depth))
     register("classifier",
              lambda cfg, dtype: AudioClassifier(cfg.classifier, dtype=dtype),
              lambda cfg: (jnp.zeros((1, 64, cfg.classifier.spec_dim)),))
     register("hifigan",
              lambda cfg, dtype: HifiDecoder(cfg.hifigan, dtype=dtype),
              lambda cfg: (jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim)),
-                          jnp.zeros((1, cfg.hifigan.d_vector_dim))))
+                          jnp.zeros((1, cfg.hifigan.d_vector_dim))),
+             lambda sd, cfg: cv.hifigan_from_reference(sd, cfg.hifigan))
 
 
 _register_defaults()
