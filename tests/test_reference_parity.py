@@ -767,3 +767,109 @@ class TestHifiganParity:
         got = np.asarray(ours.apply({"params": params},
                                     jnp.asarray(spec.transpose(0, 2, 1))))
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization + tokenizer
+# ---------------------------------------------------------------------------
+
+def _nsw_corpus():
+    """~200 generated NSW cases spanning every reference rule family
+    (zh_normalization/: num, chronology, phonecode, quantifier,
+    char_convert)."""
+    cases = []
+    for y, mo, d in [(2024, 3, 5), (1999, 12, 31), (2008, 8, 8), (85, 1, 1)]:
+        cases.append(f"{y}年{mo}月{d}日发生的事。")
+        cases.append(f"{y}年{mo}月。")
+    cases += [f"{y}-{m:02d}-{d:02d}启程" for y, m, d in
+              [(2023, 5, 6), (2020, 11, 30)]]
+    for h, m in [(12, 30), (8, 5), (23, 59), (0, 30), (9, 0), (15, 45)]:
+        cases.append(f"现在{h}:{m:02d}了")
+    cases += ["8:30-12:30上班", "09:00~17:30营业", "10:15:30整"]
+    for t in ["-3.5℃", "25°C", "-40度", "36.6摄氏度", "0℃"]:
+        cases.append(f"气温{t}左右")
+    for n in ["12", "105", "1100", "10010", "123456", "12345678",
+              "110000", "1000000", "100000001", "0", "7"]:
+        cases.append(f"共{n}个")
+        cases.append(f"编号{n}。")
+    for n in ["3.5", "0.5", "12.25", "-7.5", "3.20", "0.50", ".75"]:
+        cases.append(f"结果是{n}")
+    for p in ["12%", "0.5%", "-3%", "99.99%"]:
+        cases.append(f"涨幅{p}")
+    for f in ["3/4", "1/3", "-5/8"]:
+        cases.append(f"大约{f}的人")
+    cases += ["电话010-66122197转8", "手机13812345678有效",
+              "热线400-666-8800咨询", "号码+86 13587654321。",
+              "座机66122197快记下"]
+    for r in ["90-95", "3.5~4.5", "100-200"]:
+        cases.append(f"得分{r}分")
+    cases += ["体重70kg重", "身高175cm高", "容量500ml装", "距离3km远",
+              "面积120m2大", "速度5m每秒"]
+    for q in ["3个", "10位", "200块", "5年", "30岁", "8条", "100多万元",
+              "20来人", "3+场"]:
+        cases.append(f"一共{q}")
+    cases += ["愛漢語繁體字轉換測試", "這裡有幾個繁體的詞語",
+              "第①名、第②名和第⑩名", "π和Ω是希腊字母",
+              "他說：買了１２３４个蘋果", "尺寸5cm²和3m³",
+              "温度-5℃~5℃波动", "上午09:05:05开会",
+              "增长0.5个百分点", "他住3单元402室"]
+    return cases
+
+
+class TestTNDifferential:
+    def test_zero_divergence_on_nsw_corpus(self):
+        """Our normalizer must reproduce the reference TextNormalizer
+        sentence-for-sentence on the NSW corpus
+        (zh_normalization/text_normlization.py:120-150 rule cascade)."""
+        from ttts.gpt.text.zh_normalization.text_normlization import \
+            TextNormalizer as RefTN
+        from xtts_tpu.text.normalize import TextNormalizer as OurTN
+
+        ref, our = RefTN(), OurTN()
+        diffs = []
+        for case in _nsw_corpus():
+            r = ref.normalize(case)
+            o = our.normalize(case)
+            if r != o:
+                diffs.append((case, r, o))
+        assert not diffs, f"{len(diffs)} divergences, first: {diffs[0]}"
+
+
+class TestTokenizerFileParity:
+    SHIPPED = "/root/reference/ttts/gpt/gpt_tts_tokenizer.json"
+
+    def test_shipped_vocab_identical_ids(self):
+        """Both wrappers load the SHIPPED 255-vocab tokenizer json and
+        produce identical ids over frontend output
+        (ttts/gpt/voice_tokenizer.py:43-57)."""
+        from ttts.gpt.voice_tokenizer import VoiceBpeTokenizer as RefTok
+        from xtts_tpu.text.tokenizer import VoiceBpeTokenizer
+
+        ref = RefTok(self.SHIPPED)
+        ours = VoiceBpeTokenizer(self.SHIPPED)
+        assert ours.vocab_size == 255
+        texts = [
+            "[ZH] ni3 hao3 shi4 jie4",
+            "[ZH] zhe4 shi4 yi2 ge4 ce4 shi4",
+            "[ZH] chun1 mian2 bu4 jue2 xiao3 , chu4 chu4 wen2 ti2 niao3 .",
+            "[EN] hello world",
+            "jin1 tian1 tian1 qi4 zhen1 hao3 !",
+        ]
+        for t in texts:
+            got = ours.encode(t)
+            want = ref.encode(t)
+            assert got == want, (t, got, want)
+            assert ours.decode(got) == ref.decode(want)
+
+    def test_frontend_output_tokenizes(self):
+        """Full zh frontend -> shipped tokenizer: everything the frontend
+        emits must be encodable without [UNK] explosions."""
+        from xtts_tpu.text.cleaner import clean_text
+        from xtts_tpu.text.tokenizer import VoiceBpeTokenizer
+
+        tok = VoiceBpeTokenizer(self.SHIPPED)
+        _, words = clean_text("今天天气真好，我们去公园散步吧。", "ZH")
+        ids = tok.encode(" ".join(words))
+        assert len(ids) > 0
+        unk_frac = sum(1 for i in ids if i == 1) / len(ids)
+        assert unk_frac < 0.1, (words, ids)

@@ -25,6 +25,20 @@ from xtts_tpu.text.symbols import PUNCTUATION
 
 log = logging.getLogger(__name__)
 
+# Running OOV accounting: characters no G2P backend could voice. The
+# reference (pypinyin-backed) never drops; our lexicon path can, so the drops
+# are logged AND countable (oov_stats()/reset_oov_stats()) instead of silent.
+_OOV_COUNTS: dict = {}
+
+
+def oov_stats() -> dict:
+    """{char: drop_count} for every hanzi dropped since the last reset."""
+    return dict(_OOV_COUNTS)
+
+
+def reset_oov_stats() -> None:
+    _OOV_COUNTS.clear()
+
 # Marker standing in for an extracted latin-script word during segmentation
 # (the reference uses the same sentinel trick, chinese.py:19,115-148).
 _EN_MARK = "▁"  # ▁
@@ -138,6 +152,7 @@ def _g2w(sentences: List[str]) -> List[str]:
                         kept_chars.append(ch)
                         syls.append(ch)
                     else:
+                        _OOV_COUNTS[ch] = _OOV_COUNTS.get(ch, 0) + 1
                         log.warning("g2p: no reading for %r (dropped)", ch)
                     continue
                 kept_chars.append(ch)

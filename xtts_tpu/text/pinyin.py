@@ -201,7 +201,24 @@ class G2P:
                     break
             if matched:
                 continue
-            out.append(self._chars.get(word[i]))
+            ch = word[i]
+            syl = self._chars.get(ch)
+            if syl is None:
+                # OOV fallback 1: traditional form of a known simplified
+                # char (the reference normalizes via pypinyin's full table,
+                # ttts/gpt/text/chinese.py:105-108; we map trad->simp)
+                from xtts_tpu.text.trad_simp_data import TRAD_TO_SIMP
+                simp = TRAD_TO_SIMP.get(ch)
+                if simp is not None:
+                    syl = self._chars.get(simp)
+            if syl is None:
+                # OOV fallback 2: Unicode compatibility ideographs (U+F900+)
+                # NFKC-fold onto their canonical CJK codepoint
+                import unicodedata
+                folded = unicodedata.normalize("NFKC", ch)
+                if folded != ch:
+                    syl = self._chars.get(folded)
+            out.append(syl)
             i += 1
         return out
 
