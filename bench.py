@@ -13,7 +13,8 @@ Prints ONE JSON line:
 Knobs (env):
   BENCH_MAX_GEN     AR token budget           (default 300)
   BENCH_DIFF_STEPS  diffusion steps           (default 50)
-  BENCH_REPEATS     timed repetitions         (default 3)
+  BENCH_REPEATS     timed repetitions         (default 5; e2e reports the
+                    MEDIAN RTF plus p50/p90 utterance latency and variance)
   BENCH_BATCH       serving batch size        (default 8)
   BENCH_QUANT       1 (default) = int8 weight-only AR decode engine
   BENCH_PATH        'e2e' (default) | 'ar' (GPT tokens/sec, batch 1)
@@ -43,7 +44,7 @@ def main():
 
     max_gen = int(os.environ.get("BENCH_MAX_GEN", 300))
     diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 50))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
     path = os.environ.get("BENCH_PATH", "e2e")
 
     cfg = XTTSConfig()
@@ -130,22 +131,28 @@ def main():
     for i in range(repeats):
         run_e2e(jax.random.PRNGKey(i))
 
-    times, audio = [], []
+    # median-of-N with per-utterance latency percentiles (BASELINE.md tracks
+    # p50 utterance latency; tunnel RTF jitter is ~±15%, so single
+    # measurements are not defensible — PERF.md)
+    times, rtfs = [], []
     for i in range(repeats):
         t0 = time.perf_counter()
         out = run_e2e(jax.random.PRNGKey(i))
         dt = time.perf_counter() - t0
         times.append(dt)
-        audio.append(out["wav"].shape[1] / sr)
+        rtfs.append(dt / max(out["wav"].shape[1] / sr, 1e-9))
 
-    total_audio = sum(audio)
-    total_wall = sum(times)
-    rtf = total_wall / max(total_audio, 1e-9)
+    rtf = float(np.median(rtfs))
     print(json.dumps({
         "metric": "e2e_rtf_per_chip",
         "value": round(rtf, 4),
         "unit": "wall_s_per_audio_s",
         "vs_baseline": round(TARGET_RTF / rtf, 4),
+        "p50_latency_s": round(float(np.percentile(times, 50)), 3),
+        "p90_latency_s": round(float(np.percentile(times, 90)), 3),
+        "rtf_mean": round(float(np.mean(rtfs)), 4),
+        "rtf_std": round(float(np.std(rtfs)), 4),
+        "repeats": repeats,
     }))
 
 
