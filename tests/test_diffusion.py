@@ -103,8 +103,9 @@ class TestSampling:
         out = gd.p_mean_variance_from_output(
             cond(jnp.zeros((1, 2, 4)), None), jnp.zeros((1, 2, 4)),
             jnp.array([5]), uncond(jnp.zeros((1, 2, 4)), None))
-        t_orig = int(np.asarray(gd.timestep_map)[5])
-        cfk = 2.0 * (1 - t_orig / 1000)
+        # the reference ramps on the SPACED index over the spaced count
+        # (ttts/utils/diffusion.py:352; pinned by test_reference_parity)
+        cfk = 2.0 * (1 - 5 / gd.num_timesteps)
         # eps = (1+cfk)*1 - cfk*0 = 1+cfk
         np.testing.assert_allclose(np.asarray(out["eps"]), 1 + cfk, rtol=1e-5)
 

@@ -1,0 +1,307 @@
+"""Fused single-launch GPT decode step (int8 weights) — Pallas TPU kernel.
+
+Motivation (PERF.md round 2): the XLA B=1 int8-dequant matvec chain streams
+weights at only ~344 GB/s (42% of the v5e HBM roof); bf16 manages 490 GB/s
+and W8A8 is worse still — the M=1 decode step is launch/fusion-bound, not
+compute-bound. This kernel executes the ENTIRE per-token transformer step
+(15 layers + ln_f + mel_head) in ONE pallas_call:
+
+  per layer: LN1 -> q/k/v matvecs -> KV-cache attention -> proj
+             -> LN2 -> fc -> gelu_new -> out (accumulated K-splits)
+  then ln_f -> final_norm is left outside -> mel_head tiles.
+
+Design:
+* every weight matrix is pre-cut into uniform (D, D) int8 tiles stacked as
+  one (T, D, D) HBM array (qkv=3 N-tiles, proj=1, fc=4 N-tiles, out=4
+  K-tiles accumulated, mel_head=9 N-tiles incl. padding) with matching
+  (T, D) f32 scale/bias rows; a 4-slot VMEM ring double-buffers the tile
+  DMAs so dequant+matvec of tile t overlaps the DMA of t+2..t+3;
+* dequant int8->bf16 on the VPU feeds (8, D) x (D, D) MXU matvecs (the
+  single live row is broadcast to 8 sublanes);
+* attention uses the MXU for head-group reductions: scores = (k ⊙ q) @ G
+  and the V-sum uses G^T, where G is the (D, H) head-indicator matrix —
+  no (S, H, hd) reshapes (Mosaic cannot retile 64-lane groups);
+* the new token's k/v row DMAs straight into the HBM cache at the
+  scalar-prefetched dynamic position; the VMEM cache copy is never mutated —
+  the current token's attention term is added in closed form;
+* LayerNorms/softmax in f32, residual bf16 — matching xtts_tpu/infer/qdecode
+  numerics (greedy tokens agree with the XLA engine).
+
+Single-sequence (B=1): this is the latency-floor path (the reference hot
+loop, ttts/gpt/model.py:108-186). Batched serving keeps the XLA engine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+RING = 4  # weight-tile ring slots
+
+
+def _ln(x32, scale, bias):
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+def _gelu_new(x):
+    """HF gelu_new (tanh approximation) in f32."""
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x ** 3)))
+
+
+def _make_kernel(layers: int, d: int, heads: int, s_max: int,
+                 head_tiles: int):
+    hd = d // heads
+    att_scale = 1.0 / np.sqrt(hd)
+    tiles_per_layer = 12  # q, k, v, proj, (fc, out) x 4
+
+    def kernel(idx_ref,                       # scalar prefetch (1,) int32
+               x_ref,                         # (8, D) bf16 (row 0 live)
+               ln_ref,                        # (L, 4, D) f32 (ln1 s/b, ln2 s/b)
+               w_ref,                         # HBM (T, D, D) int8
+               s_ref,                         # (T, D) f32 tile scales
+               b_ref,                         # (T, D) f32 tile biases
+               lnf_ref,                       # (4, D) f32 (ln_f s/b, final s/b)
+               kc_ref, vc_ref,                # HBM (L, S, D) bf16
+               logits_ref,                    # (8, HT*D) f32 out
+               kc_out, vc_out,                # aliased HBM caches
+               wbuf, kbuf, vbuf, krow, vrow,  # scratch
+               wsem, csem, rowsem):
+        idx = idx_ref[0]
+        n_tiles = layers * tiles_per_layer + head_tiles
+
+        def w_dma(t: int):
+            return pltpu.make_async_copy(w_ref.at[t], wbuf.at[t % RING],
+                                         wsem.at[t % RING])
+
+        def cache_dma(li: int):
+            slot = li % 2
+            return (pltpu.make_async_copy(kc_ref.at[li], kbuf.at[slot],
+                                          csem.at[2 * slot]),
+                    pltpu.make_async_copy(vc_ref.at[li], vbuf.at[slot],
+                                          csem.at[2 * slot + 1]))
+
+        for t in range(RING - 1):
+            w_dma(t).start()
+        for dma in cache_dma(0):
+            dma.start()
+
+        # head-indicator matrix for group sums: G[c, h] = (c // hd == h)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (d, heads), 0) // hd
+        head_id = jax.lax.broadcasted_iota(jnp.int32, (d, heads), 1)
+        g_dn = (lane == head_id).astype(jnp.bfloat16)            # (D, H)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (s_max, heads), 0)
+        key_valid = pos < idx                                    # (S, H)
+
+        step = [0]  # python box so tile() can advance it during unroll
+
+        def tile(x_in):
+            """x_in (8, D or None) -> (8, D) f32 = x_in @ deq(W_t) * s + b."""
+            t = step[0]
+            w_dma(t).wait()
+            if t + RING - 1 < n_tiles:
+                w_dma(t + RING - 1).start()
+            w = wbuf[t % RING].astype(jnp.bfloat16)
+            y = (jnp.dot(x_in, w, preferred_element_type=jnp.float32)
+                 * s_ref[t][None, :] + b_ref[t][None, :])
+            step[0] = t + 1
+            return y
+
+        x = x_ref[:].astype(jnp.float32)                         # (8, D)
+        for li in range(layers):
+            h = _ln(x, ln_ref[li, 0], ln_ref[li, 1]).astype(jnp.bfloat16)
+            q = tile(h)
+            knew = tile(h)
+            vnew = tile(h)
+
+            # stream the new row into the HBM cache at position idx
+            krow[:] = knew[:1].astype(jnp.bfloat16)
+            vrow[:] = vnew[:1].astype(jnp.bfloat16)
+            kout = pltpu.make_async_copy(
+                krow, kc_out.at[li, pl.ds(idx, 1), :], rowsem.at[0])
+            vout = pltpu.make_async_copy(
+                vrow, vc_out.at[li, pl.ds(idx, 1), :], rowsem.at[1])
+            kout.start()
+            vout.start()
+
+            # ---- attention over the cached prefix + the new token ----
+            kd, vd = cache_dma(li)
+            kd.wait()
+            vd.wait()
+            if li + 1 < layers:
+                for dma in cache_dma(li + 1):
+                    dma.start()
+            qb = q[:1].astype(jnp.bfloat16)                      # (1, D)
+            kc = kbuf[li % 2]                                    # (S, D)
+            vc = vbuf[li % 2]
+            scores = jnp.dot(kc * qb, g_dn,
+                             preferred_element_type=jnp.float32) * att_scale
+            self_s = jnp.dot(knew[:1].astype(jnp.bfloat16) * qb, g_dn,
+                             preferred_element_type=jnp.float32) * att_scale
+            scores = jnp.where(key_valid, scores, NEG_INF)       # (S, H)
+            m = jnp.maximum(jnp.max(scores, axis=0, keepdims=True), self_s)
+            e = jnp.where(key_valid, jnp.exp(scores - m), 0.0)
+            e_self = jnp.exp(self_s - m)                         # (1, H)
+            denom = jnp.sum(e, axis=0, keepdims=True) + e_self
+            wts = (e / denom).astype(jnp.bfloat16)               # (S, H)
+            wts_d = jnp.dot(wts, g_dn.T,
+                            preferred_element_type=jnp.bfloat16)  # (S, D)
+            att = jnp.sum((vc * wts_d).astype(jnp.float32), axis=0,
+                          keepdims=True)
+            att = att + (jnp.dot((e_self / denom).astype(jnp.float32),
+                                 g_dn.T.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
+                         * vnew[:1])
+            att_b = jnp.broadcast_to(att, (8, d)).astype(jnp.bfloat16)
+
+            x = x + tile(att_b)                                  # proj
+
+            h2 = _ln(x, ln_ref[li, 2], ln_ref[li, 3]).astype(jnp.bfloat16)
+            acc = None
+            for _ in range(4):                                   # fc/out
+                mact = _gelu_new(tile(h2)).astype(jnp.bfloat16)
+                part = tile(mact)
+                acc = part if acc is None else acc + part
+            x = x + acc
+
+            kout.wait()
+            vout.wait()
+
+        x = _ln(x, lnf_ref[0], lnf_ref[1])                       # ln_f
+        x = _ln(x, lnf_ref[2], lnf_ref[3])                       # final_norm
+        xh = x.astype(jnp.bfloat16)
+        for ti in range(head_tiles):
+            logits_ref[:, ti * d:(ti + 1) * d] = tile(xh)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layers", "heads", "interpret"))
+def fused_decode_logits(stacked: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                        kc: jnp.ndarray, vc: jnp.ndarray, index,
+                        layers: int, heads: int, interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused decode step: token hidden -> mel-head logits.
+
+    stacked: tree from stack_qtree(); x: (1, D) token embedding (mel emb +
+    pos emb); kc/vc: (L, S, D) bf16 caches; index: absolute position of this
+    token. Returns (logits (1, head_tiles*D) f32 — slice to vocab outside,
+    kc, vc).
+    """
+    d = x.shape[-1]
+    s_max = kc.shape[1]
+    head_tiles = stacked["head_tiles"]
+    kern = _make_kernel(layers, d, heads, s_max, head_tiles)
+    x8 = jnp.broadcast_to(x.astype(jnp.bfloat16), (8, d))
+    idx = jnp.asarray(index, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ln
+            pl.BlockSpec(memory_space=pltpu.ANY),    # w tiles (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lnf
+            pl.BlockSpec(memory_space=pltpu.ANY),    # kc
+            pl.BlockSpec(memory_space=pltpu.ANY),    # vc
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # logits
+            pl.BlockSpec(memory_space=pltpu.ANY),    # kc out
+            pl.BlockSpec(memory_space=pltpu.ANY),    # vc out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RING, d, d), jnp.int8),       # weight ring
+            pltpu.VMEM((2, s_max, d), jnp.bfloat16),  # k cache buf
+            pltpu.VMEM((2, s_max, d), jnp.bfloat16),  # v cache buf
+            pltpu.VMEM((1, d), jnp.bfloat16),         # k row out
+            pltpu.VMEM((1, d), jnp.bfloat16),         # v row out
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    logits, kc2, vc2 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, head_tiles * d), jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ],
+        # operand order incl. the scalar: [idx(0), x(1), ln(2), w(3), s(4),
+        # b(5), lnf(6), kc(7), vc(8)] — caches alias through to outputs 1, 2
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx, x8, stacked["ln"], stacked["w"], stacked["s"], stacked["b"],
+      stacked["lnf"], kc, vc)
+    return logits[:1], kc2, vc2
+
+
+def stack_qtree(qt: Dict[str, Any], vocab: int) -> Dict[str, Any]:
+    """qdecode quantized tree -> uniform (D, D)-tile arrays for the fused
+    kernel. Padded mel-head columns get scale 0 / bias NEG_INF so sampling
+    can never pick them."""
+    ls = qt["layers"]
+    d = ls[0]["qkv"]["w"].shape[0]
+    tiles, scales, biases = [], [], []
+
+    def add(w, s, b):
+        tiles.append(w)
+        scales.append(jnp.asarray(s, jnp.float32))
+        biases.append(jnp.asarray(b, jnp.float32))
+
+    for l in ls:
+        for i in range(3):                       # q, k, v
+            sl = slice(i * d, (i + 1) * d)
+            add(l["qkv"]["w"][:, sl], l["qkv"]["scale"][sl], l["qkv_b"][sl])
+        add(l["proj"]["w"], l["proj"]["scale"], l["proj_b"])
+        for i in range(4):                       # interleaved fc_i, out_i
+            sl = slice(i * d, (i + 1) * d)
+            add(l["fc"]["w"][:, sl], l["fc"]["scale"][sl], l["fc_b"][sl])
+            add(l["out"]["w"][sl, :], l["out"]["scale"],
+                l["out_b"] if i == 0 else jnp.zeros((d,), jnp.float32))
+
+    hw, hs = qt["mel_head"]["w"], qt["mel_head"]["scale"]
+    hb = qt["mel_head_b"]
+    head_tiles = -(-vocab // d)
+    pad = head_tiles * d - vocab
+    hw = jnp.pad(hw, ((0, 0), (0, pad)))
+    hs = jnp.pad(hs, (0, pad))
+    hb = jnp.pad(hb, (0, pad), constant_values=NEG_INF)
+    for i in range(head_tiles):
+        sl = slice(i * d, (i + 1) * d)
+        add(hw[:, sl], hs[sl], hb[sl])
+
+    ln = jnp.stack([
+        jnp.stack([l["ln_1"]["scale"], l["ln_1"]["bias"],
+                   l["ln_2"]["scale"], l["ln_2"]["bias"]]) for l in ls
+    ]).astype(jnp.float32)
+    lnf = jnp.stack([
+        qt["ln_f"]["scale"], qt["ln_f"]["bias"],
+        qt["final_norm"]["scale"], qt["final_norm"]["bias"],
+    ]).astype(jnp.float32)
+
+    return {
+        "w": jnp.stack(tiles),
+        "s": jnp.stack(scales),
+        "b": jnp.stack(biases),
+        "ln": ln,
+        "lnf": lnf,
+        "head_tiles": head_tiles,
+        "vocab": vocab,
+    }
