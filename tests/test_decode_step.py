@@ -1,0 +1,146 @@
+"""Fused single-launch decode-step kernel parity vs the XLA qdecode engine.
+
+The kernel (xtts_tpu/ops/decode_step.py) re-implements the whole int8
+per-token transformer step in one pallas_call; these tests run it in
+interpret mode on CPU and assert logits + cache-row parity against
+qdecode._decode_logits (the shipped XLA engine, itself parity-tested
+against the bf16 flax model and the reference hot loop,
+ttts/gpt/model.py:108-186).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xtts_tpu.infer import qdecode
+from xtts_tpu.nn.transformer import KVCache
+from xtts_tpu.ops import decode_step
+
+LAYERS, D, HEADS, S_MAX, VOCAB = 2, 128, 2, 128, 200
+
+
+def make_qtree(seed=0):
+    rng = np.random.default_rng(seed)
+
+    def qd(i, o):
+        w = rng.standard_normal((i, o)).astype(np.float32) * 0.1
+        return qdecode.quantize_dense(jnp.asarray(w))
+
+    def vec(n, lo=-0.2, hi=0.2):
+        return jnp.asarray(rng.uniform(lo, hi, n).astype(np.float32))
+
+    layers = []
+    for _ in range(LAYERS):
+        layers.append({
+            "ln_1": {"scale": 1.0 + vec(D), "bias": vec(D)},
+            "ln_2": {"scale": 1.0 + vec(D), "bias": vec(D)},
+            "qkv": qd(D, 3 * D), "qkv_b": vec(3 * D),
+            "proj": qd(D, D), "proj_b": vec(D),
+            "fc": qd(D, 4 * D), "fc_b": vec(4 * D),
+            "out": qd(4 * D, D), "out_b": vec(D),
+        })
+    return {
+        "layers": layers,
+        "ln_f": {"scale": 1.0 + vec(D), "bias": vec(D)},
+        "final_norm": {"scale": 1.0 + vec(D), "bias": vec(D)},
+        "mel_head": qd(D, VOCAB), "mel_head_b": vec(VOCAB),
+        "mel_embedding": jnp.asarray(
+            rng.standard_normal((VOCAB, D)).astype(np.float32) * 0.3,
+            jnp.bfloat16),
+        "mel_pos_embedding": jnp.asarray(
+            rng.standard_normal((S_MAX, D)).astype(np.float32) * 0.1,
+            jnp.bfloat16),
+    }
+
+
+def make_cache(seed, prefix_len):
+    """Random bf16 cache with the first prefix_len rows populated."""
+    rng = np.random.default_rng(seed)
+    k = np.zeros((LAYERS, 1, S_MAX, HEADS, D // HEADS), np.float32)
+    v = np.zeros_like(k)
+    k[:, :, :prefix_len] = rng.standard_normal(
+        (LAYERS, 1, prefix_len, HEADS, D // HEADS)) * 0.5
+    v[:, :, :prefix_len] = rng.standard_normal(
+        (LAYERS, 1, prefix_len, HEADS, D // HEADS)) * 0.5
+    return KVCache(jnp.asarray(k, jnp.bfloat16), jnp.asarray(v, jnp.bfloat16))
+
+
+def flatten_cache(c: KVCache):
+    """(L, 1, S, H, hd) -> (L, S, D) — the fused kernel's layout."""
+    return (c.k[:, 0].reshape(LAYERS, S_MAX, D),
+            c.v[:, 0].reshape(LAYERS, S_MAX, D))
+
+
+@pytest.mark.parametrize("index,mel_pos", [(0, 1), (17, 5), (100, 36),
+                                           (S_MAX - 1, 60)])
+def test_fused_matches_xla_engine(index, mel_pos):
+    qt = make_qtree()
+    stacked = decode_step.stack_qtree(qt, VOCAB)
+    cache = make_cache(7 + index, index)
+    tok = jnp.asarray([3], jnp.int32)
+
+    ref_logits, ref_cache = qdecode._decode_logits(
+        qt, HEADS, tok, mel_pos, cache, index)
+
+    kc, vc = flatten_cache(cache)
+    x = (qt["mel_embedding"][tok]
+         + qt["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+    logits, kc2, vc2 = decode_step.fused_decode_logits(
+        stacked, x, kc, vc, index, LAYERS, HEADS, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(logits[:, :VOCAB]),
+                               np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    # padded head columns must be unreachable under argmax
+    assert int(jnp.argmax(logits)) < VOCAB
+    assert float(jnp.max(logits[:, VOCAB:])) < -1e8
+
+    # the new k/v row lands in the HBM cache at `index`
+    ref_k, ref_v = flatten_cache(ref_cache)
+    np.testing.assert_allclose(np.asarray(kc2[:, index], np.float32),
+                               np.asarray(ref_k[:, index], np.float32),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(vc2[:, index], np.float32),
+                               np.asarray(ref_v[:, index], np.float32),
+                               rtol=3e-2, atol=3e-2)
+    # ... and nothing else moved
+    mask = np.arange(S_MAX) != index
+    np.testing.assert_array_equal(
+        np.asarray(kc2[:, mask], np.float32),
+        np.asarray(kc[:, mask], np.float32))
+
+
+def test_greedy_chain_matches_xla_engine():
+    """20-token greedy chains agree (same argmax at every step)."""
+    qt = make_qtree(1)
+    stacked = decode_step.stack_qtree(qt, VOCAB)
+    prefix = 11
+    cache = make_cache(3, prefix)
+    kc, vc = flatten_cache(cache)
+    tok_ref = jnp.asarray([5], jnp.int32)
+    tok_fus = tok_ref
+    ref_cache = cache
+    for step in range(20):
+        mel_pos = step + 1
+        index = prefix + step
+        ref_logits, ref_cache = qdecode._decode_logits(
+            qt, HEADS, tok_ref, mel_pos, ref_cache, index)
+        x = (qt["mel_embedding"][tok_fus]
+             + qt["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+        logits, kc, vc = decode_step.fused_decode_logits(
+            stacked, x, kc, vc, index, LAYERS, HEADS, interpret=True)
+        a, b = int(jnp.argmax(ref_logits)), int(jnp.argmax(logits))
+        assert a == b, f"step {step}: ref {a} vs fused {b}"
+        tok_ref = jnp.asarray([a], jnp.int32)
+        tok_fus = jnp.asarray([b], jnp.int32)
+
+
+def test_stack_qtree_shapes():
+    qt = make_qtree(2)
+    st = decode_step.stack_qtree(qt, VOCAB)
+    tiles = LAYERS * 12 + st["head_tiles"]
+    assert st["w"].shape == (tiles, D, D)
+    assert st["s"].shape == (tiles, D)
+    assert st["b"].shape == (tiles, D)
+    assert st["ln"].shape == (LAYERS, 4, D)
+    assert st["head_tiles"] == -(-VOCAB // D)

@@ -33,6 +33,7 @@ loop, ttts/gpt/model.py:108-186). Batched serving keeps the XLA engine.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -42,7 +43,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
-RING = 4  # weight-tile ring slots
+# The weight stream is issued as GROUP consecutive (D, D) tiles per DMA
+# (one contiguous GROUP-MB transfer); RING counts in-flight groups. VMEM
+# budget: the weight ring is RING*GROUP MB of int8 scratch on top of ~8 MB
+# of cache/aux buffers at S_max=640 — GROUP*RING must stay <= ~6 or the
+# kernel exceeds the 16 MB scoped-vmem limit at the flagship shape.
+GROUP = int(os.environ.get("XTTS_DECODE_GROUP", 2))
+RING = int(os.environ.get("XTTS_DECODE_RING", 2))
 
 
 def _ln(x32, scale, bias):
@@ -58,10 +65,14 @@ def _gelu_new(x):
 
 
 def _make_kernel(layers: int, d: int, heads: int, s_max: int,
-                 head_tiles: int):
+                 head_tiles: int, group: int, ring: int):
     hd = d // heads
     att_scale = 1.0 / np.sqrt(hd)
     tiles_per_layer = 12  # q, k, v, proj, (fc, out) x 4
+    GROUP, RING = group, ring
+    skip_attn = os.environ.get("XTTS_DECODE_SKIP_ATTN") == "1"  # ablation
+    w8a8 = os.environ.get("XTTS_DECODE_W8A8") == "1"  # int8-MXU experiment
+    skip_mm = os.environ.get("XTTS_DECODE_SKIP_MM") == "1"  # DMA-floor ablation
 
     def kernel(idx_ref,                       # scalar prefetch (1,) int32
                x_ref,                         # (8, D) bf16 (row 0 live)
@@ -72,15 +83,23 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                lnf_ref,                       # (4, D) f32 (ln_f s/b, final s/b)
                kc_ref, vc_ref,                # HBM (L, S, D) bf16
                logits_ref,                    # (8, HT*D) f32 out
-               kc_out, vc_out,                # aliased HBM caches
-               wbuf, kbuf, vbuf, krow, vrow,  # scratch
-               wsem, csem, rowsem):
+               krows_ref, vrows_ref,          # (L, 8, D) bf16 new-row outs
+               wbuf, kbuf, vbuf,              # scratch
+               wsem, csem):
         idx = idx_ref[0]
         n_tiles = layers * tiles_per_layer + head_tiles
+        n_groups = -(-n_tiles // GROUP)
 
-        def w_dma(t: int):
-            return pltpu.make_async_copy(w_ref.at[t], wbuf.at[t % RING],
-                                         wsem.at[t % RING])
+        def w_dma(g: int):
+            start = g * GROUP
+            size = min(GROUP, n_tiles - start)
+            if size == GROUP:
+                return pltpu.make_async_copy(
+                    w_ref.at[pl.ds(start, GROUP)], wbuf.at[g % RING],
+                    wsem.at[g % RING])
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(start, size)],
+                wbuf.at[g % RING, pl.ds(0, size)], wsem.at[g % RING])
 
         def cache_dma(li: int):
             slot = li % 2
@@ -89,8 +108,8 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                     pltpu.make_async_copy(vc_ref.at[li], vbuf.at[slot],
                                           csem.at[2 * slot + 1]))
 
-        for t in range(RING - 1):
-            w_dma(t).start()
+        for g in range(min(RING - 1, n_groups)):
+            w_dma(g).start()
         for dma in cache_dma(0):
             dma.start()
 
@@ -103,34 +122,59 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
 
         step = [0]  # python box so tile() can advance it during unroll
 
-        def tile(x_in):
-            """x_in (8, D or None) -> (8, D) f32 = x_in @ deq(W_t) * s + b."""
+        def tile(x_in, xq=None):
+            """x_in (8, D) bf16 -> (8, D) f32 = x_in @ deq(W_t) * s + b.
+
+            w8a8 mode: xq = (int8 rows, f32 scalar scale) precomputed once
+            per distinct input — the matmul runs on the int8 MXU path (2x
+            throughput, no dequant convert on the VPU).
+            """
             t = step[0]
-            w_dma(t).wait()
-            if t + RING - 1 < n_tiles:
-                w_dma(t + RING - 1).start()
-            w = wbuf[t % RING].astype(jnp.bfloat16)
-            y = (jnp.dot(x_in, w, preferred_element_type=jnp.float32)
-                 * s_ref[t][None, :] + b_ref[t][None, :])
+            g, j = divmod(t, GROUP)
+            if j == 0:
+                w_dma(g).wait()
+                if g + RING - 1 < n_groups:
+                    w_dma(g + RING - 1).start()
+            if skip_mm:  # ablation: DMA chain only (sum keeps the read live)
+                y = (jnp.sum(wbuf[g % RING, j][:8].astype(jnp.float32),
+                             axis=0, keepdims=True) * 1e-6
+                     + b_ref[t][None, :])
+                y = jnp.broadcast_to(y, (8, d))
+            elif w8a8 and xq is not None:
+                xi, xs = xq
+                y = jnp.dot(xi, wbuf[g % RING, j],
+                            preferred_element_type=jnp.int32)
+                y = (y.astype(jnp.float32) * (s_ref[t][None, :] * xs)
+                     + b_ref[t][None, :])
+            else:
+                w = wbuf[g % RING, j].astype(jnp.bfloat16)
+                y = (jnp.dot(x_in, w, preferred_element_type=jnp.float32)
+                     * s_ref[t][None, :] + b_ref[t][None, :])
             step[0] = t + 1
             return y
+
+        def quant_rows(h):
+            """(8, D) -> (int8 rows, f32 scalar scale) for the w8a8 path."""
+            if not w8a8:
+                return None
+            h32 = h.astype(jnp.float32)
+            xs = jnp.maximum(jnp.max(jnp.abs(h32)), 1e-6) / 127.0
+            xi = jnp.clip(jnp.round(h32 / xs), -127, 127).astype(jnp.int8)
+            return xi, xs
 
         x = x_ref[:].astype(jnp.float32)                         # (8, D)
         for li in range(layers):
             h = _ln(x, ln_ref[li, 0], ln_ref[li, 1]).astype(jnp.bfloat16)
-            q = tile(h)
-            knew = tile(h)
-            vnew = tile(h)
+            hq = quant_rows(h)
+            q = tile(h, hq)
+            knew = tile(h, hq)
+            vnew = tile(h, hq)
 
-            # stream the new row into the HBM cache at position idx
-            krow[:] = knew[:1].astype(jnp.bfloat16)
-            vrow[:] = vnew[:1].astype(jnp.bfloat16)
-            kout = pltpu.make_async_copy(
-                krow, kc_out.at[li, pl.ds(idx, 1), :], rowsem.at[0])
-            vout = pltpu.make_async_copy(
-                vrow, vc_out.at[li, pl.ds(idx, 1), :], rowsem.at[1])
-            kout.start()
-            vout.start()
+            # export the new k/v row (the caller inserts it at position idx
+            # with an XLA dynamic_update_slice — a sublane-1 DMA at a dynamic
+            # offset is not expressible in Mosaic, CLAUDE.md gotchas)
+            krows_ref[li] = knew.astype(jnp.bfloat16)
+            vrows_ref[li] = vnew.astype(jnp.bfloat16)
 
             # ---- attention over the cached prefix + the new token ----
             kd, vd = cache_dma(li)
@@ -139,6 +183,18 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
             if li + 1 < layers:
                 for dma in cache_dma(li + 1):
                     dma.start()
+            if skip_attn:  # ablation: pipeline floor without attention math
+                att_b = q.astype(jnp.bfloat16)
+                x = x + tile(att_b, quant_rows(att_b))
+                h2 = _ln(x, ln_ref[li, 2], ln_ref[li, 3]).astype(jnp.bfloat16)
+                h2q = quant_rows(h2)
+                acc = None
+                for _ in range(4):
+                    mact = _gelu_new(tile(h2, h2q)).astype(jnp.bfloat16)
+                    part = tile(mact, quant_rows(mact))
+                    acc = part if acc is None else acc + part
+                x = x + acc
+                continue
             qb = q[:1].astype(jnp.bfloat16)                      # (1, D)
             kc = kbuf[li % 2]                                    # (S, D)
             vc = vbuf[li % 2]
@@ -153,7 +209,8 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
             denom = jnp.sum(e, axis=0, keepdims=True) + e_self
             wts = (e / denom).astype(jnp.bfloat16)               # (S, H)
             wts_d = jnp.dot(wts, g_dn.T,
-                            preferred_element_type=jnp.bfloat16)  # (S, D)
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)                # (S, D)
             att = jnp.sum((vc * wts_d).astype(jnp.float32), axis=0,
                           keepdims=True)
             att = att + (jnp.dot((e_self / denom).astype(jnp.float32),
@@ -162,33 +219,32 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                          * vnew[:1])
             att_b = jnp.broadcast_to(att, (8, d)).astype(jnp.bfloat16)
 
-            x = x + tile(att_b)                                  # proj
+            x = x + tile(att_b, quant_rows(att_b))               # proj
 
             h2 = _ln(x, ln_ref[li, 2], ln_ref[li, 3]).astype(jnp.bfloat16)
+            h2q = quant_rows(h2)
             acc = None
             for _ in range(4):                                   # fc/out
-                mact = _gelu_new(tile(h2)).astype(jnp.bfloat16)
-                part = tile(mact)
+                mact = _gelu_new(tile(h2, h2q)).astype(jnp.bfloat16)
+                part = tile(mact, quant_rows(mact))
                 acc = part if acc is None else acc + part
             x = x + acc
-
-            kout.wait()
-            vout.wait()
 
         x = _ln(x, lnf_ref[0], lnf_ref[1])                       # ln_f
         x = _ln(x, lnf_ref[2], lnf_ref[3])                       # final_norm
         xh = x.astype(jnp.bfloat16)
+        xhq = quant_rows(xh)
         for ti in range(head_tiles):
-            logits_ref[:, ti * d:(ti + 1) * d] = tile(xh)
+            logits_ref[:, ti * d:(ti + 1) * d] = tile(xh, xhq)
 
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("layers", "heads", "interpret"))
 def fused_decode_logits(stacked: Dict[str, jnp.ndarray], x: jnp.ndarray,
                         kc: jnp.ndarray, vc: jnp.ndarray, index,
-                        layers: int, heads: int, interpret: bool = False
+                        layers: int, heads: int,
+                        interpret: bool | None = None,
+                        group: int | None = None, ring: int | None = None
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused decode step: token hidden -> mel-head logits.
 
@@ -197,10 +253,23 @@ def fused_decode_logits(stacked: Dict[str, jnp.ndarray], x: jnp.ndarray,
     token. Returns (logits (1, head_tiles*D) f32 — slice to vocab outside,
     kc, vc).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    head_tiles = int(stacked["head_tiles"])
+    return _fused_decode_logits(
+        {k: v for k, v in stacked.items() if k not in ("head_tiles", "vocab")},
+        x, kc, vc, index, layers=layers, heads=heads, head_tiles=head_tiles,
+        interpret=interpret, group=group or GROUP, ring=ring or RING)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layers", "heads", "head_tiles",
+                                    "interpret", "group", "ring"))
+def _fused_decode_logits(stacked, x, kc, vc, index, layers, heads,
+                         head_tiles, interpret, group=GROUP, ring=RING):
     d = x.shape[-1]
     s_max = kc.shape[1]
-    head_tiles = stacked["head_tiles"]
-    kern = _make_kernel(layers, d, heads, s_max, head_tiles)
+    kern = _make_kernel(layers, d, heads, s_max, head_tiles, group, ring)
     x8 = jnp.broadcast_to(x.astype(jnp.bfloat16), (8, d))
     idx = jnp.asarray(index, jnp.int32).reshape(1)
 
@@ -210,45 +279,44 @@ def fused_decode_logits(stacked: Dict[str, jnp.ndarray], x: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ln
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w tiles (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # w tiles (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scales
             pl.BlockSpec(memory_space=pltpu.VMEM),   # biases
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lnf
-            pl.BlockSpec(memory_space=pltpu.ANY),    # kc
-            pl.BlockSpec(memory_space=pltpu.ANY),    # vc
+            pl.BlockSpec(memory_space=pl.ANY),    # kc
+            pl.BlockSpec(memory_space=pl.ANY),    # vc
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # logits
-            pl.BlockSpec(memory_space=pltpu.ANY),    # kc out
-            pl.BlockSpec(memory_space=pltpu.ANY),    # vc out
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # k new rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v new rows
         ],
         scratch_shapes=[
-            pltpu.VMEM((RING, d, d), jnp.int8),       # weight ring
+            pltpu.VMEM((ring, group, d, d), jnp.int8),  # weight-group ring
             pltpu.VMEM((2, s_max, d), jnp.bfloat16),  # k cache buf
             pltpu.VMEM((2, s_max, d), jnp.bfloat16),  # v cache buf
-            pltpu.VMEM((1, d), jnp.bfloat16),         # k row out
-            pltpu.VMEM((1, d), jnp.bfloat16),         # v row out
-            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SemaphoreType.DMA((ring,)),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    logits, kc2, vc2 = pl.pallas_call(
+    logits, krows, vrows = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, head_tiles * d), jnp.float32),
-            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct((layers, 8, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((layers, 8, d), jnp.bfloat16),
         ],
-        # operand order incl. the scalar: [idx(0), x(1), ln(2), w(3), s(4),
-        # b(5), lnf(6), kc(7), vc(8)] — caches alias through to outputs 1, 2
-        input_output_aliases={7: 1, 8: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(idx, x8, stacked["ln"], stacked["w"], stacked["s"], stacked["b"],
       stacked["lnf"], kc, vc)
+    # insert the new rows at the dynamic position via XLA (in-place with
+    # donation; ~61 KB per step — negligible vs the 200 MB weight stream)
+    kc2 = jax.lax.dynamic_update_slice(
+        kc, krows[:, :1, :].astype(kc.dtype), (0, index, 0))
+    vc2 = jax.lax.dynamic_update_slice(
+        vc, vrows[:, :1, :].astype(vc.dtype), (0, index, 0))
     return logits[:1], kc2, vc2
 
 
