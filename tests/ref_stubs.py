@@ -101,6 +101,18 @@ def _build_torchaudio() -> None:
     functional_inner._mel_to_hz = _mel_to_hz
     functional.melscale_fbanks = melscale_fbanks
 
+    def resample(waveform, orig_freq, new_freq):
+        """Identity at equal rates; linear interpolation otherwise (enough
+        for alignment parity tests, which run at the model rate)."""
+        if orig_freq == new_freq:
+            return waveform
+        n_out = int(round(waveform.shape[-1] * new_freq / orig_freq))
+        return nn.functional.interpolate(
+            waveform.reshape(1, 1, -1).float(), size=n_out, mode="linear",
+            align_corners=False).reshape(waveform.shape[:-1] + (n_out,))
+
+    functional.resample = resample
+
     class Spectrogram(nn.Module):
         def __init__(self, n_fft=400, win_length=None, hop_length=None,
                      pad=0, power=2.0, normalized=False, center=True,

@@ -58,7 +58,10 @@ class TestQProcess:
 
 
 class TestSampling:
-    @pytest.mark.parametrize("sampler", ["p", "ddim", "dpm++2m", "unipc"])
+    @pytest.mark.parametrize("sampler", ["p", "ddim", "dpm++2m", "unipc",
+                                         "dpm++2m_solver", "dpm++3m",
+                                         "dpm++fast", "unipc_bh1",
+                                         "unipc_bh2", "unipc_vary"])
     def test_loop_shapes_finite(self, sampler):
         gd = GaussianDiffusion.spaced(1000, 10)
         x = gd.sample_loop(dummy_model, (2, 4, 16), jax.random.PRNGKey(0),
@@ -76,12 +79,16 @@ class TestSampling:
             acp = jnp.asarray(
                 np.cumprod(1 - np.asarray(
                     GaussianDiffusion.spaced(1000, 1000).betas)), jnp.float32)
-            ab = acp[t_orig].reshape(-1, 1, 1)
+            # solver-backed samplers feed float base-schedule times
+            ti = jnp.clip(jnp.round(t_orig).astype(jnp.int32), 0, 999)
+            ab = acp[ti].reshape(-1, 1, 1)
             eps = (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
             return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=1)
 
         errs = {}
-        for sampler in ("ddim", "dpm++2m", "unipc"):
+        for sampler in ("ddim", "dpm++2m", "unipc", "dpm++2m_solver",
+                        "dpm++3m", "dpm++fast", "unipc_bh1", "unipc_bh2",
+                        "unipc_vary"):
             gd = GaussianDiffusion.spaced(1000, 8)
             x = gd.sample_loop(perfect, (1, 1, 8), jax.random.PRNGKey(0),
                                sampler=sampler)

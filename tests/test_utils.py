@@ -93,19 +93,38 @@ class TestAlignment:
             Wav2VecAlignment()
 
     def test_redact_with_injected_model(self):
-        # fake CTC: 20 frames; token i emitted at frame 2*i
-        def fake_fn(wav):
-            logits = np.full((20, 10), -1.0)
-            logits[:, 0] = 1.0
-            for i in range(1, 8):
-                logits[2 * i, i] = 5.0
-            return logits
+        # fake char CTC over 'a'..'c'+' ' (ids 1..4, 0=blank): each char of
+        # the spoken text "cut abc" emitted for 2 frames + a blank
+        chars = "cut abx"   # 'x' stands in for chars outside vocab
+        vocab = {c: i + 1 for i, c in enumerate("cut abx")}
 
-        al = Wav2VecAlignment(model_fn=fake_fn)
-        wav = np.arange(2000, dtype=np.float32)
-        out = al.redact(wav, "[cut] hello", encode=lambda s: [1, 2, 3])
-        assert len(out) < len(wav)          # something was cut
-        out2 = al.redact(wav, "hello", encode=lambda s: [1, 2, 3])
+        def encode(s):
+            return [vocab.get(ch, 9) for ch in s]
+
+        def decode(ids):
+            inv = {v: k for k, v in vocab.items()}
+            out, prev = [], None
+            for i in ids:
+                if i != prev and i != 0:
+                    out.append(inv.get(i, "?"))
+                prev = i
+            return "".join(out)
+
+        spoken = "cut ab"
+        rows = []
+        for ch in spoken:
+            rows += [vocab[ch]] * 2 + [0]
+        logits = np.full((len(rows), 10), -1.0)
+        logits[np.arange(len(rows)), rows] = 5.0
+
+        al = Wav2VecAlignment(model_fn=lambda wav: logits, encode=encode,
+                              decode=decode)
+        wav = np.arange(len(rows) * 100, dtype=np.float32)
+        out = al.redact(wav, "[cut ]ab")
+        assert len(out) < len(wav)          # bracketed span was excised
+        # the kept audio is the aligned span of "ab", a contiguous suffix cut
+        assert np.all(np.diff(out) == 1)
+        out2 = al.redact(wav, "cut ab")
         assert len(out2) == len(wav)        # no brackets -> untouched
 
 

@@ -92,6 +92,9 @@ class GaussianDiffusion:
     conditioning_free: bool = False
     conditioning_free_k: float = 1.0
     ramp_conditioning_free: bool = True
+    base_betas: Optional[np.ndarray] = field(default=None, repr=False)
+    # full training schedule retained by spaced() for the continuous-time
+    # external solvers (solver_sample_loop)
 
     # derived (filled in __post_init__)
     alphas_cumprod: np.ndarray = field(default=None, repr=False)
@@ -159,7 +162,7 @@ class GaussianDiffusion:
                 tmap.append(i)
         return GaussianDiffusion(
             betas=np.array(new_betas), timestep_map=np.array(tmap),
-            original_num_steps=num_train_steps, **kw)
+            original_num_steps=num_train_steps, base_betas=base_betas, **kw)
 
     # ------------------------------------------------------------------
     # q process
@@ -325,7 +328,10 @@ class GaussianDiffusion:
             if out_uc is not None:
                 eps_uc = jnp.split(out_uc, 2, axis=1)[0]
                 k = self.conditioning_free_k
-                eps = (1 + k) * eps - k * eps_uc
+                # model_wrapper's classifier-free mix u + k*(c-u)
+                # (ttts/sampler/dpm_solver.py:322-330) — the k-diffusion live
+                # path does NOT use the ancestral (1+k)c - k*u ramped form
+                eps = eps_uc + k * (eps - eps_uc)
             x0 = self.predict_xstart_from_eps(x, t, eps)
             return jnp.clip(x0, -1, 1)
 
@@ -387,7 +393,7 @@ class GaussianDiffusion:
             if out_uc is not None:
                 eps_uc = jnp.split(out_uc, 2, axis=1)[0]
                 k = self.conditioning_free_k
-                eps = (1 + k) * eps - k * eps_uc
+                eps = eps_uc + k * (eps - eps_uc)   # model_wrapper mix
             x0 = self.predict_xstart_from_eps(x, t, eps)
             return jnp.clip(x0, -1, 1)
 
@@ -414,11 +420,65 @@ class GaussianDiffusion:
             body, (x, jnp.zeros_like(x), jnp.asarray(0.0)), jnp.arange(steps))
         return x
 
+    def solver_sample_loop(self, model_fn, shape, key, noise=None,
+                           model_fn_uncond=None, *, method="multistep",
+                           order=2, variant=None,
+                           algorithm="dpmsolver++",
+                           skip_type="time_uniform"):
+        """Reference-exact external-sampler path (k_diffusion_sample_loop,
+        ttts/utils/diffusion.py:487-638): a continuous-time DPM-Solver /
+        UniPC run over the BASE training schedule with NFE = the spaced step
+        count. The model receives float base-schedule times (the reference
+        feeds t*1000 directly, :538-541) and CFG uses the model_wrapper mix
+        u + k*(c - u) (ttts/sampler/dpm_solver.py:322-330)."""
+        from xtts_tpu.diffusion import solvers as S
+        base = self.base_betas if self.base_betas is not None else self.betas
+        ns = S.NoiseScheduleVP("discrete", betas=np.asarray(base, np.float64))
+        k = self.conditioning_free_k
+        cfree = self.conditioning_free
+
+        def eps_fn(x, t_input):
+            out = model_fn(x, t_input)
+            out_uc = None
+            if isinstance(out, tuple):
+                out, out_uc = out
+            elif cfree:
+                assert model_fn_uncond is not None
+                out_uc = model_fn_uncond(x, t_input)
+            eps = jnp.split(out, 2, axis=1)[0]
+            if out_uc is not None:
+                eps_uc = jnp.split(out_uc, 2, axis=1)[0]
+                eps = eps_uc + k * (eps - eps_uc)
+            return eps
+
+        key, nk = jax.random.split(key)
+        x = noise if noise is not None else jax.random.normal(nk, shape)
+        steps = self.num_timesteps
+        if variant is not None:
+            return S.sample_unipc(eps_fn, ns, x, steps=steps, order=order,
+                                  variant=variant, skip_type=skip_type)
+        return S.sample_dpm_solver(eps_fn, ns, x, steps=steps, order=order,
+                                   method=method, algorithm_type=algorithm,
+                                   skip_type=skip_type)
+
     def sample_loop(self, model_fn, shape, key, noise=None,
                     model_fn_uncond=None, sampler: str = "p"):
+        import functools as _ft
+        solver = _ft.partial  # brevity
         fns = {"p": self.p_sample_loop, "ddim": self.ddim_sample_loop,
                "dpm++2m": self.dpmpp_2m_sample_loop,
-               "unipc": self.unipc_sample_loop}
+               "unipc": self.unipc_sample_loop,
+               # continuous-time external solvers (solver_sample_loop)
+               "dpm++2m_solver": solver(self.solver_sample_loop, order=2),
+               "dpm++3m": solver(self.solver_sample_loop, order=3),
+               "dpm++fast": solver(self.solver_sample_loop, order=3,
+                                   method="singlestep"),
+               "unipc_bh1": solver(self.solver_sample_loop, order=2,
+                                   variant="bh1"),
+               "unipc_bh2": solver(self.solver_sample_loop, order=2,
+                                   variant="bh2"),
+               "unipc_vary": solver(self.solver_sample_loop, order=2,
+                                    variant="vary_coeff")}
         return fns[sampler](model_fn, shape, key, noise=noise,
                             model_fn_uncond=model_fn_uncond)
 
