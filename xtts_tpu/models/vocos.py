@@ -23,21 +23,49 @@ from xtts_tpu.dsp.spectral import istft
 Dtype = Any
 
 
+class AdaLayerNorm(nn.Module):
+    """LayerNorm whose scale/shift come from per-class embeddings
+    (ttts/vocoder/modules.py:63-87; init scale=1, shift=0). Used for the
+    multi-bandwidth Encodec-conditioned Vocos variant."""
+
+    num_embeddings: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, cond_id):  # x (B, T, C), cond_id () or (B,)
+        scale = nn.Embed(self.num_embeddings, self.dim,
+                         embedding_init=nn.initializers.ones,
+                         name="scale")(cond_id)
+        shift = nn.Embed(self.num_embeddings, self.dim,
+                         embedding_init=nn.initializers.zeros,
+                         name="shift")(cond_id)
+        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         dtype=jnp.float32)(x)
+        return x * scale + shift
+
+
 class ConvNeXtBlock(nn.Module):
     """Depthwise conv7 -> LN -> pw Dense(intermediate) -> GELU -> pw Dense
-    -> layer-scale -> residual (ttts/vocoder/modules.py:8-61)."""
+    -> layer-scale -> residual (ttts/vocoder/modules.py:8-61). With
+    `adanorm_num_embeddings` the LN is an AdaLayerNorm keyed by cond_id."""
 
     dim: int
     intermediate_dim: int
     layer_scale_init: float
+    adanorm_num_embeddings: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, T, C)
+    def __call__(self, x, cond_id=None):  # (B, T, C)
         res = x
         x = nn.Conv(self.dim, (7,), padding=3, feature_group_count=self.dim,
                     dtype=self.dtype, name="dwconv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x).astype(res.dtype)
+        if self.adanorm_num_embeddings:
+            x = AdaLayerNorm(self.adanorm_num_embeddings, self.dim,
+                             name="norm")(x, cond_id)
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(x)
+        x = x.astype(res.dtype)
         x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
@@ -49,22 +77,114 @@ class ConvNeXtBlock(nn.Module):
 
 class VocosBackbone(nn.Module):
     """Embed conv7 + LN + N ConvNeXt blocks + final LN
-    (ttts/vocoder/models.py:26-88)."""
+    (ttts/vocoder/models.py:26-88). `adanorm_num_embeddings` enables the
+    bandwidth-conditioned AdaLayerNorm path (Encodec variant)."""
 
     cfg: VocosConfig
+    adanorm_num_embeddings: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, mel_btc):
+    def __call__(self, mel_btc, cond_id=None):
         c = self.cfg
         x = nn.Conv(c.dim, (7,), padding=3, dtype=self.dtype, name="embed")(mel_btc)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x).astype(x.dtype)
+        if self.adanorm_num_embeddings:
+            x = AdaLayerNorm(self.adanorm_num_embeddings, c.dim,
+                             name="norm")(x, cond_id).astype(x.dtype)
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="norm")(x).astype(x.dtype)
         ls = 1.0 / c.num_layers
         for i in range(c.num_layers):
-            x = ConvNeXtBlock(c.dim, c.intermediate_dim, ls, dtype=self.dtype,
-                              name=f"convnext_{i}")(x)
+            x = ConvNeXtBlock(c.dim, c.intermediate_dim, ls,
+                              adanorm_num_embeddings=self.adanorm_num_embeddings,
+                              dtype=self.dtype, name=f"convnext_{i}")(
+                                  x, cond_id)
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                             name="final_layer_norm")(x).astype(x.dtype)
+
+
+class VocosResBlock1(nn.Module):
+    """HiFi-GAN-V1 dilated resblock without upsampling, with optional
+    layer-scale gammas (ttts/vocoder/modules.py:89-186)."""
+
+    dim: int
+    kernel_size: int = 3
+    dilations: tuple = (1, 3, 5)
+    lrelu_slope: float = 0.1
+    layer_scale_init: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        for i, d in enumerate(self.dilations):
+            h = nn.leaky_relu(x, self.lrelu_slope)
+            h = nn.Conv(self.dim, (self.kernel_size,), kernel_dilation=d,
+                        padding="SAME", dtype=self.dtype,
+                        name=f"convs1_{i}")(h)
+            h = nn.leaky_relu(h, self.lrelu_slope)
+            h = nn.Conv(self.dim, (self.kernel_size,), padding="SAME",
+                        dtype=self.dtype, name=f"convs2_{i}")(h)
+            if self.layer_scale_init:
+                gamma = self.param(f"gamma_{i}",
+                                   nn.initializers.constant(
+                                       self.layer_scale_init), (self.dim,))
+                h = gamma * h
+            x = x + h
+        return x
+
+
+class VocosResNetBackbone(nn.Module):
+    """Alternative ResBlock backbone (ttts/vocoder/models.py:100-127)."""
+
+    cfg: VocosConfig
+    num_blocks: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel_btc, cond_id=None):
+        c = self.cfg
+        x = nn.Conv(c.dim, (3,), padding=1, dtype=self.dtype,
+                    name="embed")(mel_btc)
+        ls = 1.0 / self.num_blocks / 3
+        for i in range(self.num_blocks):
+            x = VocosResBlock1(c.dim, layer_scale_init=ls, dtype=self.dtype,
+                               name=f"resnet_{i}")(x)
+        return x
+
+
+def encodec_features(codes: jnp.ndarray, codebook_weights: jnp.ndarray,
+                     bins: int) -> jnp.ndarray:
+    """Sum per-quantizer codebook embeddings in one vectorized gather
+    (ttts/vocoder/feature_extractors.py:155-168): codes (num_q, B, T) int32
+    + stacked weights (num_q*bins, D) -> features (B, D, T)."""
+    num_q = codes.shape[0]
+    offsets = (jnp.arange(num_q) * bins).reshape(-1, 1, 1)
+    emb = codebook_weights[codes + offsets]          # (num_q, B, T, D)
+    return jnp.swapaxes(emb.sum(axis=0), 1, 2)
+
+
+class EncodecFeatures:
+    """Encodec-token feature extractor for the multi-bandwidth Vocos variant
+    (ttts/vocoder/feature_extractors.py:124-168).
+
+    The Encodec encoder itself is an external pretrained model (the `encodec`
+    package is not in this image, zero egress), so it is INJECTED as
+    `encode_fn(audio (B, T), bandwidth) -> codes (num_q, B, frames) int32`,
+    mirroring how ASR is injected in the data pipeline. The codebook
+    summation runs as one jitted gather (encodec_features)."""
+
+    def __init__(self, encode_fn, codebook_weights, bins: int = 1024,
+                 bandwidths=(1.5, 3.0, 6.0, 12.0)):
+        self.encode_fn = encode_fn
+        self.codebook_weights = jnp.asarray(codebook_weights)
+        self.bins = bins
+        self.bandwidths = tuple(bandwidths)
+
+    def __call__(self, audio: jnp.ndarray, bandwidth_id: int) -> jnp.ndarray:
+        codes = self.encode_fn(audio, self.bandwidths[int(bandwidth_id)])
+        return encodec_features(jnp.asarray(codes, jnp.int32),
+                                self.codebook_weights, self.bins)
 
 
 class ISTFTHead(nn.Module):
