@@ -118,3 +118,59 @@ class TestQuantizedDecode:
         codes = np.asarray(r.codes)
         assert ((codes >= 0) & (codes < CFG.number_mel_codes)).all()
         assert int(r.lengths[0]) <= 8
+
+
+class TestBatchedAttentionGate:
+    """The Pallas batched attention kernel behind the shape gate produces
+    the same step outputs as the XLA einsum path (interpret mode on CPU)."""
+
+    def test_cached_attention_kernel_matches_einsum(self, monkeypatch):
+        from xtts_tpu.infer import qdecode as qd
+        rng = np.random.default_rng(0)
+        b, s, h, hd = 8, 256, 4, 32
+        q = jnp.asarray(rng.standard_normal((b, h, hd)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, s, h, hd)).astype(np.float32) * 0.5,
+                        jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, h, hd)).astype(np.float32) * 0.5,
+                        jnp.bfloat16)
+        monkeypatch.setenv("XTTS_BATCHED_ATTN", "0")
+        want = qd._cached_attention(q, k, v, 97)
+        monkeypatch.setenv("XTTS_BATCHED_ATTN", "1")
+        got = qd._cached_attention(q, k, v, 97)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=3e-2, atol=3e-2)
+
+    def test_greedy_decode_agrees_across_paths(self, setup, monkeypatch):
+        model, variables, qt, cond, text = setup
+        monkeypatch.setenv("XTTS_BATCHED_ATTN", "0")
+        r0 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.float32)
+        monkeypatch.setenv("XTTS_BATCHED_ATTN", "1")
+        r1 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.float32)
+        agree = float((np.asarray(r0.codes) == np.asarray(r1.codes)).mean())
+        assert agree >= 0.75, (np.asarray(r0.codes), np.asarray(r1.codes))
+
+
+class TestFusedEngine:
+    def test_fused_generate_matches_xla_engine(self, setup):
+        """use_fused=True runs each token as one pallas_call (interpret on
+        CPU); greedy codes must agree with the XLA step chain."""
+        model, variables, qt, cond, text = setup
+        r0 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.bfloat16)
+        r1 = generate_speech_quantized(model, variables, qt, cond, text,
+                                       jax.random.PRNGKey(0), max_gen=8,
+                                       do_sample=False,
+                                       cache_dtype=jnp.bfloat16,
+                                       use_fused=True)
+        agree = float((np.asarray(r0.codes) == np.asarray(r1.codes)).mean())
+        assert agree >= 0.75, (np.asarray(r0.codes), np.asarray(r1.codes))
+        assert int(r1.lengths[0]) <= 8

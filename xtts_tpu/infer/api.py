@@ -119,8 +119,16 @@ class TextToSpeech:
                   repetition_penalty=settings.repetition_penalty)
         if self._qtree is not None:
             from xtts_tpu.infer.qdecode import generate_speech_quantized
+            # B=1 on TPU runs each token as one fused pallas_call
+            # (ops/decode_step.py, 1.11-1.16x over the XLA step chain);
+            # override with XTTS_FUSED_DECODE=0/1
+            ov = os.environ.get("XTTS_FUSED_DECODE")
+            fused = (ov == "1" if ov is not None
+                     else (cond.shape[0] == 1
+                           and jax.default_backend() == "tpu"))
             return generate_speech_quantized(
-                self.gpt, self.vars["gpt"], self._qtree, cond, text, key, **kw)
+                self.gpt, self.vars["gpt"], self._qtree, cond, text, key,
+                use_fused=fused, **kw)
         return generate_speech(self.gpt, self.vars["gpt"], cond, text, key,
                                **kw)
 

@@ -91,6 +91,12 @@ def quantize_gpt_decode(variables, cfg) -> Dict[str, Any]:
                                        jnp.bfloat16)
     out["mel_pos_embedding"] = jnp.asarray(
         p["mel_pos_embedding"]["embedding"], jnp.bfloat16)
+    # uniform (D, D)-tile stack for the fused single-launch decode kernel
+    # (ops/decode_step.py); array-only so the tree stays a plain jit pytree
+    from xtts_tpu.ops.decode_step import stack_qtree
+    stacked = stack_qtree(out, cfg.number_mel_codes)
+    out["fused"] = {k: v for k, v in stacked.items()
+                    if k not in ("head_tiles", "vocab")}
     return out
 
 
@@ -132,12 +138,45 @@ def _layer_norm(x: jnp.ndarray, ln: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
 
 
+def _use_batched_attn_kernel(b: int, s: int) -> bool:
+    """Opt-in gate for the Pallas batched flash-decode attention
+    (ops/decode_attention.decode_attention_batched). The kernel beats the
+    XLA einsum in ISOLATION at B=8/S=1024 (78.7 vs 88.9 us), but inside the
+    real 15-layer decode program it LOSES (2.64 vs 2.10 ms/step, same shape,
+    scripts/bench_batched_attn.py): the per-custom-call launch cost and the
+    fusion barrier it puts in XLA's schedule outweigh the valid-prefix DMA
+    savings. Default OFF; XTTS_BATCHED_ATTN=1 forces it on (read at trace
+    time) for regimes where prefix skipping dominates (S >> 1k)."""
+    import os
+    return os.environ.get("XTTS_BATCHED_ATTN") == "1" and s % 128 == 0
+
+
+def _cached_attention(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
+                      index) -> jnp.ndarray:
+    """Single-token attention over the cached prefix: q (B, H, hd),
+    k_all/v_all (B, S, H, hd) -> (B, H, hd). Dispatches to the Pallas
+    batched kernel where it wins (shape gate above), XLA einsum otherwise."""
+    b, s, heads, hd = k_all.shape
+    if _use_batched_attn_kernel(b, s):
+        from xtts_tpu.ops.decode_attention import decode_attention_batched
+        return decode_attention_batched(
+            q.astype(jnp.bfloat16), k_all, v_all, index).astype(jnp.bfloat16)
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
+                        k_all.astype(jnp.bfloat16)) * scale
+    pos = jnp.arange(s)
+    valid = (pos <= index)[None, None, :]
+    logits = jnp.where(valid, logits, NEG_INF)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
+                       ).astype(jnp.bfloat16)
+    return jnp.einsum("bhs,bshd->bhd", w, v_all.astype(jnp.bfloat16))
+
+
 def _decode_step(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
                  cache: KVCache, index) -> Tuple[jnp.ndarray, KVCache]:
     """x: (B, D) bf16 single-token hidden; returns (normed (B, D), cache)."""
     b, d = x.shape
     hd = d // heads
-    scale = 1.0 / np.sqrt(hd)
     kc, vc = cache.k, cache.v
     for li, lp in enumerate(qt["layers"]):
         h = _layer_norm(x, lp["ln_1"]).astype(jnp.bfloat16)
@@ -152,15 +191,7 @@ def _decode_step(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
             vc, v[None, :, None].astype(vc.dtype), (li, 0, index, 0, 0))
         k_all = kc[li]                                  # (B, S, H, hd)
         v_all = vc[li]
-        logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
-                            k_all.astype(jnp.bfloat16)) * scale
-        pos = jnp.arange(k_all.shape[1])
-        valid = (pos <= index)[None, None, :]
-        logits = jnp.where(valid, logits, NEG_INF)
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
-                           ).astype(jnp.bfloat16)
-        a = jnp.einsum("bhs,bshd->bhd", w, v_all.astype(jnp.bfloat16))
-        a = a.reshape(b, d)
+        a = _cached_attention(q, k_all, v_all, index).reshape(b, d)
         x = x + qdot(a, lp["proj"], lp["proj_b"]).astype(x.dtype)
         h2 = _layer_norm(x, lp["ln_2"]).astype(jnp.bfloat16)
         m = gelu_new(qdot(h2, lp["fc"], lp["fc_b"])).astype(jnp.bfloat16)
@@ -234,7 +265,7 @@ def _decode_logits(qt: Dict[str, Any], heads: int, token: jnp.ndarray,
     jax.jit,
     static_argnames=("model", "max_gen", "do_sample", "top_p", "temperature",
                      "repetition_penalty", "cache_dtype",
-                     "quantize_kv_cache"),
+                     "quantize_kv_cache", "use_fused"),
 )
 def generate_speech_quantized(
     model: UnifiedVoice,
@@ -250,6 +281,7 @@ def generate_speech_quantized(
     repetition_penalty: float = 2.0,
     cache_dtype=jnp.bfloat16,
     quantize_kv_cache: bool = False,
+    use_fused: bool = False,
 ) -> GenerateResult:
     """generate_speech with the int8 per-token engine. Prefill (one big
     compute-bound pass) stays bf16-flax; the while_loop uses qtree.
@@ -257,10 +289,14 @@ def generate_speech_quantized(
     cache bytes IN MEMORY, but measured SLOWER on v5e via XLA (B=8: 0.91 ->
     1.18 ms/step): the dequant materializes a full bf16 cache copy per layer
     per step instead of fusing into the attention reads. Kept opt-in for
-    memory-bound regimes / a future Pallas fused-dequant attention kernel."""
+    memory-bound regimes / a future Pallas fused-dequant attention kernel.
+    use_fused (B=1 only): run each token as ONE pallas_call — the fused
+    single-launch decode kernel (ops/decode_step.py), measured 1.11-1.16x
+    over the XLA step chain at the flagship shape."""
     cfg = model.cfg
     stop = cfg.stop_mel_token
     vocab = cfg.number_mel_codes
+    d = cfg.model_dim
 
     prefix, _ = model.apply(variables, cond_mel, text_tokens,
                             method=model.encode_prefix)
@@ -271,6 +307,14 @@ def generate_speech_quantized(
     logits0, cache = model.apply(variables, prefix, cache, method=model.prefill)
     if quantize_kv_cache:
         cache = quantize_kv(cache)
+
+    fused = use_fused and b == 1 and not quantize_kv_cache
+    if fused:
+        from xtts_tpu.ops import decode_step as _ds
+        head_tiles = -(-vocab // d)
+        interp = jax.default_backend() != "tpu"
+        cache = (cache.k.reshape(cfg.layers, s_max, d).astype(jnp.bfloat16),
+                 cache.v.reshape(cfg.layers, s_max, d).astype(jnp.bfloat16))
 
     seen0 = jnp.zeros((b, vocab), bool)
     seen0 = seen0.at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
@@ -299,8 +343,19 @@ def generate_speech_quantized(
         # same mel-position convention as gpt_infer (reference quirk at
         # ttts/gpt/model.py:147-149 embeds code t at position t+1)
         mel_pos = step + 1 + (1 if cfg.decode_position_quirk else 0)
-        logits, cache = _decode_logits(qtree, cfg.heads, tok, mel_pos,
-                                       cache, p_len + step)
+        if fused:
+            kc, vc = cache
+            x = (qtree["mel_embedding"][tok]
+                 + qtree["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+            logits, kc, vc = _ds._fused_decode_logits(
+                qtree["fused"], x, kc, vc, p_len + step,
+                layers=cfg.layers, heads=cfg.heads, head_tiles=head_tiles,
+                interpret=interp, group=_ds.GROUP, ring=_ds.RING)
+            logits = logits[:, :vocab].astype(jnp.float32)
+            cache = (kc, vc)
+        else:
+            logits, cache = _decode_logits(qtree, cfg.heads, tok, mel_pos,
+                                           cache, p_len + step)
         return (step + 1, logits, cache, now_done, seen, codes, lengths, k)
 
     state = (jnp.int32(0), logits0.astype(jnp.float32), cache, done0, seen0,

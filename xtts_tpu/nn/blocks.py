@@ -57,16 +57,59 @@ def zeros_init():
     return nn.initializers.zeros
 
 
+class RelativePositionBias(nn.Module):
+    """T5-bucketed relative attention bias
+    (ttts/utils/xtransformers.py:146-186): log-spaced distance buckets, a
+    per-(bucket, head) learned table, added to the pre-softmax logits scaled
+    by `scale`."""
+
+    scale: float
+    heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+    causal: bool = False
+
+    def _bucket(self, rel_pos):
+        num_buckets = self.num_buckets
+        ret = jnp.zeros_like(rel_pos)
+        n = -rel_pos
+        if not self.causal:
+            num_buckets //= 2
+            ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+            n = jnp.abs(n)
+        else:
+            n = jnp.maximum(n, 0)
+        max_exact = num_buckets // 2
+        val_if_large = max_exact + (
+            jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+            / math.log(self.max_distance / max_exact)
+            * (num_buckets - max_exact)).astype(jnp.int32)
+        val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+        return ret + jnp.where(n < max_exact, n, val_if_large)
+
+    @nn.compact
+    def __call__(self, qk_dots):  # (B, H, T, S)
+        t, s = qk_dots.shape[-2:]
+        rel = jnp.arange(s)[None, :] - jnp.arange(t)[:, None]
+        table = nn.Embed(self.num_buckets, self.heads,
+                         name="relative_attention_bias")(self._bucket(rel))
+        bias = jnp.transpose(table, (2, 0, 1))[None]       # (1, H, T, S)
+        return qk_dots + bias * self.scale
+
+
 class AttentionBlock(nn.Module):
     """Self-attention over the time axis with residual, zero-init output proj.
 
     Matches ttts/utils/utils.py:270-313 (norm -> 1x1 qkv -> legacy QKV
     attention with 1/sqrt(sqrt(ch)) scaling and f32 softmax -> zero-init 1x1
-    proj -> +x). Input (B, T, C).
+    proj -> +x). `relative_pos_embeddings` adds the T5 bias with the
+    reference's hyperparameters (scale sqrt(ch), 32 buckets, max dist 64 —
+    utils.py:305). Input (B, T, C).
     """
 
     channels: int
     num_heads: int = 1
+    relative_pos_embeddings: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -81,6 +124,10 @@ class AttentionBlock(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / math.sqrt(math.sqrt(ch))
         w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        if self.relative_pos_embeddings:
+            w = RelativePositionBias(scale=ch ** 0.5, heads=h,
+                                     num_buckets=32, max_distance=64,
+                                     name="rel_pos")(w)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
         if mask is not None:  # (B, S) keep-mask, applied post-softmax like ref
             w = w * mask[:, None, None, :].astype(w.dtype)

@@ -44,11 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 # The weight stream is issued as GROUP consecutive (D, D) tiles per DMA
-# (one contiguous GROUP-MB transfer); RING counts in-flight groups. VMEM
-# budget: the weight ring is RING*GROUP MB of int8 scratch on top of ~8 MB
-# of cache/aux buffers at S_max=640 — GROUP*RING must stay <= ~6 or the
-# kernel exceeds the 16 MB scoped-vmem limit at the flagship shape.
-GROUP = int(os.environ.get("XTTS_DECODE_GROUP", 2))
+# (one contiguous GROUP-MB transfer); RING counts in-flight groups. Measured
+# at the flagship shape (N=400 scan, fixed-cost corrected): per-DMA issue
+# overhead ~0.5 us makes grouping matter — G1 0.453, G2 0.409 ms/step.
+# VMEM budget: ring = RING*GROUP MB int8 + ~5.2 MB cache/aux at S_max=640;
+# GROUP*RING <= 8 stays under the 16 MB scoped-vmem limit.
+GROUP = int(os.environ.get("XTTS_DECODE_GROUP", 4))
 RING = int(os.environ.get("XTTS_DECODE_RING", 2))
 
 
@@ -102,11 +103,12 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                 wbuf.at[g % RING, pl.ds(0, size)], wsem.at[g % RING])
 
         def cache_dma(li: int):
-            slot = li % 2
-            return (pltpu.make_async_copy(kc_ref.at[li], kbuf.at[slot],
-                                          csem.at[2 * slot]),
-                    pltpu.make_async_copy(vc_ref.at[li], vbuf.at[slot],
-                                          csem.at[2 * slot + 1]))
+            # single-slot cache buffers: the next layer's DMA starts only
+            # after this layer's attention has consumed the buffer — the MLP
+            # weight stream (~8 tiles) that follows hides it completely,
+            # and the freed VMEM (2.6 MB) buys a deeper weight-group ring
+            return (pltpu.make_async_copy(kc_ref.at[li], kbuf, csem.at[0]),
+                    pltpu.make_async_copy(vc_ref.at[li], vbuf, csem.at[1]))
 
         for g in range(min(RING - 1, n_groups)):
             w_dma(g).start()
@@ -180,10 +182,10 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
             kd, vd = cache_dma(li)
             kd.wait()
             vd.wait()
-            if li + 1 < layers:
-                for dma in cache_dma(li + 1):
-                    dma.start()
             if skip_attn:  # ablation: pipeline floor without attention math
+                if li + 1 < layers:
+                    for dma in cache_dma(li + 1):
+                        dma.start()
                 att_b = q.astype(jnp.bfloat16)
                 x = x + tile(att_b, quant_rows(att_b))
                 h2 = _ln(x, ln_ref[li, 2], ln_ref[li, 3]).astype(jnp.bfloat16)
@@ -196,8 +198,8 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                 x = x + acc
                 continue
             qb = q[:1].astype(jnp.bfloat16)                      # (1, D)
-            kc = kbuf[li % 2]                                    # (S, D)
-            vc = vbuf[li % 2]
+            kc = kbuf[:]                                         # (S, D)
+            vc = vbuf[:]
             scores = jnp.dot(kc * qb, g_dn,
                              preferred_element_type=jnp.float32) * att_scale
             self_s = jnp.dot(knew[:1].astype(jnp.bfloat16) * qb, g_dn,
@@ -218,6 +220,10 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                                  preferred_element_type=jnp.float32)
                          * vnew[:1])
             att_b = jnp.broadcast_to(att, (8, d)).astype(jnp.bfloat16)
+            # cache buffers consumed — safe to start the next layer's DMA
+            if li + 1 < layers:
+                for dma in cache_dma(li + 1):
+                    dma.start()
 
             x = x + tile(att_b, quant_rows(att_b))               # proj
 
@@ -293,10 +299,10 @@ def _fused_decode_logits(stacked, x, kc, vc, index, layers, heads,
         ],
         scratch_shapes=[
             pltpu.VMEM((ring, group, d, d), jnp.int8),  # weight-group ring
-            pltpu.VMEM((2, s_max, d), jnp.bfloat16),  # k cache buf
-            pltpu.VMEM((2, s_max, d), jnp.bfloat16),  # v cache buf
+            pltpu.VMEM((s_max, d), jnp.bfloat16),  # k cache buf (single slot)
+            pltpu.VMEM((s_max, d), jnp.bfloat16),  # v cache buf
             pltpu.SemaphoreType.DMA((ring,)),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

@@ -584,6 +584,91 @@ def hifigan_from_reference(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
 # generic state-dict utilities
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Legacy DiffusionTts (ttts/diffusion/model.py:134-341 -> models.diffusion_tts)
+# ---------------------------------------------------------------------------
+
+def _attn_block_rel(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference AttentionBlock WITH relative_pos_embeddings
+    (ttts/utils/utils.py:271-313) -> nn.blocks.AttentionBlock params."""
+    return {
+        "qkv": _squeeze_conv1x1(sd, prefix + ".qkv"),
+        "proj_out": _squeeze_conv1x1(sd, prefix + ".proj_out"),
+        "GroupNorm32_0": {"GroupNorm_0": {
+            "scale": _np(sd[prefix + ".norm.weight"]),
+            "bias": _np(sd[prefix + ".norm.bias"])}},
+        "rel_pos": {"relative_attention_bias": {
+            "embedding": _np(
+                sd[prefix + ".relative_pos_embeddings"
+                   ".relative_attention_bias.weight"])}},
+    }
+
+
+def _ts_resblock(sd: Mapping[str, Any], prefix: str,
+                 has_skip: bool = False) -> Dict[str, Any]:
+    """Reference guided-diffusion ResBlock (ttts/diffusion/model.py:60-121,
+    efficient_config) -> models.diffusion_tts.TimestepResBlock params."""
+    out = {
+        "GroupNorm32_0": {"GroupNorm_0": {
+            "scale": _np(sd[prefix + ".in_layers.0.weight"]),
+            "bias": _np(sd[prefix + ".in_layers.0.bias"])}},
+        "in_conv": conv1d_torch(sd, prefix + ".in_layers.2"),
+        "emb_layers": linear(sd, prefix + ".emb_layers.1"),
+        "out_norm": {"GroupNorm_0": {
+            "scale": _np(sd[prefix + ".out_layers.0.weight"]),
+            "bias": _np(sd[prefix + ".out_layers.0.bias"])}},
+        "out_conv": conv1d_torch(sd, prefix + ".out_layers.3"),
+    }
+    if has_skip:
+        out["skip"] = conv1d_torch(sd, prefix + ".skip_connection")
+    return out
+
+
+def _diffusion_layer(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {"resblk": _ts_resblock(sd, prefix + ".resblk"),
+            "attn": _attn_block_rel(sd, prefix + ".attn")}
+
+
+def diffusion_tts_from_reference(sd: Mapping[str, Any],
+                                 num_layers: int = 8) -> Dict[str, Any]:
+    """Legacy DiffusionTts state dict -> models.diffusion_tts.DiffusionTts
+    params (ctor attrs at ttts/diffusion/model.py:150-211)."""
+    params: Dict[str, Any] = {
+        "inp_block": conv1d_torch(sd, "inp_block"),
+        "time_embed_0": linear(sd, "time_embed.0"),
+        "time_embed_1": linear(sd, "time_embed.2"),
+        "code_embedding": embedding(sd, "code_embedding"),
+        "code_norm": {"GroupNorm_0": layer_norm(sd, "code_norm")},
+        "latent_conditioner_conv": conv1d_torch(sd, "latent_conditioner.0"),
+        "contextual_conv1": conv1d_torch(sd, "contextual_embedder.0"),
+        "contextual_conv2": conv1d_torch(sd, "contextual_embedder.1"),
+        "unconditioned_embedding": np.transpose(
+            _np(sd["unconditioned_embedding"]), (0, 2, 1)),
+        "integrating_conv": conv1d_torch(sd, "integrating_conv"),
+        "mel_head": conv1d_torch(sd, "mel_head"),
+        "out_norm": {"GroupNorm_0": layer_norm(sd, "out.0")},
+        "out_conv": conv1d_torch(sd, "out.2"),
+    }
+    for i in range(3):
+        params[f"code_converter_{i}"] = _attn_block_rel(
+            sd, f"code_converter.{i}")
+    for i in range(4):
+        params[f"latent_conditioner_attn_{i}"] = _attn_block_rel(
+            sd, f"latent_conditioner.{i + 1}")
+    for i in range(5):
+        params[f"contextual_attn_{i}"] = _attn_block_rel(
+            sd, f"contextual_embedder.{i + 2}")
+    for i in range(3):
+        params[f"conditioning_timestep_integrator_{i}"] = _diffusion_layer(
+            sd, f"conditioning_timestep_integrator.{i}")
+    for i in range(num_layers):
+        params[f"layers_{i}"] = _diffusion_layer(sd, f"layers.{i}")
+    for j in range(3):
+        params[f"final_res_{j}"] = _ts_resblock(sd,
+                                                f"layers.{num_layers + j}")
+    return params
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """torch.load a reference checkpoint; unwraps the {'model': ...} frame
     the trainers save (ttts/gpt/train_ms.py:131-140)."""

@@ -69,6 +69,18 @@ def _register_defaults():
     register("classifier",
              lambda cfg, dtype: AudioClassifier(cfg.classifier, dtype=dtype),
              lambda cfg: (jnp.zeros((1, 64, cfg.classifier.spec_dim)),))
+
+    def _build_diffusion_tts(cfg, dtype):
+        from xtts_tpu.models.diffusion_tts import DiffusionTts
+        return DiffusionTts(dtype=dtype)
+
+    # legacy tortoise denoiser (ttts/diffusion/model.py:134-341; built by
+    # the reference api.py:200) — defaults match the reference ctor
+    register("diffusion_tts",
+             _build_diffusion_tts,
+             lambda cfg: (jnp.zeros((1, 100, 16)), jnp.array([0]),
+                          jnp.zeros((1, 512, 4)), jnp.zeros((1, 100, 16))),
+             lambda sd, cfg: cv.diffusion_tts_from_reference(sd))
     register("hifigan",
              lambda cfg, dtype: HifiDecoder(cfg.hifigan, dtype=dtype),
              lambda cfg: (jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim)),
