@@ -70,10 +70,13 @@ def main():
         def run(key):
             if tts._qtree is not None:
                 from xtts_tpu.infer.qdecode import generate_speech_quantized
+                ov = os.environ.get("XTTS_FUSED_DECODE")
+                fused = (ov == "1" if ov is not None
+                         else jax.default_backend() == "tpu")
                 res = generate_speech_quantized(
                     tts.gpt, tts.vars["gpt"], tts._qtree, cond_mel,
                     jnp.asarray(text_tokens), key, max_gen=max_gen,
-                    do_sample=False)
+                    do_sample=False, use_fused=fused)
             else:
                 res = generate_speech(
                     tts.gpt, tts.vars["gpt"], cond_mel,

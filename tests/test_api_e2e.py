@@ -118,3 +118,21 @@ def test_inter_sentence_silence(tts):
                      jax.random.PRNGKey(6), TTSSettings(max_mel_tokens=6),
                      use_diffusion=False, inter_sentence_silence_ms=100)
     assert padded.size == base.size + 2400  # 100 ms @ 24 kHz
+
+
+def test_hoisted_refnet_matches_per_step(tts, rng, monkeypatch):
+    """Precomputing all per-step ReferenceNet features in one batched call
+    must be bit-equivalent to the per-step path (same key, same sampler)."""
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    latent = jnp.asarray(
+        rng.standard_normal((1, 32, 6)).astype(np.float32))
+    from xtts_tpu.models.aa_diffusion import normalize_tacotron_mel
+    cmn = normalize_tacotron_mel(cond_mel)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("XTTS_HOIST_REF", flag)
+        outs[flag] = np.asarray(tts._diffusion_mel_impl(
+            tts.vars["diffusion"], latent, cmn, jax.random.PRNGKey(7), 1.0,
+            steps=4, sampler="dpm++2m"))
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-5, atol=2e-5)

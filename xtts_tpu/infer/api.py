@@ -261,11 +261,37 @@ class TextToSpeech:
         uncond_hint = self.diffusion.apply(
             dvars, b, out_len, method=self.diffusion.uncond_hint)
 
+        # Hoist the ReferenceNet out of the sampling loop: its features
+        # depend on t only through the timestep embedding and the spaced
+        # samplers visit a STATIC timestep list, so all `steps` passes batch
+        # into one upfront call (the reference recomputes it every step,
+        # aa_model.py:337; SURVEY §7 hard parts). Gated to small batches
+        # (features are ~4 MB/step/seq) and to samplers on the spaced grid
+        # (the continuous-time solvers query arbitrary float t).
+        ov = os.environ.get("XTTS_HOIST_REF")
+        hoist = (sampler in ("p", "ddim", "dpm++2m", "unipc") and b <= 2
+                 and steps <= 64) if ov is None else ov == "1"
+        tmap = jnp.asarray(gd.timestep_map)
+        control_all = None
+        if hoist:
+            n = gd.num_timesteps
+            t_all = jnp.repeat(tmap, b)                      # (n*B,)
+            ref_all = jnp.tile(cond_mel_norm, (n, 1, 1))
+            ctx_all = jnp.tile(ctx, (n, 1, 1))
+            ca = self.diffusion.apply(
+                dvars, ref_all, t_all, ctx_all,
+                method=self.diffusion.reference_features)
+            control_all = [c.reshape(n, b, *c.shape[1:]) for c in ca]
+
         def model_fn(x, t_orig):
             """Paired CFG call: one ReferenceNet pass, one 2B BaseModel pass."""
-            control = self.diffusion.apply(
-                dvars, cond_mel_norm, t_orig, ctx,
-                method=self.diffusion.reference_features)
+            if control_all is not None:
+                si = jnp.searchsorted(tmap, t_orig[0])
+                control = [c[si] for c in control_all]
+            else:
+                control = self.diffusion.apply(
+                    dvars, cond_mel_norm, t_orig, ctx,
+                    method=self.diffusion.reference_features)
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([t_orig, t_orig], axis=0)
             h2 = jnp.concatenate([hint, uncond_hint], axis=0)

@@ -302,17 +302,29 @@ def generate_speech_quantized(
                             method=model.encode_prefix)
     b, p_len, _ = prefix.shape
     s_max = p_len + max_gen
+    fused = use_fused and b == 1 and not quantize_kv_cache
+    if fused:
+        # Mosaic DMA slices need 8-aligned sublane extents (CLAUDE.md):
+        # the per-layer cache-row DMA copies (s_max, D), so pad the cache
+        # length up; decode never reads past `index` so padding is inert
+        s_max = -(-s_max // 8) * 8
     cache = KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
                           cfg.model_dim // cfg.heads, dtype=cache_dtype)
     logits0, cache = model.apply(variables, prefix, cache, method=model.prefill)
     if quantize_kv_cache:
         cache = quantize_kv(cache)
 
-    fused = use_fused and b == 1 and not quantize_kv_cache
     if fused:
         from xtts_tpu.ops import decode_step as _ds
         head_tiles = -(-vocab // d)
         interp = jax.default_backend() != "tpu"
+        # VMEM budget: weight ring (ring*group MB int8) + 2 cache buffers
+        # (2*s_max*d*2 B) + ~2.5 MB aux must stay under the 16 MB scoped
+        # limit — shrink the DMA group at long cache buckets
+        cache_mb = 2 * s_max * d * 2 / (1 << 20)
+        group = _ds.GROUP
+        while group > 1 and _ds.RING * group + cache_mb > 12.0:
+            group //= 2
         cache = (cache.k.reshape(cfg.layers, s_max, d).astype(jnp.bfloat16),
                  cache.v.reshape(cfg.layers, s_max, d).astype(jnp.bfloat16))
 
@@ -350,7 +362,7 @@ def generate_speech_quantized(
             logits, kc, vc = _ds._fused_decode_logits(
                 qtree["fused"], x, kc, vc, p_len + step,
                 layers=cfg.layers, heads=cfg.heads, head_tiles=head_tiles,
-                interpret=interp, group=_ds.GROUP, ring=_ds.RING)
+                interpret=interp, group=group, ring=_ds.RING)
             logits = logits[:, :vocab].astype(jnp.float32)
             cache = (kc, vc)
         else:
