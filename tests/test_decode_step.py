@@ -144,3 +144,70 @@ def test_stack_qtree_shapes():
     assert st["b"].shape == (tiles, D)
     assert st["ln"].shape == (LAYERS, 4, D)
     assert st["head_tiles"] == -(-VOCAB // D)
+
+
+class TestInt4:
+    def test_int4_stack_shapes(self):
+        qt = make_qtree(5)
+        st = decode_step.stack_qtree_int4(qt, VOCAB)
+        tiles = LAYERS * 12 + st["head_tiles"]
+        assert st["w"].shape == (tiles, D, D // 2)
+        assert st["w"].dtype == jnp.int8
+        assert st["pmat"].shape == (D, D)
+        # pmat is a permutation matrix
+        pm = np.asarray(st["pmat"], np.float32)
+        assert (pm.sum(0) == 1).all() and (pm.sum(1) == 1).all()
+
+    def test_int4_close_to_int8_single_step(self):
+        """One fused step with int4 weights tracks the int8 engine within
+        the coarser quantization error; padded head cols stay unreachable."""
+        qt = make_qtree(0)
+        st4 = decode_step.stack_qtree_int4(qt, VOCAB)
+        cache = make_cache(7, 20)
+        tok = jnp.asarray([3], jnp.int32)
+        ref_logits, _ = qdecode._decode_logits(qt, HEADS, tok, 4, cache, 20)
+        kc, vc = flatten_cache(cache)
+        x = (qt["mel_embedding"][tok]
+             + qt["mel_pos_embedding"][jnp.atleast_1d(4)])
+        logits, kc2, vc2 = decode_step.fused_decode_logits(
+            st4, x, kc, vc, 20, LAYERS, HEADS, interpret=True)
+        r = np.asarray(ref_logits, np.float32)
+        g = np.asarray(logits[:, :VOCAB], np.float32)
+        # int4 error budget: correlation + bounded deviation vs logit scale
+        corr = np.corrcoef(r.ravel(), g.ravel())[0, 1]
+        # the pack/unpack/permute pipeline is verified EXACT against direct
+        # int4 quantization; the residual is inherent int4 error (~7%
+        # per-weight on these random test weights)
+        assert corr > 0.95, corr
+        assert float(jnp.max(logits[:, VOCAB:])) < -1e8
+        # the new cache rows still land correctly
+        assert not np.allclose(np.asarray(kc2[:, 20], np.float32), 0.0)
+
+    def test_int4_teacher_forced_chain(self):
+        """Teacher-forced on the int8 engine's tokens: per-step int4 logits
+        stay correlated and the argmax agrees at most steps (random weights
+        make near-ties common; trained weights are far more peaked)."""
+        qt = make_qtree(1)
+        st4 = decode_step.stack_qtree_int4(qt, VOCAB)
+        prefix = 11
+        cache = make_cache(3, prefix)
+        kc, vc = flatten_cache(cache)
+        tok = jnp.asarray([5], jnp.int32)
+        ref_cache = cache
+        agree, corrs = 0, []
+        for step in range(12):
+            mel_pos = step + 1
+            index = prefix + step
+            ref_logits, ref_cache = qdecode._decode_logits(
+                qt, HEADS, tok, mel_pos, ref_cache, index)
+            x = (qt["mel_embedding"][tok]
+                 + qt["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+            logits, kc, vc = decode_step.fused_decode_logits(
+                st4, x, kc, vc, index, LAYERS, HEADS, interpret=True)
+            r = np.asarray(ref_logits, np.float32)
+            g = np.asarray(logits[:, :VOCAB], np.float32)
+            corrs.append(np.corrcoef(r.ravel(), g.ravel())[0, 1])
+            agree += int(r.argmax() == g.argmax())
+            tok = jnp.asarray([int(r.argmax())], jnp.int32)  # teacher force
+        assert np.mean(corrs) > 0.9, corrs
+        assert agree >= 6, (agree, corrs)

@@ -92,9 +92,14 @@ def quantize_gpt_decode(variables, cfg) -> Dict[str, Any]:
     out["mel_pos_embedding"] = jnp.asarray(
         p["mel_pos_embedding"]["embedding"], jnp.bfloat16)
     # uniform (D, D)-tile stack for the fused single-launch decode kernel
-    # (ops/decode_step.py); array-only so the tree stays a plain jit pytree
-    from xtts_tpu.ops.decode_step import stack_qtree
-    stacked = stack_qtree(out, cfg.number_mel_codes)
+    # (ops/decode_step.py); array-only so the tree stays a plain jit pytree.
+    # XTTS_DECODE_BITS=4 packs int4 nibbles instead (halves the weight
+    # stream; lossier — see stack_qtree_int4)
+    import os as _os
+    from xtts_tpu.ops.decode_step import stack_qtree, stack_qtree_int4
+    builder = (stack_qtree_int4
+               if _os.environ.get("XTTS_DECODE_BITS") == "4" else stack_qtree)
+    stacked = builder(out, cfg.number_mel_codes)
     out["fused"] = {k: v for k, v in stacked.items()
                     if k not in ("head_tiles", "vocab")}
     return out

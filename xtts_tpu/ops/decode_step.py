@@ -66,7 +66,7 @@ def _gelu_new(x):
 
 
 def _make_kernel(layers: int, d: int, heads: int, s_max: int,
-                 head_tiles: int, group: int, ring: int):
+                 head_tiles: int, group: int, ring: int, wbits: int = 8):
     hd = d // heads
     att_scale = 1.0 / np.sqrt(hd)
     tiles_per_layer = 12  # q, k, v, proj, (fc, out) x 4
@@ -79,10 +79,14 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                x_ref,                         # (8, D) bf16 (row 0 live)
                ln_ref,                        # (L, 4, D) f32 (ln1 s/b, ln2 s/b)
                w_ref,                         # HBM (T, D, D) int8
+                                              #   int4: (T, D, D/2) packed
                s_ref,                         # (T, D) f32 tile scales
                b_ref,                         # (T, D) f32 tile biases
                lnf_ref,                       # (4, D) f32 (ln_f s/b, final s/b)
                kc_ref, vc_ref,                # HBM (L, S, D) bf16
+               pmat_ref,                      # (D, D) bf16 even||odd -> canon
+                                              #   permutation (int4 only;
+                                              #   (8,128) dummy for int8)
                logits_ref,                    # (8, HT*D) f32 out
                krows_ref, vrows_ref,          # (L, 8, D) bf16 new-row outs
                wbuf, kbuf, vbuf,              # scratch
@@ -124,12 +128,20 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
 
         step = [0]  # python box so tile() can advance it during unroll
 
-        def tile(x_in, xq=None):
+        def tile(x_in, xq=None, canon=True):
             """x_in (8, D) bf16 -> (8, D) f32 = x_in @ deq(W_t) * s + b.
 
             w8a8 mode: xq = (int8 rows, f32 scalar scale) precomputed once
             per distinct input — the matmul runs on the int8 MXU path (2x
             throughput, no dequant convert on the VPU).
+
+            int4 mode: two nibbles per byte hold output columns (2j, 2j+1);
+            the unpacked matmul yields [even cols ; odd cols] with
+            pre-permuted scales/bias. canon=True restores canonical order
+            via one MXU matmul with the constant permutation matrix;
+            canon=False (fc tiles) leaves it permuted — the consumer (gelu
+            is elementwise, the out tile's rows are pre-permuted at pack
+            time) never notices.
             """
             t = step[0]
             g, j = divmod(t, GROUP)
@@ -142,6 +154,16 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                              axis=0, keepdims=True) * 1e-6
                      + b_ref[t][None, :])
                 y = jnp.broadcast_to(y, (8, d))
+            elif wbits == 4:
+                b8 = wbuf[g % RING, j]                       # (D, D/2) int8
+                lo = ((b8 << 4) >> 4).astype(jnp.bfloat16)   # cols 0,2,4,..
+                hi = (b8 >> 4).astype(jnp.bfloat16)          # cols 1,3,5,..
+                w = jnp.concatenate([lo, hi], axis=-1)       # even||odd
+                y = (jnp.dot(x_in, w, preferred_element_type=jnp.float32)
+                     * s_ref[t][None, :] + b_ref[t][None, :])
+                if canon:
+                    y = jnp.dot(y.astype(jnp.bfloat16), pmat_ref[:],
+                                preferred_element_type=jnp.float32)
             elif w8a8 and xq is not None:
                 xi, xs = xq
                 y = jnp.dot(xi, wbuf[g % RING, j],
@@ -192,7 +214,8 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                 h2q = quant_rows(h2)
                 acc = None
                 for _ in range(4):
-                    mact = _gelu_new(tile(h2, h2q)).astype(jnp.bfloat16)
+                    mact = _gelu_new(tile(h2, h2q, canon=False)
+                                     ).astype(jnp.bfloat16)
                     part = tile(mact, quant_rows(mact))
                     acc = part if acc is None else acc + part
                 x = x + acc
@@ -231,7 +254,8 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
             h2q = quant_rows(h2)
             acc = None
             for _ in range(4):                                   # fc/out
-                mact = _gelu_new(tile(h2, h2q)).astype(jnp.bfloat16)
+                mact = _gelu_new(tile(h2, h2q, canon=False)
+                                 ).astype(jnp.bfloat16)
                 part = tile(mact, quant_rows(mact))
                 acc = part if acc is None else acc + part
             x = x + acc
@@ -275,7 +299,11 @@ def _fused_decode_logits(stacked, x, kc, vc, index, layers, heads,
                          head_tiles, interpret, group=GROUP, ring=RING):
     d = x.shape[-1]
     s_max = kc.shape[1]
-    kern = _make_kernel(layers, d, heads, s_max, head_tiles, group, ring)
+    # int4 stacks carry (T, D, D/2) packed bytes + the permutation matrix
+    wbits = 4 if stacked["w"].shape[-1] == d // 2 else 8
+    pmat = stacked.get("pmat", jnp.zeros((8, 128), jnp.bfloat16))
+    kern = _make_kernel(layers, d, heads, s_max, head_tiles, group, ring,
+                        wbits=wbits)
     x8 = jnp.broadcast_to(x.astype(jnp.bfloat16), (8, d))
     idx = jnp.asarray(index, jnp.int32).reshape(1)
 
@@ -291,6 +319,7 @@ def _fused_decode_logits(stacked, x, kc, vc, index, layers, heads,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lnf
             pl.BlockSpec(memory_space=pl.ANY),    # kc
             pl.BlockSpec(memory_space=pl.ANY),    # vc
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pmat
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # logits
@@ -298,7 +327,8 @@ def _fused_decode_logits(stacked, x, kc, vc, index, layers, heads,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # v new rows
         ],
         scratch_shapes=[
-            pltpu.VMEM((ring, group, d, d), jnp.int8),  # weight-group ring
+            pltpu.VMEM((ring, group, d, d // (2 if wbits == 4 else 1)),
+                       jnp.int8),                # weight-group ring
             pltpu.VMEM((s_max, d), jnp.bfloat16),  # k cache buf (single slot)
             pltpu.VMEM((s_max, d), jnp.bfloat16),  # v cache buf
             pltpu.SemaphoreType.DMA((ring,)),
@@ -316,7 +346,7 @@ def _fused_decode_logits(stacked, x, kc, vc, index, layers, heads,
         ],
         interpret=interpret,
     )(idx, x8, stacked["ln"], stacked["w"], stacked["s"], stacked["b"],
-      stacked["lnf"], kc, vc)
+      stacked["lnf"], kc, vc, pmat)
     # insert the new rows at the dynamic position via XLA (in-place with
     # donation; ~61 KB per step — negligible vs the 200 MB weight stream)
     kc2 = jax.lax.dynamic_update_slice(
@@ -379,3 +409,45 @@ def stack_qtree(qt: Dict[str, Any], vocab: int) -> Dict[str, Any]:
         "head_tiles": head_tiles,
         "vocab": vocab,
     }
+
+
+def stack_qtree_int4(qt: Dict[str, Any], vocab: int) -> Dict[str, Any]:
+    """int8 stacked tree -> packed int4 stack: halves the weight stream to
+    ~95 MB/token. Per-output-channel symmetric int4 (re-quantized from the
+    dequantized int8 weights); output columns stored even||odd so two
+    nibbles/byte unpack with shifts only. Scales/biases stored permuted;
+    out-tile ROWS pre-permuted so the (permuted) fc hidden feeds them
+    directly; `pmat` restores canonical order for q/k/v/proj/out/head
+    outputs via one MXU matmul per tile (see _make_kernel int4 mode).
+
+    Quality note: int4 is a lossier opt-in speed mode (XTTS_DECODE_BITS=4) —
+    greedy chains diverge from the int8 engine earlier; top-p sampling paths
+    are the intended consumer."""
+    st = stack_qtree(qt, vocab)
+    w8, s8, b = st["w"], st["s"], st["b"]
+    T, d, _ = w8.shape
+    W = w8.astype(jnp.float32) * s8[:, None, :]
+    s4 = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-8) / 7.0    # (T, D)
+    w4 = jnp.clip(jnp.round(W / s4[:, None, :]), -7, 7).astype(jnp.int32)
+
+    perm = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    w4 = w4[:, :, perm]
+    s4 = s4[:, perm]
+    bp = b[:, perm]
+    # out tiles consume the PERMUTED fc hidden -> pre-permute their rows
+    layers = (T - int(st["head_tiles"])) // 12
+    out_idx = jnp.asarray([li * 12 + ti for li in range(layers)
+                           for ti in (5, 7, 9, 11)])
+    w4 = w4.at[out_idx].set(w4[out_idx][:, perm, :])
+
+    lo = w4[:, :, :d // 2].astype(jnp.uint8) & 0xF
+    hi = w4[:, :, d // 2:].astype(jnp.uint8) & 0xF
+    packed = ((hi << 4) | lo).astype(jnp.int8)
+
+    pmat = np.zeros((d, d), np.float32)
+    pmat[np.arange(d), perm] = 1.0               # y_canon = y_perm @ pmat
+
+    out = dict(st)
+    out.update(w=packed, s=s4, b=bp,
+               pmat=jnp.asarray(pmat, jnp.bfloat16))
+    return out
