@@ -155,9 +155,10 @@ def _make_kernel(layers: int, d: int, heads: int, s_max: int,
                      + b_ref[t][None, :])
                 y = jnp.broadcast_to(y, (8, d))
             elif wbits == 4:
-                b8 = wbuf[g % RING, j]                       # (D, D/2) int8
-                lo = ((b8 << 4) >> 4).astype(jnp.bfloat16)   # cols 0,2,4,..
-                hi = (b8 >> 4).astype(jnp.bfloat16)          # cols 1,3,5,..
+                # int8 shifts don't legalize in Mosaic (arith.shli) — widen
+                b32 = wbuf[g % RING, j].astype(jnp.int32)    # (D, D/2)
+                lo = ((b32 << 28) >> 28).astype(jnp.bfloat16)  # cols 0,2,..
+                hi = (b32 >> 4).astype(jnp.bfloat16)           # cols 1,3,..
                 w = jnp.concatenate([lo, hi], axis=-1)       # even||odd
                 y = (jnp.dot(x_in, w, preferred_element_type=jnp.float32)
                      * s_ref[t][None, :] + b_ref[t][None, :])
