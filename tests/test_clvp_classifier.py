@@ -132,3 +132,82 @@ class TestNoiseScorer:
             paths.append(path)
         clean, noisy = filter_noise(paths, score, threshold=0.5)
         assert len(clean) + len(noisy) == 3
+
+
+class TestClassifierReferenceParity:
+    """Golden parity vs ttts/classifier/model.py on converted weights."""
+
+    def test_logits_match_reference(self):
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        import torch
+        from ttts.classifier.model import AudioMiniEncoderWithClassifierHead
+
+        from xtts_tpu.core.config import ClassifierConfig
+        from xtts_tpu.models.classifier import AudioClassifier
+        from xtts_tpu.utils.convert import classifier_from_reference, to_jax
+
+        cfg = ClassifierConfig(spec_dim=8, classes=2, base_channels=16,
+                               depth=2, resnet_blocks=1, attn_blocks=2,
+                               num_attn_heads=4, embedding_dim=32,
+                               downsample_factor=4, kernel_size=5)
+        torch.manual_seed(0)
+        ref = AudioMiniEncoderWithClassifierHead(
+            cfg.classes, distribute_zero_label=False, spec_dim=cfg.spec_dim,
+            embedding_dim=cfg.embedding_dim, base_channels=cfg.base_channels,
+            depth=cfg.depth, resnet_blocks=cfg.resnet_blocks,
+            attn_blocks=cfg.attn_blocks, num_attn_heads=cfg.num_attn_heads,
+            dropout=0, downsample_factor=cfg.downsample_factor,
+            kernel_size=cfg.kernel_size)
+        ref.eval()
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((2, cfg.spec_dim, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(mel)).numpy()
+
+        ours = AudioClassifier(cfg)
+        params = to_jax({"params": classifier_from_reference(
+            ref.state_dict(), cfg)})
+        got = ours.apply(params, jnp.swapaxes(jnp.asarray(mel), 1, 2))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_distribute_zero_label_loss_matches(self):
+        from ref_stubs import install_reference_stubs
+        install_reference_stubs()
+        import torch
+        from ttts.classifier.model import AudioMiniEncoderWithClassifierHead
+
+        from xtts_tpu.core.config import ClassifierConfig
+        from xtts_tpu.models.classifier import (AudioClassifier,
+                                                make_classifier_loss)
+        from xtts_tpu.utils.convert import classifier_from_reference, to_jax
+
+        cfg = ClassifierConfig(spec_dim=8, classes=2, base_channels=16,
+                               depth=1, resnet_blocks=1, attn_blocks=1,
+                               num_attn_heads=4, embedding_dim=32,
+                               downsample_factor=4, kernel_size=5,
+                               distribute_zero_label=True)
+        torch.manual_seed(1)
+        ref = AudioMiniEncoderWithClassifierHead(
+            cfg.classes, distribute_zero_label=True, spec_dim=cfg.spec_dim,
+            embedding_dim=cfg.embedding_dim, base_channels=cfg.base_channels,
+            depth=cfg.depth, resnet_blocks=cfg.resnet_blocks,
+            attn_blocks=cfg.attn_blocks, num_attn_heads=cfg.num_attn_heads,
+            dropout=0, downsample_factor=cfg.downsample_factor,
+            kernel_size=cfg.kernel_size)
+        ref.eval()
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((4, cfg.spec_dim, 32)).astype(np.float32)
+        labels = np.array([0, 1, 0, 1])
+        with torch.no_grad():
+            want = float(ref(torch.from_numpy(mel),
+                             torch.from_numpy(labels)))
+        ours = AudioClassifier(cfg)
+        params = to_jax({"params": classifier_from_reference(
+            ref.state_dict(), cfg)})
+        loss_fn = make_classifier_loss(ours)
+        loss, _ = loss_fn(params["params"],
+                          {"mel": jnp.swapaxes(jnp.asarray(mel), 1, 2),
+                           "label": jnp.asarray(labels)}, None)
+        np.testing.assert_allclose(float(loss), want, rtol=2e-4, atol=2e-4)

@@ -265,7 +265,11 @@ class ClassifierConfig(ConfigBase):
     resnet_blocks: int = 2
     attn_blocks: int = 4
     num_attn_heads: int = 4
-    dropout: float = 0.2
+    dropout: float = 0.0
+    embedding_dim: int = 512
+    downsample_factor: int = 4
+    kernel_size: int = 5
+    distribute_zero_label: bool = False
 
 
 @dataclass(frozen=True)

@@ -669,6 +669,53 @@ def diffusion_tts_from_reference(sd: Mapping[str, Any],
     return params
 
 
+# ---------------------------------------------------------------------------
+# Audio classifier (ttts/classifier/model.py:81-151 -> models.classifier)
+# ---------------------------------------------------------------------------
+
+def _attn_block_plain(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference AttentionBlock WITHOUT relative position embeddings."""
+    return {
+        "qkv": _squeeze_conv1x1(sd, prefix + ".qkv"),
+        "proj_out": _squeeze_conv1x1(sd, prefix + ".proj_out"),
+        "GroupNorm32_0": {"GroupNorm_0": {
+            "scale": _np(sd[prefix + ".norm.weight"]),
+            "bias": _np(sd[prefix + ".norm.bias"])}},
+    }
+
+
+def classifier_from_reference(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    """AudioMiniEncoderWithClassifierHead state dict -> AudioClassifier
+    params. cfg: ClassifierConfig (shipped values ttts/classifier/config.json:
+    depth 5, base 32, k5 resblocks, k5/stride-4 downsample convs)."""
+    c = cfg.classifier if hasattr(cfg, "classifier") else cfg
+    enc: Dict[str, Any] = {
+        "init": conv1d_torch(sd, "enc.init.0"),
+        "final_norm": {"GroupNorm_0": layer_norm(sd, "enc.final.0")},
+        "final": conv1d_torch(sd, "enc.final.2"),
+    }
+    # enc.res is a flat nn.Sequential: per depth, resnet_blocks ResBlocks
+    # then one Downsample (classifier/model.py:96-103)
+    i = 0
+    for d in range(c.depth):
+        for r in range(c.resnet_blocks):
+            p = f"enc.res.{i}"
+            enc[f"res_{d}_{r}"] = {
+                "GroupNorm32_0": {"GroupNorm_0": layer_norm(
+                    sd, p + ".in_layers.0")},
+                "in_conv": conv1d_torch(sd, p + ".in_layers.2"),
+                "out_norm": {"GroupNorm_0": layer_norm(
+                    sd, p + ".out_layers.0")},
+                "out_conv": conv1d_torch(sd, p + ".out_layers.3"),
+            }
+            i += 1
+        enc[f"down_{d}"] = conv1d_torch(sd, f"enc.res.{i}.op")
+        i += 1
+    for a in range(c.attn_blocks):
+        enc[f"attn_{a}"] = _attn_block_plain(sd, f"enc.attn.{a}")
+    return {"encoder": enc, "head": linear(sd, "head")}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """torch.load a reference checkpoint; unwraps the {'model': ...} frame
     the trainers save (ttts/gpt/train_ms.py:131-140)."""

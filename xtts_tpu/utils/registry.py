@@ -68,7 +68,9 @@ def _register_defaults():
                  sd, cfg.clvp.text_enc_depth, cfg.clvp.speech_enc_depth))
     register("classifier",
              lambda cfg, dtype: AudioClassifier(cfg.classifier, dtype=dtype),
-             lambda cfg: (jnp.zeros((1, 64, cfg.classifier.spec_dim)),))
+             lambda cfg: (jnp.zeros((1, 64, cfg.classifier.spec_dim)),),
+             lambda sd, cfg: cv.classifier_from_reference(
+                 sd, cfg.classifier))
 
     def _build_diffusion_tts(cfg, dtype):
         from xtts_tpu.models.diffusion_tts import DiffusionTts
