@@ -99,8 +99,8 @@ class TestClassifier:
         logits = jax.jit(lambda p, m: model.apply({"params": p}, m))(params, mel)
         assert logits.shape == (2, 2)
         loss_fn = make_classifier_loss(model)
-        loss, metrics = loss_fn(params, {"mel": mel,
-                                         "label": jnp.array([0, 1])}, None)
+        loss, metrics = loss_fn(params, {}, {"mel": mel,
+                                             "label": jnp.array([0, 1])}, None)
         assert jnp.isfinite(loss) and 0.0 <= float(metrics["acc"]) <= 1.0
 
     def test_variable_length(self):
@@ -207,7 +207,7 @@ class TestClassifierReferenceParity:
         params = to_jax({"params": classifier_from_reference(
             ref.state_dict(), cfg)})
         loss_fn = make_classifier_loss(ours)
-        loss, _ = loss_fn(params["params"],
+        loss, _ = loss_fn(params["params"], {},
                           {"mel": jnp.swapaxes(jnp.asarray(mel), 1, 2),
                            "label": jnp.asarray(labels)}, None)
         np.testing.assert_allclose(float(loss), want, rtol=2e-4, atol=2e-4)

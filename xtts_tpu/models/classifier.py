@@ -138,7 +138,7 @@ def make_classifier_loss(model: AudioClassifier):
     dataset noise (ttts/classifier/model.py:138-148)."""
     import jax
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, state_cols, batch, rng):
         logits = model.apply({"params": params}, batch["mel"])
         labels = batch["label"]
         n = logits.shape[-1]

@@ -28,13 +28,22 @@ from xtts_tpu.core.config import XTTSConfig
 
 
 def build_dataset(model: str, cfg: XTTSConfig, filelist: str, tokenizer,
-                  seed: int):
-    from xtts_tpu.data.datasets import (CLVPDataset, DiffusionDataset,
-                                        GptTTSDataset, MelCache,
-                                        VQVAEMelDataset, read_filelist)
+                  seed: int, noise_filelist: str = None):
+    from xtts_tpu.data.datasets import (ClassifierDataset, CLVPDataset,
+                                        DiffusionDataset, GptTTSDataset,
+                                        MelCache, VQVAEMelDataset,
+                                        read_filelist)
     from xtts_tpu.dsp.mel import MelFrontend
-    entries = read_filelist(filelist)
     mel_cache = MelCache(MelFrontend(cfg.mel), cfg.mel.sample_rate)
+    if model == "classifier":
+        # clean/noise are plain wav-path lists (ttts/classifier/config.json
+        # dataset.clean / dataset.noise)
+        def paths(p):
+            with open(p) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        return ClassifierDataset(paths(filelist), paths(noise_filelist),
+                                 mel_cache, seed=seed)
+    entries = read_filelist(filelist)
     if model == "vqvae":
         return VQVAEMelDataset(entries, mel_cache, seed=seed)
     if model == "gpt":
@@ -51,6 +60,14 @@ def build_dataset(model: str, cfg: XTTSConfig, filelist: str, tokenizer,
 def build_collate(model: str):
     from xtts_tpu.data.datasets import (MEL_BUCKETS, TEXT_BUCKETS,
                                         collate_bucketed)
+    if model == "classifier":
+        def collate(samples):
+            samples = [s for s in samples if s is not None]
+            if not samples:
+                return None
+            return {"mel": np.stack([s["mel"].T for s in samples]),
+                    "label": np.stack([s["label"] for s in samples])}
+        return collate
     pads = {
         "vqvae": ({}, {}),
         "gpt": ({"text": 0, "mel": 1, "cond_mel": 1},
@@ -118,6 +135,10 @@ def build_loss(model: str, cfg: XTTSConfig, args):
         from xtts_tpu.models.clvp import make_clvp_loss
         m, variables = load_model("clvp", cfg)
         return make_clvp_loss(m), variables["params"], {}
+    if model == "classifier":
+        from xtts_tpu.models.classifier import make_classifier_loss
+        m, variables = load_model("classifier", cfg)
+        return make_classifier_loss(m), variables["params"], {}
     raise ValueError(model)
 
 
@@ -202,12 +223,16 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
 def main(argv: Optional[list] = None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("model", choices=["vqvae", "gpt", "diffusion", "clvp",
-                                      "hifigan"])
+                                      "hifigan", "classifier"])
     ap.add_argument("-c", "--config", default=None,
                     help="XTTSConfig JSON (defaults to shipped config)")
     ap.add_argument("-m", "--model-dir", required=True,
                     help="experiment dir (checkpoints + logs)")
-    ap.add_argument("--filelist", required=True)
+    ap.add_argument("--filelist", required=True,
+                    help="6-field filelist; for classifier: the CLEAN "
+                         "wav-path list")
+    ap.add_argument("--noise-filelist", default=None,
+                    help="classifier only: noisy wav-path list")
     ap.add_argument("--val-filelist", default=None,
                     help="held-out filelist; eval loss every train.val_freq "
                          "steps (ttts/gpt/train_ms.py:162-186 eval loop)")
@@ -235,7 +260,8 @@ def main(argv: Optional[list] = None):
     if args.model == "hifigan":
         return _train_hifigan(args, cfg, tok, logger)
     dataset = build_dataset(args.model, cfg, args.filelist, tok,
-                            cfg.train.seed)
+                            cfg.train.seed,
+                            noise_filelist=args.noise_filelist)
     logger.info("dataset: %d samples", len(dataset))
 
     loss_fn, params, cols = build_loss(args.model, cfg, args)
@@ -257,7 +283,8 @@ def main(argv: Optional[list] = None):
     val_batches = []
     if args.val_filelist:
         val_ds = build_dataset(args.model, cfg, args.val_filelist, tok,
-                               cfg.train.seed + 1)
+                               cfg.train.seed + 1,
+                               noise_filelist=args.noise_filelist)
         val_batches = [adapt_batch(args.model, b) for b in batch_iterator(
             val_ds, cfg.train.batch_size, collate, shuffle=False,
             epochs=1)][:8]
