@@ -136,3 +136,33 @@ def test_hoisted_refnet_matches_per_step(tts, rng, monkeypatch):
             tts.vars["diffusion"], latent, cmn, jax.random.PRNGKey(7), 1.0,
             steps=4, sampler="dpm++2m"))
     np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-5, atol=2e-5)
+
+
+def test_tts_bracket_redaction(tts):
+    """[bracketed] text synthesizes and is excised via the injected CTC
+    aligner (ttts/api.py:536-540 semantics)."""
+    from xtts_tpu.utils.alignment import Wav2VecAlignment
+
+    class FakeAligner:
+        """Cuts nothing smart — per-char offsets spread uniformly; enough to
+        check wiring (alignment math itself is parity-tested separately)."""
+
+        def redact(self, wav, text):
+            calls.append(text)
+            return wav[: len(wav) // 2]
+
+    calls = []
+    wav_ref = np.sin(np.linspace(0, 400, 24000)).astype(np.float32)
+    out_plain = tts.tts("你好。", wav_ref, jax.random.PRNGKey(0),
+                        TTSSettings(max_mel_tokens=8, diffusion_steps=3),
+                        use_diffusion=False)
+    out_red = tts.tts("[你好。]你好。", wav_ref, jax.random.PRNGKey(0),
+                      TTSSettings(max_mel_tokens=8, diffusion_steps=3),
+                      use_diffusion=False, aligner=FakeAligner())
+    assert calls == ["[你好。]你好。"]
+    assert out_red.size > 0
+    # without an aligner, brackets are left to the frontend (no redaction)
+    out_nored = tts.tts("[你好。]你好。", wav_ref, jax.random.PRNGKey(0),
+                        TTSSettings(max_mel_tokens=8, diffusion_steps=3),
+                        use_diffusion=False)
+    assert out_nored.size > 0

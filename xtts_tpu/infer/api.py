@@ -395,7 +395,8 @@ class TextToSpeech:
             settings: TTSSettings = TTSSettings(), lang: str = "ZH",
             use_diffusion: bool = True,
             batch_sentences: bool = True,
-            inter_sentence_silence_ms: float = 0.0) -> np.ndarray:
+            inter_sentence_silence_ms: float = 0.0,
+            aligner=None) -> np.ndarray:
         """Full text in, 24 kHz waveform out — sentence-split like
         test.py:108-177.
 
@@ -404,9 +405,19 @@ class TextToSpeech:
         loop — for multi-sentence text this amortizes the weight-streaming
         cost per token (PERF.md batch-scaling table). Falls back to
         sequential when CLVP reranking is on (per-sentence candidate sets).
+
+        aligner: an xtts_tpu.utils.alignment.Wav2VecAlignment — when given
+        and `text` contains [bracketed] spans, the bracketed speech is
+        synthesized and then EXCISED from the waveform by CTC forced
+        alignment (the tortoise redaction path, ttts/api.py:180-181,536-540;
+        the aligner's tokenizer must cover the text's script).
         """
         from xtts_tpu.text.frontend import (sentence_to_tokens,
                                             split_sentences)
+        redact_text = None
+        if aligner is not None and "[" in text:
+            redact_text = text
+            text = text.replace("[", "").replace("]", "")
         cond_mel = self.cond_mel_from_wav(cond_wav)
         key = key if key is not None else jax.random.PRNGKey(0)
         token_lists = []
@@ -435,6 +446,11 @@ class TextToSpeech:
                 out.append(w)
             return np.concatenate(out) if out else np.zeros(0, np.float32)
 
+        def finish(wav: np.ndarray) -> np.ndarray:
+            if redact_text is not None:
+                return np.asarray(aligner.redact(wav, redact_text))
+            return wav
+
         if batch_sentences and len(token_lists) > 1 \
                 and settings.num_candidates == 1:
             from xtts_tpu.infer.serving import (SynthesisRequest,
@@ -442,7 +458,7 @@ class TextToSpeech:
             wavs = synthesize_batch(
                 self, [SynthesisRequest(t) for t in token_lists], cond_mel,
                 settings, use_diffusion=use_diffusion, key=key)
-            return join(wavs)
+            return finish(join(wavs))
 
         wavs = []
         for tokens in token_lists:
@@ -450,4 +466,4 @@ class TextToSpeech:
             out = self.tts_tokens(tokens, cond_mel, sub, settings,
                                   use_diffusion=use_diffusion)
             wavs.append(out["wav"][0])
-        return join(wavs)
+        return finish(join(wavs))
