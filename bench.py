@@ -69,10 +69,13 @@ def main():
         # GPT mel-tokens/sec (BASELINE config #2)
         def run(key):
             if tts._qtree is not None:
-                from xtts_tpu.infer.qdecode import generate_speech_quantized
+                from xtts_tpu.infer.qdecode import (attach_fused_stack,
+                                                    generate_speech_quantized)
                 ov = os.environ.get("XTTS_FUSED_DECODE")
                 fused = (ov == "1" if ov is not None
                          else jax.default_backend() == "tpu")
+                if fused and "fused" not in tts._qtree:
+                    attach_fused_stack(tts._qtree, cfg.gpt)
                 res = generate_speech_quantized(
                     tts.gpt, tts.vars["gpt"], tts._qtree, cond_mel,
                     jnp.asarray(text_tokens), key, max_gen=max_gen,

@@ -70,7 +70,6 @@ def main():
             tok = jnp.argmax(logits[:1, :cfg.number_mel_codes], -1
                              ).astype(jnp.int32)
             return (tok, kc, vc), tok
-        arrs = {k: v for k, v in stacked_arrs.items()}
         (tok, kc, vc), toks = jax.lax.scan(body, (tok0, kc, vc),
                                            jnp.arange(N))
         return toks

@@ -77,7 +77,7 @@ class TestCLVP:
         @jax.jit
         def step(p):
             (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, batch, jax.random.PRNGKey(0))
+                p, {}, batch, jax.random.PRNGKey(0))
             return l, g
 
         l, g = step(params)

@@ -141,20 +141,15 @@ class TestBatchedAttentionGate:
                                    np.asarray(want, np.float32),
                                    rtol=3e-2, atol=3e-2)
 
-    def test_greedy_decode_agrees_across_paths(self, setup, monkeypatch):
-        model, variables, qt, cond, text = setup
-        monkeypatch.setenv("XTTS_BATCHED_ATTN", "0")
-        r0 = generate_speech_quantized(model, variables, qt, cond, text,
-                                       jax.random.PRNGKey(0), max_gen=8,
-                                       do_sample=False,
-                                       cache_dtype=jnp.float32)
+    def test_gate_semantics(self, monkeypatch):
+        """Default off (kernel loses in-program, PERF.md); env forces it on
+        only at 128-aligned cache lengths."""
+        from xtts_tpu.infer import qdecode as qd
+        monkeypatch.delenv("XTTS_BATCHED_ATTN", raising=False)
+        assert not qd._use_batched_attn_kernel(8, 1024)
         monkeypatch.setenv("XTTS_BATCHED_ATTN", "1")
-        r1 = generate_speech_quantized(model, variables, qt, cond, text,
-                                       jax.random.PRNGKey(0), max_gen=8,
-                                       do_sample=False,
-                                       cache_dtype=jnp.float32)
-        agree = float((np.asarray(r0.codes) == np.asarray(r1.codes)).mean())
-        assert agree >= 0.75, (np.asarray(r0.codes), np.asarray(r1.codes))
+        assert qd._use_batched_attn_kernel(8, 1024)
+        assert not qd._use_batched_attn_kernel(8, 1000)  # unaligned s_max
 
 
 class TestFusedEngine:

@@ -187,3 +187,25 @@ class TestDiffusionTraining:
         assert np.isfinite(float(metrics["loss"]))
         c1 = int(np.asarray(state.state_cols["t_sampler"]["counts"]).sum())
         assert c1 == c0 + 2   # one history push per batch element
+
+
+class TestCLVPTraining:
+    def test_step_through_trainer_contract(self, rng):
+        """make_clvp_loss must satisfy the Trainer's
+        (params, state_cols, batch, rng) contract (regression: it used the
+        old 3-arg form and broke the CLVP CLI branch)."""
+        from xtts_tpu.core.config import CLVPConfig
+        from xtts_tpu.models.clvp import CLVP, make_clvp_loss
+        cfg = CLVPConfig(dim_text=16, dim_speech=16, dim_latent=16,
+                         text_enc_depth=1, speech_enc_depth=1,
+                         text_heads=2, speech_heads=2,
+                         num_text_tokens=32, num_speech_tokens=32)
+        model = CLVP(cfg)
+        text = jnp.asarray(rng.integers(0, 30, (2, 6)).astype(np.int32))
+        codes = jnp.asarray(rng.integers(0, 30, (2, 8)).astype(np.int32))
+        variables = model.init(jax.random.PRNGKey(0), text, codes)
+        trainer = Trainer(make_clvp_loss(model), TRAIN_CFG)
+        state = trainer.init_state(variables["params"])
+        state, metrics = trainer.step(
+            state, {"text": text, "codes": codes}, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))

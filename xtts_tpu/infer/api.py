@@ -110,7 +110,10 @@ class TextToSpeech:
         self._qtree = None
         if quantized_decode:
             from xtts_tpu.infer.qdecode import quantize_gpt_decode
-            self._qtree = quantize_gpt_decode(self.vars["gpt"], cfg.gpt)
+            # the fused-kernel tile stack (a second ~190 MB weight copy) is
+            # attached lazily on first B=1 fused use
+            self._qtree = quantize_gpt_decode(self.vars["gpt"], cfg.gpt,
+                                              include_fused=False)
 
     def _generate(self, cond, text, key, settings: "TTSSettings"):
         """AR generation via the active decode engine."""
@@ -126,6 +129,9 @@ class TextToSpeech:
             fused = (ov == "1" if ov is not None
                      else (cond.shape[0] == 1
                            and jax.default_backend() == "tpu"))
+            if fused and "fused" not in self._qtree:
+                from xtts_tpu.infer.qdecode import attach_fused_stack
+                attach_fused_stack(self._qtree, self.cfg.gpt)
             return generate_speech_quantized(
                 self.gpt, self.vars["gpt"], self._qtree, cond, text, key,
                 use_fused=fused, **kw)
@@ -171,7 +177,8 @@ class TextToSpeech:
             tts.vars[key] = variables
         if tts.quantized_decode:
             from xtts_tpu.infer.qdecode import quantize_gpt_decode
-            tts._qtree = quantize_gpt_decode(tts.vars["gpt"], cfg.gpt)
+            tts._qtree = quantize_gpt_decode(tts.vars["gpt"], cfg.gpt,
+                                             include_fused=False)
         return tts
 
     def init_random(self, key):
@@ -269,8 +276,12 @@ class TextToSpeech:
         # (features are ~4 MB/step/seq) and to samplers on the spaced grid
         # (the continuous-time solvers query arbitrary float t).
         ov = os.environ.get("XTTS_HOIST_REF")
-        hoist = (sampler in ("p", "ddim", "dpm++2m", "unipc") and b <= 2
-                 and steps <= 64) if ov is None else ov == "1"
+        spaced = sampler in ("p", "ddim", "dpm++2m", "unipc")
+        # the continuous-time solvers query arbitrary float t — hoisting is
+        # never valid there, so the env override only flips the gate within
+        # the spaced family
+        hoist = spaced and ((b <= 2 and steps <= 64) if ov is None
+                            else ov == "1")
         tmap = jnp.asarray(gd.timestep_map)
         control_all = None
         if hoist:

@@ -56,11 +56,15 @@ def qdot(x: jnp.ndarray, q: Dict[str, jnp.ndarray],
     return y
 
 
-def quantize_gpt_decode(variables, cfg) -> Dict[str, Any]:
+def quantize_gpt_decode(variables, cfg, include_fused: bool = True
+                        ) -> Dict[str, Any]:
     """UnifiedVoice variables -> quantized decode tree.
 
     Quantizes the transformer block matmuls + mel_head; keeps LayerNorms,
-    embeddings and biases exact.
+    embeddings and biases exact. include_fused=False skips the fused-kernel
+    tile stack (a second ~190 MB copy of the weights) — callers that only
+    run the XLA chain (batched serving) should skip it; attach later with
+    attach_fused_stack() when the fused engine is first needed.
     """
     p = variables["params"]
     g = p["gpt"]
@@ -91,18 +95,24 @@ def quantize_gpt_decode(variables, cfg) -> Dict[str, Any]:
                                        jnp.bfloat16)
     out["mel_pos_embedding"] = jnp.asarray(
         p["mel_pos_embedding"]["embedding"], jnp.bfloat16)
-    # uniform (D, D)-tile stack for the fused single-launch decode kernel
-    # (ops/decode_step.py); array-only so the tree stays a plain jit pytree.
-    # XTTS_DECODE_BITS=4 packs int4 nibbles instead (halves the weight
-    # stream; lossier — see stack_qtree_int4)
+    if include_fused:
+        attach_fused_stack(out, cfg)
+    return out
+
+
+def attach_fused_stack(qtree: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Add the uniform (D, D)-tile stack for the fused single-launch decode
+    kernel (ops/decode_step.py) to a quantized tree, in place; array-only so
+    the tree stays a plain jit pytree. XTTS_DECODE_BITS=4 packs int4 nibbles
+    instead (halves the weight stream; lossier — see stack_qtree_int4)."""
     import os as _os
     from xtts_tpu.ops.decode_step import stack_qtree, stack_qtree_int4
     builder = (stack_qtree_int4
                if _os.environ.get("XTTS_DECODE_BITS") == "4" else stack_qtree)
-    stacked = builder(out, cfg.number_mel_codes)
-    out["fused"] = {k: v for k, v in stacked.items()
-                    if k not in ("head_tiles", "vocab")}
-    return out
+    stacked = builder(qtree, cfg.number_mel_codes)
+    qtree["fused"] = {k: v for k, v in stacked.items()
+                      if k not in ("head_tiles", "vocab")}
+    return qtree
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +317,16 @@ def generate_speech_quantized(
                             method=model.encode_prefix)
     b, p_len, _ = prefix.shape
     s_max = p_len + max_gen
-    fused = use_fused and b == 1 and not quantize_kv_cache
+    fused = (use_fused and b == 1 and not quantize_kv_cache
+             and cache_dtype == jnp.bfloat16)
+    # (cache_dtype != bf16 falls back to the XLA chain: the fused kernel's
+    # cache buffers are bf16, so honoring an f32 cache request there would
+    # silently change the precision the caller asked for)
+    if fused and "fused" not in qtree:
+        raise ValueError(
+            "use_fused=True but the qtree has no fused tile stack — build "
+            "it with quantize_gpt_decode(..., include_fused=True) or "
+            "attach_fused_stack(qtree, cfg)")
     if fused:
         # Mosaic DMA slices need 8-aligned sublane extents (CLAUDE.md):
         # the per-layer cache-row DMA copies (s_max, D), so pad the cache

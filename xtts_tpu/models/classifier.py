@@ -31,7 +31,7 @@ class _ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = 1 if self.kernel_size == 3 else 2
+        pad = self.kernel_size // 2
         h = GroupNorm32(self.channels)(x)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (self.kernel_size,), padding=pad,

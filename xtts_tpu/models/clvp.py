@@ -122,7 +122,7 @@ def _ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 def make_clvp_loss(model: CLVP):
     """Loss closure for the generic Trainer (xtts_tpu/train/trainer.py)."""
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, state_cols, batch, rng):
         loss = model.apply({"params": params}, batch["text"], batch["codes"],
                            batch.get("text_mask"), batch.get("code_mask"),
                            return_loss=True)
