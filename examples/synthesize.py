@@ -17,8 +17,9 @@ import time
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--text", required=True)
-    ap.add_argument("--ref-wav", required=True,
-                    help="reference speaker wav (any sample rate)")
+    ap.add_argument("--ref-wav", required=True, nargs="+",
+                    help="reference speaker wav(s); several clips average "
+                         "the conditioning latents (ttts/api.py:225-240)")
     ap.add_argument("--out", default="gen.wav")
     ap.add_argument("--lang", default="ZH", choices=["ZH", "EN", "JA"])
     ap.add_argument("--weights", default=None,
@@ -57,7 +58,8 @@ def main():
                            quantized_decode=args.int8)
     print(f"models ready in {time.perf_counter() - t0:.1f}s")
 
-    ref, _ = load_wav(args.ref_wav, tts.cfg.mel.sample_rate)
+    refs = [load_wav(p, tts.cfg.mel.sample_rate)[0] for p in args.ref_wav]
+    ref = refs[0] if len(refs) == 1 else refs
     t0 = time.perf_counter()
     wav = tts.tts(args.text, ref, jax.random.PRNGKey(args.seed), settings,
                   lang=args.lang, use_diffusion=not args.shortcut)

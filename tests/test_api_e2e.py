@@ -101,6 +101,51 @@ def test_clvp_rerank_path(rng):
     assert out["wav"].shape[0] == 1 and np.isfinite(out["wav"]).all()
 
 
+def test_multi_sample_conditioning(tts):
+    """tts(cond_wav=[clip1, clip2]) averages GPT conditioning latents
+    (ttts/api.py:225-240 semantics)."""
+    rng = np.random.default_rng(13)
+    clips = [rng.standard_normal(3000).astype(np.float32) * 0.1,
+             rng.standard_normal(4500).astype(np.float32) * 0.1]
+    wav = tts.tts("你好。", clips, jax.random.PRNGKey(9),
+                  TTSSettings(max_mel_tokens=6, diffusion_steps=2),
+                  use_diffusion=True)
+    assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+    # single-element list goes through the plain 3-D path
+    wav1 = tts.tts("你好。", [clips[0]], jax.random.PRNGKey(9),
+                   TTSSettings(max_mel_tokens=6), use_diffusion=False)
+    assert wav1.size > 0
+
+
+def test_multi_clip_get_conditioning_mean(tts):
+    """4-D get_conditioning == mean of per-clip 3-D calls."""
+    rng = np.random.default_rng(14)
+    stacked = jnp.asarray(
+        rng.standard_normal((2, 3, MEL_BINS, 20)).astype(np.float32))
+    gvars = tts.vars["gpt"]
+    got = tts.gpt.apply(gvars, stacked, method=tts.gpt.get_conditioning)
+    per = [tts.gpt.apply(gvars, stacked[:, j],
+                         method=tts.gpt.get_conditioning)
+           for j in range(3)]
+    want = jnp.mean(jnp.stack(per), axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_multi_clip_perceiver_rejected():
+    """The perceiver conditioning path is single-clip only (the reference's
+    transpose(1,2) assumes 3-D input, ttts/gpt/model.py:463-470)."""
+    from xtts_tpu.models.gpt import UnifiedVoice
+    cfg = TINY.gpt.replace(use_perceiver=True, perceiver_latents=4)
+    m = UnifiedVoice(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL_BINS, 16)),
+               jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+               jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+    with pytest.raises(ValueError):
+        m.apply(v, jnp.zeros((1, 2, MEL_BINS, 16)),
+                method=m.get_conditioning)
+
+
 def test_clvp_rerank_requires_flag(tts, rng):
     cond_mel = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
     with pytest.raises(ValueError):

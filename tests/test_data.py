@@ -50,6 +50,66 @@ class TestAudio:
         assert m.tolist() == [[False, False, True, True, True],
                               [False, False, False, False, True]]
 
+    def test_silence_split_matches_pydub_oracle(self):
+        """Differential check of the pydub split_on_silence re-implementation
+        (ttts/prepare/vad_process.py:19: 600 ms / -40 dBFS / seek 100 /
+        keep 50) against hand-computed boundaries.
+
+        Layout (ms): tone[0,5000) sil[5000,6000) tone[6000,12000)
+        sil[12000,14000) tone[14000,16500).
+        detect_silence: silent 600 ms windows fully inside each gap ->
+        merged ranges [5000,6000], [12000,14000]. Nonsilent: [0,5000],
+        [6000,12000], [14000,16500]. keep_silence 50 margins ->
+        [0,5050], [5950,12050], [13950,16500] (clamped). 4-20 s keep-window
+        drops the 2.55 s tail clip."""
+        from xtts_tpu.data.audio import (silence_split_segments,
+                                         split_on_silence_ranges)
+        sr = 16000
+
+        def tone(ms):
+            n = ms * sr // 1000
+            return (np.sin(np.arange(n) * 0.3) * 0.3).astype(np.float32)
+
+        def sil(ms):
+            return np.zeros(ms * sr // 1000, np.float32)
+
+        wav = np.concatenate([tone(5000), sil(1000), tone(6000), sil(2000),
+                              tone(2500)])
+        ranges = split_on_silence_ranges(wav, sr)
+        assert ranges == [[0, 5050], [5950, 12050], [13950, 16500]]
+        segs = silence_split_segments(wav, sr)
+        assert segs == [(0, 5050 * sr // 1000),
+                        (5950 * sr // 1000, 12050 * sr // 1000)]
+
+    def test_silence_split_all_silent_and_all_voiced(self):
+        from xtts_tpu.data.audio import split_on_silence_ranges
+        sr = 8000
+        assert split_on_silence_ranges(np.zeros(sr * 3, np.float32), sr) == []
+        loud = (np.sin(np.arange(sr * 3) * 0.3) * 0.5).astype(np.float32)
+        assert split_on_silence_ranges(loud, sr) == [[0, 3000]]
+
+    def test_silence_split_short_gap_not_split(self):
+        """A 400 ms pause is below min_silence_len=600 -> no split, matching
+        pydub: no 600 ms window is fully silent."""
+        from xtts_tpu.data.audio import split_on_silence_ranges
+        sr = 16000
+        t = (np.sin(np.arange(sr * 3) * 0.3) * 0.3).astype(np.float32)
+        gap = np.zeros(sr * 400 // 1000, np.float32)
+        wav = np.concatenate([t, gap, t])
+        assert split_on_silence_ranges(wav, sr) == [[0, 6400]]
+
+    def test_silence_split_threshold_edge(self):
+        """Signal at -35 dBFS RMS stays voiced at the -40 dB threshold but
+        splits at -30."""
+        from xtts_tpu.data.audio import split_on_silence_ranges
+        sr = 16000
+        loud = (np.sin(np.arange(sr * 2) * 0.3) * 0.3).astype(np.float32)
+        # sine amplitude a -> rms a/sqrt(2); -35 dBFS rms -> a = 0.0251
+        quiet = (np.sin(np.arange(sr) * 0.3) * 0.0251).astype(np.float32)
+        wav = np.concatenate([loud, quiet, loud])
+        assert split_on_silence_ranges(wav, sr) == [[0, 5000]]
+        assert len(split_on_silence_ranges(wav, sr, silence_db=-30.0)) == 2
+
     def test_vad_finds_speech_islands(self):
         sr = 16000
         sil = np.zeros(sr, np.float32)

@@ -301,6 +301,19 @@ class TestUnifiedVoiceParity:
             return_latent=True))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
+    def test_multi_clip_conditioning_parity(self, gpt_pair):
+        """Stacked multi-voice-sample conditioning (B, n, mel, T): per-clip
+        encoder outputs averaged (ttts/api.py:225-240 stacks on dim 1,
+        ttts/gpt/model.py:466-475 loops + mean)."""
+        ref, ours, variables, cfg = gpt_pair
+        rng = np.random.default_rng(9)
+        stacked = rng.standard_normal((2, 3, 100, 24)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = ref.get_conditioning(torch.from_numpy(stacked)).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(stacked),
+                                    method=ours.get_conditioning))[:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
     def test_greedy_decode_token_parity(self, gpt_pair):
         """inference_speech greedy (HF generate, kv_cache) vs our
         while_loop decode (ttts/gpt/model.py:559-591) — token-for-token."""
@@ -324,6 +337,101 @@ class TestUnifiedVoiceParity:
             repetition_penalty=1.0, cache_dtype=jnp.float32)
         got = np.asarray(res.codes)
         # HF pads finished rows with pad=stop token; compare the overlap
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_array_equal(got[:, :n], want[:, :n])
+
+
+# ---------------------------------------------------------------------------
+# UnifiedVoice with PerceiverResampler conditioning (use_perceiver=True)
+# ---------------------------------------------------------------------------
+
+# max_conditioning_inputs=32 sizes the mel position table for the perceiver
+# fake-input quirk (positions reach n_cond+1+t, ttts/gpt/model.py:574+147)
+TINY_GPT_PERC = dict(TINY_GPT, max_conditioning_inputs=32)
+
+
+@pytest.fixture(scope="module")
+def gpt_perceiver_pair():
+    from ttts.gpt.model import UnifiedVoice as RefUV
+    from xtts_tpu.core.config import GPTConfig
+    from xtts_tpu.models.gpt import UnifiedVoice
+    from xtts_tpu.utils.convert import to_jax, unified_voice_from_reference
+
+    torch.manual_seed(21)
+    ref = RefUV(checkpointing=False, use_perceiver=True, **TINY_GPT_PERC).eval()
+    sd = ref.state_dict()
+    params = to_jax(unified_voice_from_reference(
+        sd, TINY_GPT_PERC["layers"], use_perceiver=True))
+    cfg = GPTConfig(use_perceiver=True, **TINY_GPT_PERC)
+    ours = UnifiedVoice(cfg)
+    return ref, ours, {"params": params}, cfg
+
+
+class TestUnifiedVoicePerceiverParity:
+    """use_perceiver=True coverage (ttts/gpt/perceiver.py:225-318 +
+    ttts/gpt/model.py:334-338,463-476): 32-latent conditioning, teacher-forced
+    losses/logits/latent, and token-exact greedy decode through the
+    n_cond=32 fake-input position quirk."""
+
+    _inputs = TestUnifiedVoiceParity._inputs
+
+    def test_conditioning_parity(self, gpt_perceiver_pair):
+        ref, ours, variables, cfg = gpt_perceiver_pair
+        cond, *_ = self._inputs()
+        with torch.no_grad():
+            want = ref.get_conditioning(torch.from_numpy(cond)).numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(cond),
+                                    method=ours.get_conditioning))
+        assert got.shape == (cond.shape[0], 32, TINY_GPT["model_dim"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_teacher_forced_losses_logits_latent(self, gpt_perceiver_pair):
+        ref, ours, variables, cfg = gpt_perceiver_pair
+        cond, text, text_lens, codes, wav_lens = self._inputs(seed=4)
+        with torch.no_grad():
+            r_lt, r_lm, r_logits = ref(
+                torch.from_numpy(cond), torch.from_numpy(text),
+                torch.from_numpy(text_lens), torch.from_numpy(codes),
+                torch.from_numpy(wav_lens))
+            r_latent = ref(
+                torch.from_numpy(cond), torch.from_numpy(text),
+                torch.from_numpy(text_lens), torch.from_numpy(codes),
+                torch.from_numpy(wav_lens), return_latent=True).numpy()
+        lt, lm, logits = ours.apply(
+            variables, jnp.asarray(cond), jnp.asarray(text),
+            jnp.asarray(text_lens), jnp.asarray(codes), jnp.asarray(wav_lens),
+            return_logits=True)
+        np.testing.assert_allclose(float(lt), float(r_lt), rtol=2e-4)
+        np.testing.assert_allclose(float(lm), float(r_lm), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   r_logits.numpy().transpose(0, 2, 1),
+                                   rtol=1e-3, atol=2e-4)
+        got_latent = np.asarray(ours.apply(
+            variables, jnp.asarray(cond), jnp.asarray(text),
+            jnp.asarray(text_lens), jnp.asarray(codes), jnp.asarray(wav_lens),
+            return_latent=True))
+        np.testing.assert_allclose(got_latent, r_latent, rtol=1e-3, atol=2e-4)
+
+    def test_greedy_decode_token_parity(self, gpt_perceiver_pair):
+        from xtts_tpu.models.gpt_infer import generate_speech
+
+        from ref_stubs import patch_reference_generate
+
+        patch_reference_generate()
+        ref, ours, variables, cfg = gpt_perceiver_pair
+        ref.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+        cond, text, *_ = self._inputs(seed=5, b=2, tt=7)
+        max_gen = 12
+        with torch.no_grad():
+            want = ref.inference_speech(
+                torch.from_numpy(cond), torch.from_numpy(text),
+                do_sample=False, num_return_sequences=1,
+                max_generate_length=max_gen).numpy()
+        res = generate_speech(
+            ours, variables, jnp.asarray(cond), jnp.asarray(text),
+            jax.random.PRNGKey(0), max_gen=max_gen, do_sample=False,
+            repetition_penalty=1.0, cache_dtype=jnp.float32)
+        got = np.asarray(res.codes)
         n = min(got.shape[1], want.shape[1])
         np.testing.assert_array_equal(got[:, :n], want[:, :n])
 

@@ -53,6 +53,67 @@ def test_batch_matches_single(tts, cond_mel):
     np.testing.assert_allclose(wavs[0], wavs[1], atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def tts_clvp():
+    from xtts_tpu.core.config import CLVPConfig
+    cfg = TINY.replace(clvp=CLVPConfig(
+        dim_text=32, dim_speech=32, dim_latent=16, text_enc_depth=1,
+        speech_enc_depth=1, text_heads=2, speech_heads=2,
+        num_speech_tokens=32))
+    return TextToSpeech(cfg, rng=jax.random.PRNGKey(7), with_clvp=True)
+
+
+def test_synthesize_batch_clvp_rerank(tts_clvp, cond_mel):
+    """BASELINE config #5: B utterances x K candidates in one AR program,
+    per-utterance winner by batched CLVP score, full-diffusion render."""
+    reqs = [SynthesisRequest(np.array([1, 3, 4, 2], np.int32)),
+            SynthesisRequest(np.array([1, 5, 2], np.int32))]
+    wavs = synthesize_batch(
+        tts_clvp, reqs, cond_mel,
+        TTSSettings(max_mel_tokens=6, diffusion_steps=2, num_candidates=3),
+        use_diffusion=True, key=jax.random.PRNGKey(11))
+    assert len(wavs) == 2
+    assert all(w.ndim == 1 and w.size > 0 and np.isfinite(w).all()
+               for w in wavs)
+
+
+def test_rerank_batch_matches_per_row(tts_clvp):
+    """rerank_batch (B, K) must equal per-text rerank scores."""
+    clvp, cvars = tts_clvp.clvp, tts_clvp.vars["clvp"]
+    rng = np.random.default_rng(3)
+    texts = jnp.asarray(rng.integers(1, 200, (2, 6)), jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 30, (2, 3, 8)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, (2, 3, 8)), jnp.int32)
+    mask = mask.at[..., 0].set(1)
+    got = clvp.apply(cvars, texts, codes, None, mask,
+                     method=clvp.rerank_batch)
+    for i in range(2):
+        want = clvp.apply(cvars, texts[i], codes[i], mask[i],
+                          method=clvp.rerank)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_synthesize_batch_rerank_requires_clvp(tts, cond_mel):
+    with pytest.raises(ValueError):
+        synthesize_batch(tts, [SynthesisRequest(np.array([1, 3, 2], np.int32))],
+                         cond_mel, TTSSettings(max_mel_tokens=4,
+                                               num_candidates=2))
+
+
+def test_synthesize_batch_multi_clip_cond(tts, cond_mel):
+    """4-D stacked conditioning mels flow through generation + diffusion."""
+    rng = np.random.default_rng(5)
+    stacked = jnp.asarray(
+        rng.standard_normal((1, 2, MEL_BINS, 40)).astype(np.float32))
+    reqs = [SynthesisRequest(np.array([1, 3, 2], np.int32)),
+            SynthesisRequest(np.array([1, 4, 2], np.int32))]
+    wavs = synthesize_batch(tts, reqs, stacked,
+                            TTSSettings(max_mel_tokens=6, diffusion_steps=2),
+                            use_diffusion=True)
+    assert len(wavs) == 2 and all(np.isfinite(w).all() for w in wavs)
+
+
 def test_batch_server_futures(tts, cond_mel):
     srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6),
                       max_batch=4, window_ms=50)

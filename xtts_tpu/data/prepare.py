@@ -19,7 +19,8 @@ from typing import Callable, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from xtts_tpu.data.audio import energy_vad_segments, load_wav, save_wav
+from xtts_tpu.data.audio import (energy_vad_segments, load_wav, save_wav,
+                                 silence_split_segments)
 from xtts_tpu.data.datasets import FilelistEntry, write_filelist
 
 log = logging.getLogger(__name__)
@@ -30,13 +31,20 @@ log = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 def vad_split_file(wav_path: str, out_dir: str, sample_rate: int = 24000,
-                   **vad_kw) -> List[str]:
-    """Split one long recording into keep-range clips; returns clip paths."""
+                   method: str = "silence", **vad_kw) -> List[str]:
+    """Split one long recording into keep-range clips; returns clip paths.
+
+    method="silence" (default) reproduces the reference's pydub
+    split_on_silence(600 ms, -40 dBFS, seek 100 ms, keep 50 ms) + 4-20 s
+    keep-window (ttts/prepare/vad_process.py:6-29); method="energy" is the
+    cheaper framewise energy splitter."""
     os.makedirs(out_dir, exist_ok=True)
     wav, sr = load_wav(wav_path, sample_rate)
     stem = os.path.splitext(os.path.basename(wav_path))[0]
+    splitter = (silence_split_segments if method == "silence"
+                else energy_vad_segments)
     out = []
-    for n, (s, e) in enumerate(energy_vad_segments(wav, sr, **vad_kw)):
+    for n, (s, e) in enumerate(splitter(wav, sr, **vad_kw)):
         path = os.path.join(out_dir, f"{stem}_{n:04d}.wav")
         save_wav(path, wav[s:e], sr)
         out.append(path)

@@ -211,6 +211,21 @@ class TextToSpeech:
         """Reference audio (T,) or (1, T) float -> conditioning mel."""
         return self.mel(wav)
 
+    def cond_mels_from_wavs(self, wavs) -> jnp.ndarray:
+        """Multiple reference clips -> stacked conditioning mels
+        (1, n_clips, mel, T).
+
+        The reference's multi-sample path (ttts/api.py:225-240) runs
+        format_conditioning (api.py:68-79) per clip — zero-pad or crop each
+        to one fixed length so the mels stack on dim 1 — then averages the
+        per-clip encoder outputs inside get_conditioning. We pad every clip
+        to the longest one (head-aligned; the reference random-crops long
+        clips, which we skip for determinism)."""
+        arrs = [np.asarray(w, np.float32).reshape(-1) for w in wavs]
+        n = max(a.shape[0] for a in arrs)
+        mels = [self.mel(np.pad(a, (0, n - a.shape[0]))) for a in arrs]
+        return jnp.stack(mels, axis=1)          # (1, n_clips, mel, T)
+
     # jitted model entry points (eager flax apply dispatches per-op — ~100x
     # slower over a remote-TPU tunnel; one compiled program per shape bucket)
 
@@ -231,6 +246,11 @@ class TextToSpeech:
     def _clvp_rerank_jit(self):
         return jax.jit(functools.partial(self.clvp.apply,
                                          method=self.clvp.rerank))
+
+    @functools.cached_property
+    def _clvp_rerank_batch_jit(self):
+        return jax.jit(functools.partial(self.clvp.apply,
+                                         method=self.clvp.rerank_batch))
 
     def _diffuser(self, settings: TTSSettings) -> GaussianDiffusion:
         return GaussianDiffusion.spaced(
@@ -341,7 +361,7 @@ class TextToSpeech:
                 raise ValueError(
                     "num_candidates > 1 needs TextToSpeech(with_clvp=True)")
             text_k = jnp.tile(text_tokens, (k_cand, 1))
-            cond_k = jnp.tile(cond_mel, (k_cand, 1, 1))
+            cond_k = jnp.tile(cond_mel, (k_cand,) + (1,) * (cond_mel.ndim - 1))
             res = self._generate(cond_k, text_k, k1, settings)
             code_mask = (jnp.arange(res.codes.shape[1])[None]
                          < res.lengths[:, None]).astype(jnp.int32)
@@ -385,8 +405,12 @@ class TextToSpeech:
             jnp.array([text_tokens.shape[-1]]), codes,
             jnp.array([n * self.cfg.gpt.mel_length_compression]))
         latent = jnp.swapaxes(latent, 1, 2)          # (B, D, N) like test.py:160
+        # with stacked multi-clip conditioning, the diffusion ReferenceNet /
+        # CLIP refer mel is the first clip (the AA path has no multi-clip
+        # support in the reference; only GPT conditioning averages)
+        diff_cond = cond_mel if cond_mel.ndim == 3 else cond_mel[:, 0]
         mel = self._diffusion_mel(
-            latent, normalize_tacotron_mel(cond_mel), k2,
+            latent, normalize_tacotron_mel(diff_cond), k2,
             steps=settings.diffusion_steps, sampler=settings.sampler,
             cond_free_k=settings.cond_free_k,
             temperature=settings.diffusion_temperature)
@@ -414,14 +438,21 @@ class TextToSpeech:
         batch_sentences: run all sentences as ONE batched AR program
         (xtts_tpu/infer/serving.py) instead of the reference's sequential
         loop — for multi-sentence text this amortizes the weight-streaming
-        cost per token (PERF.md batch-scaling table). Falls back to
-        sequential when CLVP reranking is on (per-sentence candidate sets).
+        cost per token (PERF.md batch-scaling table). CLVP reranking
+        (num_candidates > 1) batches too: B sentences x K candidates in one
+        AR program, per-sentence winners by contrastive score.
 
         aligner: an xtts_tpu.utils.alignment.Wav2VecAlignment — when given
         and `text` contains [bracketed] spans, the bracketed speech is
         synthesized and then EXCISED from the waveform by CTC forced
         alignment (the tortoise redaction path, ttts/api.py:180-181,536-540;
         the aligner's tokenizer must cover the text's script).
+
+        cond_wav: one reference clip (array) or a list of clips — a list
+        averages the GPT conditioning latents across clips like the
+        reference's get_conditioning_latents (ttts/api.py:225-240 +
+        ttts/gpt/model.py:463-476); the diffusion refer mel is the first
+        clip (the reference AA path is single-clip only).
         """
         from xtts_tpu.text.frontend import (sentence_to_tokens,
                                             split_sentences)
@@ -429,7 +460,12 @@ class TextToSpeech:
         if aligner is not None and "[" in text:
             redact_text = text
             text = text.replace("[", "").replace("]", "")
-        cond_mel = self.cond_mel_from_wav(cond_wav)
+        if isinstance(cond_wav, (list, tuple)):
+            cond_mel = (self.cond_mels_from_wavs(cond_wav)
+                        if len(cond_wav) > 1
+                        else self.cond_mel_from_wav(cond_wav[0]))
+        else:
+            cond_mel = self.cond_mel_from_wav(cond_wav)
         key = key if key is not None else jax.random.PRNGKey(0)
         token_lists = []
         for sent in split_sentences(text):
@@ -462,8 +498,7 @@ class TextToSpeech:
                 return np.asarray(aligner.redact(wav, redact_text))
             return wav
 
-        if batch_sentences and len(token_lists) > 1 \
-                and settings.num_candidates == 1:
+        if batch_sentences and len(token_lists) > 1:
             from xtts_tpu.infer.serving import (SynthesisRequest,
                                                 synthesize_batch)
             wavs = synthesize_batch(

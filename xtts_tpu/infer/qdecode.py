@@ -313,8 +313,8 @@ def generate_speech_quantized(
     vocab = cfg.number_mel_codes
     d = cfg.model_dim
 
-    prefix, _ = model.apply(variables, cond_mel, text_tokens,
-                            method=model.encode_prefix)
+    prefix, n_cond = model.apply(variables, cond_mel, text_tokens,
+                                 method=model.encode_prefix)
     b, p_len, _ = prefix.shape
     s_max = p_len + max_gen
     fused = (use_fused and b == 1 and not quantize_kv_cache
@@ -377,8 +377,8 @@ def generate_speech_quantized(
         now_done = done | (tok == stop)
         lengths = jnp.where(done, lengths, step + 1)
         # same mel-position convention as gpt_infer (reference quirk at
-        # ttts/gpt/model.py:147-149 embeds code t at position t+1)
-        mel_pos = step + 1 + (1 if cfg.decode_position_quirk else 0)
+        # ttts/gpt/model.py:147-149 embeds code t at position n_cond+1+t)
+        mel_pos = step + 1 + (n_cond if cfg.decode_position_quirk else 0)
         if fused:
             kc, vc = cache
             x = (qtree["mel_embedding"][tok]

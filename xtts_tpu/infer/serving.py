@@ -6,7 +6,9 @@ num_autoregressive_samples batching (ttts/api.py:276-281). Here:
 * `synthesize_batch` — B utterances through ONE AR program (per-sequence
   done-masking in the while_loop), one latent-extract, one diffusion, one
   vocode; all shapes bucketed. Per-chip throughput scales near-linearly with
-  batch until HBM/compute saturates.
+  batch until HBM/compute saturates. With settings.num_candidates K > 1,
+  the AR program runs B*K rows and a batched CLVP pass picks each
+  utterance's winner before the render stages (ttts/api.py:397-460).
 * `BatchServer` — a microbatching front: submit() returns a Future; a worker
   thread packs requests arriving within `window_ms` (up to `max_batch`) into
   one device program. This is the TPU-idiomatic replacement for per-request
@@ -63,12 +65,36 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     texts = _pad_texts([r.text_tokens for r in requests],
                        cfg.gpt.stop_text_token, text_buckets)
     b = texts.shape[0]
-    cond = jnp.tile(cond_mel, (b, 1, 1)) if cond_mel.shape[0] == 1 else cond_mel
+    reps = (b,) + (1,) * (cond_mel.ndim - 1)
+    cond = jnp.tile(cond_mel, reps) if cond_mel.shape[0] == 1 else cond_mel
 
-    res = tts._generate(cond, jnp.asarray(texts), key, settings)
-
-    codes_host = np.asarray(res.codes)
-    lengths = np.asarray(res.lengths)
+    k_cand = settings.num_candidates
+    if k_cand > 1:
+        # BASELINE config #5 "CLVP rerank": K AR samples per utterance drawn
+        # in ONE (B*K)-batched program, scored pairwise by the contrastive
+        # model, winners kept (ttts/api.py:397-412 semantics, batched).
+        if tts.clvp is None or "clvp" not in tts.vars:
+            raise ValueError(
+                "settings.num_candidates > 1 needs TextToSpeech(with_clvp=True)")
+        texts_k = jnp.repeat(jnp.asarray(texts), k_cand, axis=0)  # (B*K, T)
+        cond_k = jnp.repeat(cond, k_cand, axis=0)
+        res = tts._generate(cond_k, texts_k, key, settings)
+        s_gen = res.codes.shape[1]
+        code_mask = (jnp.arange(s_gen)[None, :]
+                     < res.lengths[:, None]).astype(jnp.int32)
+        scores = tts._clvp_rerank_batch_jit(
+            tts.vars["clvp"], jnp.asarray(texts),
+            jnp.clip(res.codes, 0,
+                     cfg.clvp.num_speech_tokens - 1).reshape(b, k_cand, s_gen),
+            code_mask=code_mask.reshape(b, k_cand, s_gen))
+        best = np.asarray(jnp.argmax(scores, axis=1))               # (B,)
+        rows = np.arange(b) * k_cand + best
+        codes_host = np.asarray(res.codes)[rows]
+        lengths = np.asarray(res.lengths)[rows]
+    else:
+        res = tts._generate(cond, jnp.asarray(texts), key, settings)
+        codes_host = np.asarray(res.codes)
+        lengths = np.asarray(res.lengths)
     ns = np.maximum(lengths - 2, 1)
     n_b = bucket_len(int(ns.max()), tts._code_buckets())
     stop = cfg.gpt.stop_mel_token
@@ -92,8 +118,10 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
         latent = jnp.swapaxes(latent, 1, 2)
         from xtts_tpu.models.aa_diffusion import normalize_tacotron_mel
         key, k2 = jax.random.split(key)
+        # multi-clip stacked cond: ReferenceNet/CLIP refer = first clip
+        diff_cond = cond if cond.ndim == 3 else cond[:, 0]
         mel = tts._diffusion_mel(
-            latent, normalize_tacotron_mel(cond), k2,
+            latent, normalize_tacotron_mel(diff_cond), k2,
             steps=settings.diffusion_steps, sampler=settings.sampler,
             cond_free_k=settings.cond_free_k,
             temperature=settings.diffusion_temperature)

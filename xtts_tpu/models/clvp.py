@@ -113,6 +113,23 @@ class CLVP(nn.Module):
         sl = self.embed_speech(candidate_codes, code_mask)  # (K, D)
         return (sl @ tl[0]) * jnp.exp(self.temperature)[0]
 
+    def rerank_batch(self, texts: jnp.ndarray, candidate_codes: jnp.ndarray,
+                     text_mask: Optional[jnp.ndarray] = None,
+                     code_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Score K candidates for EACH of B texts in one program (the
+        batched-serving analogue of ttts/api.py:397-412, where tortoise
+        scores num_autoregressive_samples candidates per utterance).
+
+        texts: (B, T); candidate_codes: (B, K, S); code_mask: (B, K, S).
+        Returns (B, K) scores."""
+        b, k, s = candidate_codes.shape
+        tl = self.embed_text(texts, text_mask)                    # (B, D)
+        sl = self.embed_speech(
+            candidate_codes.reshape(b * k, s),
+            None if code_mask is None else code_mask.reshape(b * k, s))
+        sl = sl.reshape(b, k, -1)
+        return jnp.einsum("bkd,bd->bk", sl, tl) * jnp.exp(self.temperature)[0]
+
 
 def _ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -87,8 +87,25 @@ class UnifiedVoice(nn.Module):
     # ---------------- conditioning ----------------
 
     def get_conditioning(self, cond_mel_bct: jnp.ndarray) -> jnp.ndarray:
-        """(B, mel, T) -> (B, n_cond, dim); n_cond = 1 (encoder) or 32
-        (perceiver) — ttts/gpt/model.py:463-476."""
+        """(B, mel, T) or (B, n_clips, mel, T) -> (B, n_cond, dim); n_cond =
+        1 (encoder) or 32 (perceiver) — ttts/gpt/model.py:463-476.
+
+        A 4-D input is the multi-voice-sample path (api.py:225-240 stacks
+        per-clip conditioning mels on dim 1): each clip runs through the
+        encoder and the outputs are averaged (`conds.mean(dim=1)`,
+        model.py:473-475). The reference's perceiver branch cannot consume
+        stacked clips (its transpose(1,2) assumes 3-D), so we keep that
+        restriction explicit."""
+        if cond_mel_bct.ndim == 4:
+            if self.cfg.use_perceiver:
+                raise ValueError(
+                    "multi-clip conditioning requires the plain conditioning "
+                    "encoder (the reference perceiver path only accepts one "
+                    "clip, ttts/gpt/model.py:463-470)")
+            b, n, c, t = cond_mel_bct.shape
+            x = jnp.swapaxes(cond_mel_bct.reshape(b * n, c, t), 1, 2)
+            enc = self.conditioning_encoder(x).reshape(b, n, -1)
+            return jnp.mean(enc, axis=1)[:, None, :]
         x = jnp.swapaxes(cond_mel_bct, 1, 2)
         if self.cfg.use_perceiver:
             return self.perceiver_encoder(x)
@@ -151,8 +168,15 @@ class UnifiedVoice(nn.Module):
         emb = jnp.concatenate([conds.astype(text_emb.dtype), text_emb, mel_emb],
                               axis=1)
         _, normed = self.gpt(emb)
-        n_cond = conds.shape[1]
-        enc = self.final_norm(normed[:, n_cond:]).astype(emb.dtype)
+        # get_logits drops exactly ONE leading position no matter how many
+        # conditioning slots there are ("The first logit is tied to the
+        # speech_conditioning_input", ttts/gpt/model.py:445). With the plain
+        # encoder (n_cond=1) that strips the cond slot; with the perceiver
+        # (n_cond=32) the text slice below lands on 31 conditioning positions
+        # — a reference quirk its trained checkpoints embed, reproduced for
+        # parity. Mel logits/latents are sliced from the END, so they are
+        # correctly aligned in both modes.
+        enc = self.final_norm(normed[:, 1:]).astype(emb.dtype)
 
         t_text = text_inp.shape[1]
         t_mel = mel_inp.shape[1]
@@ -196,11 +220,23 @@ class UnifiedVoice(nn.Module):
         text_emb = (self.text_embedding(text_inp)
                     + self.text_pos_embedding(jnp.arange(text_inp.shape[1])))
         conds = self.get_conditioning(cond_mel).astype(text_emb.dtype)
-        start = jnp.full((text_inputs.shape[0], 1), c.start_mel_token)
-        start_emb = (self.mel_embedding(start)
-                     + self.mel_pos_embedding(jnp.zeros((1,), jnp.int32)))
-        prefix = jnp.concatenate([conds, text_emb, start_emb.astype(text_emb.dtype)],
-                                 axis=1)
+        b = text_inputs.shape[0]
+        # Reference fake_inputs quirk (ttts/gpt/model.py:574-584): the
+        # placeholder is conds.shape[1] + emb.shape[1] long, so the first
+        # GPT2InferenceModel.forward embeds n_cond trailing *tokens* — ids
+        # [1]*(n_cond-1) + [start_mel] at mel positions 0..n_cond-1
+        # (model.py:133-143). With the plain conditioning encoder n_cond=1
+        # and the tail is just the start token at position 0; the perceiver
+        # (n_cond=32) additionally embeds 31 mel-code-1 fillers. Reproduced
+        # exactly under decode_position_quirk for token parity.
+        n_tail = conds.shape[1] if c.decode_position_quirk else 1
+        tail = jnp.concatenate(
+            [jnp.full((b, n_tail - 1), 1, jnp.int32),
+             jnp.full((b, 1), c.start_mel_token, jnp.int32)], axis=1)
+        tail_emb = (self.mel_embedding(tail)
+                    + self.mel_pos_embedding(jnp.arange(n_tail))[None])
+        prefix = jnp.concatenate([conds, text_emb,
+                                  tail_emb.astype(text_emb.dtype)], axis=1)
         return prefix, conds.shape[1]
 
     def prefill(self, prefix_emb: jnp.ndarray, cache: KVCache,

@@ -55,8 +55,8 @@ def generate_speech(
     stop = cfg.stop_mel_token
     vocab = cfg.number_mel_codes
 
-    prefix, _ = model.apply(variables, cond_mel, text_tokens,
-                            method=model.encode_prefix)
+    prefix, n_cond = model.apply(variables, cond_mel, text_tokens,
+                                 method=model.encode_prefix)
     b, p_len, _ = prefix.shape
     s_max = p_len + max_gen
     cache = KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
@@ -91,9 +91,10 @@ def generate_speech(
         seen = seen.at[jnp.arange(b), tok].set(True)
         now_done = done | (tok == stop)
         lengths = jnp.where(done, lengths, step + 1)
-        # mel position of generated code: t+1 under the reference quirk
-        # (ttts/gpt/model.py:147-149), t in the train-consistent convention
-        mel_pos = step + 1 + (1 if cfg.decode_position_quirk else 0)
+        # mel position of generated code t: n_cond+1+t under the reference
+        # quirk (attention_mask.shape[1] - mel_len, ttts/gpt/model.py:147-149,
+        # fake_inputs double-counting conds at :574), t+1 train-consistent.
+        mel_pos = step + 1 + (n_cond if cfg.decode_position_quirk else 0)
         logits, cache = model.apply(
             variables, tok, mel_pos, cache, p_len + step,
             method=model.decode_one)

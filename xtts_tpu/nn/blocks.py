@@ -177,7 +177,9 @@ class GEGLUFeedForward(nn.Module):
         inner = int(self.dim * self.mult * 2 / 3)
         xg = nn.Dense(inner * 2, dtype=self.dtype)(x)
         x_, gate = jnp.split(xg, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype)(jax.nn.gelu(gate) * x_)
+        # torch F.gelu defaults to the exact erf form (perceiver.py:208)
+        return nn.Dense(self.dim, dtype=self.dtype)(
+            jax.nn.gelu(gate, approximate=False) * x_)
 
 
 class MHAttention(nn.Module):

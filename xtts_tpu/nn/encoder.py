@@ -96,7 +96,7 @@ class GLUFeedForward(nn.Module):
                            name="wi")(x)
         u, g = jnp.split(gate_up, 2, axis=-1)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="wo")(u * jax.nn.gelu(g))
+                        name="wo")(u * jax.nn.gelu(g, approximate=False))
 
 
 class EncoderBlock(nn.Module):

@@ -105,20 +105,21 @@ def adapt_batch(model: str, batch):
 
 
 def build_loss(model: str, cfg: XTTSConfig, args):
-    """Returns (loss_fn, params, state_cols)."""
+    """Returns (loss_fn, params, state_cols, ctx) — ctx holds the frozen
+    aux models so eval rendering can reuse them."""
     from xtts_tpu.utils.registry import load_model
     if model == "vqvae":
         from xtts_tpu.train.steps import make_dvae_loss
         m, variables = load_model("vqvae", cfg)
         cols = {"codebook": dict(variables["codebook"])}
         return (make_dvae_loss(m, ema_decay=cfg.vqvae.ema_decay),
-                variables["params"], cols)
+                variables["params"], cols, {"dvae": m})
     if model == "gpt":
         from xtts_tpu.train.steps import make_gpt_loss
         gpt, gv = load_model("gpt", cfg)
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
         return (make_gpt_loss(gpt, dvae, dv, cfg.train.text_weight,
-                              cfg.train.mel_weight), gv["params"], {})
+                              cfg.train.mel_weight), gv["params"], {}, {})
     if model == "diffusion":
         from xtts_tpu.diffusion.gaussian import (GaussianDiffusion,
                                                  get_named_beta_schedule)
@@ -128,18 +129,99 @@ def build_loss(model: str, cfg: XTTSConfig, args):
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
         gd = GaussianDiffusion(betas=get_named_beta_schedule(
             cfg.diffusion_process.schedule, cfg.diffusion_process.timesteps))
+        ctx = {"diff": diff, "gpt": gpt, "gpt_vars": gv,
+               "dvae": dvae, "dvae_vars": dv}
         return (make_diffusion_loss(
             diff, gd, gpt, gv, dvae, dv,
-            cfg.diffusion.unconditioned_percentage), fv["params"], {})
+            cfg.diffusion.unconditioned_percentage), fv["params"], {}, ctx)
     if model == "clvp":
         from xtts_tpu.models.clvp import make_clvp_loss
         m, variables = load_model("clvp", cfg)
-        return make_clvp_loss(m), variables["params"], {}
+        return make_clvp_loss(m), variables["params"], {}, {}
     if model == "classifier":
         from xtts_tpu.models.classifier import make_classifier_loss
         m, variables = load_model("classifier", cfg)
-        return make_classifier_loss(m), variables["params"], {}
+        return make_classifier_loss(m), variables["params"], {}, {}
     raise ValueError(model)
+
+
+def build_eval_render(model: str, cfg: XTTSConfig, args, ctx):
+    """Per-family held-out sample renderer for the eval loop, matching the
+    reference's TensorBoard eval audio/mel (ttts/diffusion/train.py:213-247
+    renders one eval sample through do_spectrogram_diffusion + vocos;
+    ttts/vqvae/inference.py:31-115 dumps recon mel images).
+
+    Returns render(params, state_cols, batch, ml, step) or None."""
+    import jax.numpy as jnp
+
+    if model == "vqvae":
+        dvae = ctx["dvae"]
+
+        def render_vqvae(params, state_cols, batch, ml, step):
+            mel = jnp.asarray(batch["mel"][:1])
+            variables = {"params": params,
+                         "codebook": state_cols["codebook"]}
+            codes = dvae.apply(variables, mel,
+                               method=dvae.get_codebook_indices)
+            recon, _ = dvae.apply(variables, codes, method=dvae.decode)
+            ml.image_mel(step, "eval/mel_gt", np.asarray(mel[0]))
+            ml.image_mel(step, "eval/mel_recon", np.asarray(recon[0]))
+
+        return render_vqvae
+
+    if model == "diffusion":
+        from xtts_tpu.diffusion.gaussian import GaussianDiffusion
+        from xtts_tpu.models.aa_diffusion import (denormalize_tacotron_mel,
+                                                  normalize_tacotron_mel)
+        diff, gpt = ctx["diff"], ctx["gpt"]
+        gpt_vars, dvae, dvae_vars = ctx["gpt_vars"], ctx["dvae"], ctx["dvae_vars"]
+        vocos_pair = None
+        if getattr(args, "vocos_weights", None):
+            from xtts_tpu.utils.registry import load_model
+            vocos_pair = load_model("vocos", cfg,
+                                    weights_path=args.vocos_weights)
+        steps = max(2, min(15, cfg.diffusion_process.timesteps))
+        gd = GaussianDiffusion.spaced(
+            cfg.diffusion_process.timesteps, steps,
+            schedule=cfg.diffusion_process.schedule, conditioning_free=False)
+
+        def sample_mel(params, mel, refer, text, text_lengths, wav_lengths,
+                       key):
+            codes = dvae.apply(dvae_vars, mel,
+                               method=dvae.get_codebook_indices)
+            latent = gpt.apply(gpt_vars, refer, text, text_lengths, codes,
+                               wav_lengths, return_latent=True)
+            latent = jnp.swapaxes(latent, 1, 2)
+            refer_n = normalize_tacotron_mel(refer)
+
+            def model_fn(x, t):
+                return diff.apply({"params": params}, x, t, latent, refer_n)
+
+            shape = (1, cfg.diffusion.in_channels, latent.shape[-1] * 4)
+            out = gd.sample_loop(model_fn, shape, key, sampler="ddim")
+            return denormalize_tacotron_mel(out)
+
+        sample_jit = jax.jit(sample_mel)
+
+        def render_diffusion(params, state_cols, batch, ml, step):
+            mel = jnp.asarray(batch["mel"][:1])
+            out = sample_jit(params, mel,
+                             jnp.asarray(batch["refer_mel"][:1]),
+                             jnp.asarray(batch["text"][:1]),
+                             jnp.asarray(batch["text_lengths"][:1]),
+                             jnp.asarray(batch["wav_lengths"][:1]),
+                             jax.random.PRNGKey(step))
+            ml.image_mel(step, "eval/mel_gt", np.asarray(mel[0]))
+            ml.image_mel(step, "eval/mel_diffusion", np.asarray(out[0]))
+            if vocos_pair is not None:
+                vocos, vv = vocos_pair
+                wav = vocos.apply(vv, out)
+                ml.audio(step, "eval/wav", np.asarray(wav[0]),
+                         sample_rate=cfg.mel.sample_rate)
+
+        return render_diffusion
+
+    return None
 
 
 def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
@@ -179,6 +261,7 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
     dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
 
     gen_fn = make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv)
+    render_gen = jax.jit(gen_fn)
     disc_fn = lambda p, wav: disc.apply({"params": p}, wav)
     trainer = GANTrainer(gen_fn, disc_fn, g_lr=cfg.train.lr,
                          d_lr=cfg.train.lr, grad_clip=cfg.train.grad_clip)
@@ -206,6 +289,16 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
         step = int(state.step)
         timer.tick()
         ml.scalars(step, {**metrics, "step_time": timer.mean})
+        if step % cfg.train.val_freq == 0:
+            # render the generator on the current batch's first sample
+            # (the reference's eval spot-check audio, train.py:213-247)
+            import numpy as _np
+            wav_hat = render_gen(state.g_params,
+                                 {k: v[:1] for k, v in batch.items()}, sub)
+            ml.audio(step, "eval/wav_gen", _np.asarray(wav_hat[0]),
+                     sample_rate=cfg.mel.sample_rate)
+            ml.audio(step, "eval/wav_gt", _np.asarray(batch["wav"][0]),
+                     sample_rate=cfg.mel.sample_rate)
         if step % cfg.train.save_freq == 0:
             ckpt.save(step, {"g": state.g_params, "d": state.d_params,
                              "g_opt": state.g_opt, "d_opt": state.d_opt,
@@ -239,6 +332,9 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--dvae-weights", default=None)
     ap.add_argument("--gpt-weights", default=None)
+    ap.add_argument("--vocos-weights", default=None,
+                    help="diffusion family: render eval audio through this "
+                         "vocoder (ttts/diffusion/train.py:226-233)")
     ap.add_argument("--steps", type=int, default=None,
                     help="override train.train_steps")
     ap.add_argument("--resume", action="store_true")
@@ -264,7 +360,7 @@ def main(argv: Optional[list] = None):
                             noise_filelist=args.noise_filelist)
     logger.info("dataset: %d samples", len(dataset))
 
-    loss_fn, params, cols = build_loss(args.model, cfg, args)
+    loss_fn, params, cols, loss_ctx = build_loss(args.model, cfg, args)
     trainer = Trainer(loss_fn, cfg.train, accum_steps=1,
                       checkpoint_dir=os.path.join(args.model_dir, "ckpt"))
     state = trainer.init_state(params, cols)
@@ -280,8 +376,10 @@ def main(argv: Optional[list] = None):
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     eval_fn = None
+    render_fn = None
     val_batches = []
     if args.val_filelist:
+        render_fn = build_eval_render(args.model, cfg, args, loss_ctx)
         val_ds = build_dataset(args.model, cfg, args.val_filelist, tok,
                                cfg.train.seed + 1,
                                noise_filelist=args.noise_filelist)
@@ -308,6 +406,10 @@ def main(argv: Optional[list] = None):
             if losses:
                 ml.scalars(step, {"loss": float(np.mean(losses))},
                            prefix="eval/")
+            if render_fn is not None and val_batches \
+                    and val_batches[0] is not None:
+                render_fn(state.params, state.state_cols, val_batches[0],
+                          ml, step)
         if step % cfg.train.save_freq == 0:
             trainer.save(state)
             logger.info("checkpoint @ %d", step)

@@ -97,8 +97,37 @@ def hf_gpt2_to_stack(sd: Mapping[str, Any], layers: int,
 # UnifiedVoice (reference ttts/gpt/model.py state dict -> models.gpt)
 # ---------------------------------------------------------------------------
 
+def perceiver_from_reference(sd: Mapping[str, Any], prefix: str = "perceiver_encoder.",
+                             depth: int = 2) -> Dict[str, Any]:
+    """Reference PerceiverResampler (ttts/gpt/perceiver.py:225-276) ->
+    xtts_tpu.nn.blocks.PerceiverResampler params.
+
+    Reference layout per depth level i: `layers.{i}.0` = Attention
+    (to_q/to_kv/to_out, bias-free), `layers.{i}.1` = Sequential(Linear,
+    GEGLU, Linear) so the Linears sit at indices 0 and 2 (perceiver.py:222).
+    """
+    out: Dict[str, Any] = {"latents": _np(sd[prefix + "latents"]),
+                           "norm": {"gamma": _np(sd[prefix + "norm.gamma"])}}
+    if prefix + "proj_context.weight" in sd:
+        out["proj_context"] = linear(sd, prefix + "proj_context")
+    for i in range(depth):
+        p = f"{prefix}layers.{i}."
+        out[f"attn_{i}"] = {
+            "to_q": linear(sd, p + "0.to_q"),
+            "to_kv": linear(sd, p + "0.to_kv"),
+            "to_out": linear(sd, p + "0.to_out"),
+        }
+        out[f"ff_{i}"] = {
+            "Dense_0": linear(sd, p + "1.0"),
+            "Dense_1": linear(sd, p + "1.2"),
+        }
+    return out
+
+
 def unified_voice_from_reference(sd: Mapping[str, Any], layers: int,
-                                 cond_attn_blocks: int = 6) -> Dict[str, Any]:
+                                 cond_attn_blocks: int = 6,
+                                 use_perceiver: bool = False,
+                                 perceiver_depth: int = 2) -> Dict[str, Any]:
     """Reference UnifiedVoice state dict -> xtts_tpu UnifiedVoice params.
 
     Name map (reference module attrs, ttts/gpt/model.py:294-362):
@@ -109,6 +138,7 @@ def unified_voice_from_reference(sd: Mapping[str, Any], layers: int,
       text_head / mel_head                  nn.Linear
       conditioning_encoder.init             nn.Conv1d mel->dim (:210-213)
       conditioning_encoder.attn.{i}         AttentionBlock (utils.py:270-313)
+      perceiver_encoder.*                   PerceiverResampler (:334-336)
     """
     params: Dict[str, Any] = {
         "text_embedding": embedding(sd, "text_embedding"),
@@ -120,6 +150,10 @@ def unified_voice_from_reference(sd: Mapping[str, Any], layers: int,
         "text_head": linear(sd, "text_head"),
         "mel_head": linear(sd, "mel_head"),
     }
+    if use_perceiver:
+        params["perceiver_encoder"] = perceiver_from_reference(
+            sd, depth=perceiver_depth)
+        return params
     ce: Dict[str, Any] = {"init": conv1d_torch(sd, "conditioning_encoder.init")}
     for i in range(cond_attn_blocks):
         p = f"conditioning_encoder.attn.{i}."
