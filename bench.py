@@ -18,7 +18,11 @@ Knobs (env):
   BENCH_BATCH       serving batch size        (default 8)
   BENCH_QUANT       1 (default) = int8 weight-only AR decode engine
   BENCH_PATH        'e2e' (default) | 'ar' (GPT tokens/sec, batch 1)
-                    | 'serving' (batched synthesis audio-s/s per chip)
+                    | 'serving' (batched synthesis audio-s/s per chip:
+                    headline = full-quality 50-step CFG diffusion with
+                    CLVP rerank; shortcut render reported alongside)
+  BENCH_RERANK_K    serving CLVP candidates per utterance (default 2;
+                    1 = rerank off)
 """
 import json
 import os
@@ -104,27 +108,48 @@ def main():
         return
 
     if path == "serving":
-        # batched shortcut-path serving throughput (BASELINE config #5)
+        # batched serving throughput (BASELINE config #5: "batched serving
+        # w/ KV-cache paging + CLVP rerank"). Headline = the FULL-QUALITY
+        # path: B utterances x K CLVP-reranked candidates through one AR
+        # program, winners through the 50-step CFG diffusion (hoisted
+        # all-step ReferenceNet) + Vocos — the test.py-equivalent render.
+        # The dvae-decode shortcut number is reported alongside.
         from xtts_tpu.infer.serving import SynthesisRequest, synthesize_batch
         b = int(os.environ.get("BENCH_BATCH", 8))
+        k_cand = int(os.environ.get("BENCH_RERANK_K", 2))
         reqs = [SynthesisRequest(text_tokens[0]) for _ in range(b)]
+        if k_cand > 1 and tts.clvp is None:
+            from xtts_tpu.models.clvp import CLVP
+            tts.clvp = CLVP(cfg.clvp, dtype=jnp.bfloat16)
+            tts.vars["clvp"] = jax.jit(tts.clvp.init)(
+                jax.random.PRNGKey(5), jnp.zeros((1, 8), jnp.int32),
+                jnp.zeros((1, 8), jnp.int32))
+        quality = TTSSettings(max_mel_tokens=max_gen,
+                              diffusion_steps=diff_steps,
+                              num_candidates=k_cand)
 
-        def run_srv(key):
-            wavs = synthesize_batch(tts, reqs, cond_mel, settings,
-                                    use_diffusion=False, key=key)
+        def run_srv(key, use_diffusion, s):
+            wavs = synthesize_batch(tts, reqs, cond_mel, s,
+                                    use_diffusion=use_diffusion, key=key)
             return sum(w.size for w in wavs) / sr
 
-        run_srv(jax.random.PRNGKey(99))  # compile
-        t0 = time.perf_counter()
-        audio = 0.0
-        for i in range(repeats):
-            audio += run_srv(jax.random.PRNGKey(i))
-        wall = time.perf_counter() - t0
-        thr = audio / wall   # audio-seconds per wall-second per chip
+        def throughput(use_diffusion, s):
+            run_srv(jax.random.PRNGKey(99), use_diffusion, s)  # compile
+            t0 = time.perf_counter()
+            audio = 0.0
+            for i in range(repeats):
+                audio += run_srv(jax.random.PRNGKey(i), use_diffusion, s)
+            return audio / (time.perf_counter() - t0)
+
+        thr_shortcut = throughput(False, settings)
+        thr_full = throughput(True, quality)
         print(json.dumps({
-            "metric": "serving_audio_s_per_s_per_chip",
-            "value": round(thr, 2), "unit": "audio_s/s",
-            "vs_baseline": round(thr * TARGET_RTF, 4)}))
+            "metric": "serving_full_quality_audio_s_per_s_per_chip",
+            "value": round(thr_full, 2), "unit": "audio_s/s",
+            "vs_baseline": round(thr_full * TARGET_RTF, 4),
+            "rerank_k": k_cand, "diffusion_steps": diff_steps,
+            "batch": b,
+            "shortcut_audio_s_per_s": round(thr_shortcut, 2)}))
         return
 
     def run_e2e(key):

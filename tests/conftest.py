@@ -20,6 +20,16 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# fast CI subset (`pytest -m smoke`, < 2 min): host-side + tiny-jit modules
+SMOKE_MODULES = {"test_data", "test_core", "test_utils", "test_text",
+                 "test_japanese_fileops"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

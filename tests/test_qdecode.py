@@ -169,3 +169,50 @@ class TestFusedEngine:
         agree = float((np.asarray(r0.codes) == np.asarray(r1.codes)).mean())
         assert agree >= 0.75, (np.asarray(r0.codes), np.asarray(r1.codes))
         assert int(r1.lengths[0]) <= 8
+
+
+class TestQuantizationQualityGate:
+    """VERDICT r2 #9: the acceptance check for default-enabling a quantized
+    engine — teacher-forced greedy agreement vs the fp decode chain."""
+
+    def test_int8_gate_high_agreement(self, setup):
+        from xtts_tpu.infer.qdecode import quantization_quality_gate
+        model, variables, qt, cond, text = setup
+        rng = np.random.default_rng(5)
+        codes = rng.integers(0, 31, (1, 24)).astype(np.int32)
+        res = quantization_quality_gate(model, variables, cond, text, codes,
+                                        bits=8, min_agreement=0.9)
+        assert res["bits"] == 8 and res["n_positions"] == 24
+        # int8 logits track fp within ~1e-2 relative; random tiny-model
+        # logits are flat, so demand a high-but-not-perfect bar
+        assert res["agreement"] >= 0.9
+        assert res["passed"]
+
+    def test_int4_gate_reports_lower_agreement(self, setup):
+        from xtts_tpu.infer.qdecode import quantization_quality_gate
+        model, variables, qt, cond, text = setup
+        rng = np.random.default_rng(6)
+        codes = rng.integers(0, 31, (1, 24)).astype(np.int32)
+        r8 = quantization_quality_gate(model, variables, cond, text, codes,
+                                       bits=8)
+        r4 = quantization_quality_gate(model, variables, cond, text, codes,
+                                       bits=4)
+        # int4 is strictly coarser than int8 on random (flat-logit) weights
+        assert r4["agreement"] <= r8["agreement"] + 1e-6
+
+    def test_int4_grid_matches_fused_packing_math(self, setup):
+        """requantize_int4_tree must reproduce stack_qtree_int4's weight grid
+        (ops/decode_step.py:427-432) so the XLA-chain gate measures the SAME
+        weights the fused kernel streams."""
+        from xtts_tpu.infer.qdecode import requantize_int4_tree
+        model, variables, qt, cond, text = setup
+        t4 = requantize_int4_tree(qt)
+        q = qt["layers"][0]["qkv"]
+        w = np.asarray(q["w"], np.float32) * np.asarray(q["scale"])[None]
+        s4 = np.maximum(np.abs(w).max(axis=0) / 7.0, 1e-8)
+        w4 = np.clip(np.round(w / s4[None]), -7, 7)
+        np.testing.assert_array_equal(
+            np.asarray(t4["layers"][0]["qkv"]["w"]), w4.astype(np.int8))
+        np.testing.assert_allclose(np.asarray(t4["layers"][0]["qkv"]["scale"]),
+                                   s4, rtol=1e-6)
+        assert int(np.abs(np.asarray(t4["layers"][0]["qkv"]["w"])).max()) <= 7

@@ -92,6 +92,115 @@ class TestGPTTrainingSharded:
         k = state.params["gpt"]["h_0"]["attn"]["c_attn"]["kernel"]
         assert "model" in str(k.sharding)
 
+    def _fresh(self):
+        """Deterministic model/vars build so sharded and single-device runs
+        start from identical params (trainer.step donates its state)."""
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        return dvae, dvae_vars, gpt, gpt_vars
+
+    def _batch(self, rng):
+        return {
+            "cond_mel": jnp.asarray(
+                rng.standard_normal((8, MEL, 40)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (8, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((8,), 8, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((8, MEL, 32)).astype(np.float32)),
+            "wav_lengths": jnp.full((8,), 6 * 1024, jnp.int32),
+        }
+
+    def test_dp_tp_matches_single_device(self):
+        """dp x tp step NUMERICALLY equals the single-device step: loss and
+        every updated parameter after one optimizer step (VERDICT r2 #2a —
+        a wrong psum/sharding that still yields finite numbers must fail).
+        Collective semantics match ttts/gpt/train_ms.py:114 (DDP grad
+        averaging) + GSPMD TP reductions."""
+        batch = self._batch(np.random.default_rng(7))
+        results = []
+        for mesh, rules in ((None, ()), (make_mesh(4, 2), GPT_PARAM_RULES)):
+            dvae, dvae_vars, gpt, gpt_vars = self._fresh()
+            trainer = Trainer(make_gpt_loss(gpt, dvae, dvae_vars),
+                              TRAIN_CFG, mesh=mesh, param_rules=rules)
+            state = trainer.shard_state(trainer.init_state(gpt_vars["params"]))
+            b = trainer.shard_batch(batch)
+            state, metrics = trainer.step(state, b, jax.random.PRNGKey(2))
+            results.append((float(metrics["loss"]),
+                            jax.tree_util.tree_map(np.asarray, state.params)))
+        (l0, p0), (l1, p1) = results
+        np.testing.assert_allclose(l0, l1, rtol=2e-5)
+        flat0 = jax.tree_util.tree_leaves_with_path(p0)
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(p1))
+        for path, a in flat0:
+            np.testing.assert_allclose(
+                a, flat1[path], rtol=2e-4, atol=2e-5,
+                err_msg=f"param mismatch at {jax.tree_util.keystr(path)}")
+
+    def test_tp_sharded_decode_token_parity(self):
+        """TP-sharded greedy decode emits the SAME tokens as replicated
+        (VERDICT r2 #2b)."""
+        from xtts_tpu.models.gpt_infer import generate_speech
+        from xtts_tpu.parallel.mesh import shard_params
+
+        _, _, gpt, gpt_vars = self._fresh()
+        rng = np.random.default_rng(3)
+        cond = jnp.asarray(rng.standard_normal((2, MEL, 40)).astype(np.float32))
+        text = jnp.asarray(rng.integers(2, 15, (2, 6)).astype(np.int32))
+        base = generate_speech(gpt, gpt_vars, cond, text,
+                               jax.random.PRNGKey(0), max_gen=8,
+                               do_sample=False, repetition_penalty=1.0,
+                               cache_dtype=jnp.float32)
+        mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+        sharded_vars = {"params": shard_params(gpt_vars["params"], mesh,
+                                               GPT_PARAM_RULES)}
+        tp = generate_speech(gpt, sharded_vars, cond, text,
+                             jax.random.PRNGKey(0), max_gen=8,
+                             do_sample=False, repetition_penalty=1.0,
+                             cache_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(base.codes),
+                                      np.asarray(tp.codes))
+        np.testing.assert_array_equal(np.asarray(base.lengths),
+                                      np.asarray(tp.lengths))
+
+    def test_sharded_orbax_roundtrip(self, tmp_path):
+        """Sharded save -> restore -> step (VERDICT r2 #2c): checkpointing a
+        dp x tp state and resuming must reproduce the uninterrupted run."""
+        batch = self._batch(np.random.default_rng(11))
+        mesh = make_mesh(4, 2)
+
+        def run(ckpt_dir, steps, restore_at=None):
+            dvae, dvae_vars, gpt, gpt_vars = self._fresh()
+            trainer = Trainer(make_gpt_loss(gpt, dvae, dvae_vars), TRAIN_CFG,
+                              mesh=mesh, param_rules=GPT_PARAM_RULES,
+                              checkpoint_dir=ckpt_dir)
+            state = trainer.shard_state(trainer.init_state(gpt_vars["params"]))
+            if restore_at is not None:
+                state = trainer.restore(state)
+                assert int(state.step) == restore_at
+            losses = []
+            for i in range(int(state.step), steps):
+                state, m = trainer.step(state, trainer.shard_batch(batch),
+                                        jax.random.PRNGKey(i))
+                losses.append(float(m["loss"]))
+            return losses, trainer, state
+
+        d = str(tmp_path / "ck")
+        # uninterrupted 2-step run
+        ref_losses, _, ref_state = run(str(tmp_path / "ref"), 2)
+        # save after step 1, restore into a fresh trainer, run step 2
+        losses_a, trainer_a, state_a = run(d, 1)
+        trainer_a.save(state_a, wait=True)
+        losses_b, _, state_b = run(d, 2, restore_at=1)
+        np.testing.assert_allclose(losses_a + losses_b, ref_losses, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                        jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_loss_decreases_over_steps(self, rng):
         dvae = DVAE(DVAE_CFG)
         dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))

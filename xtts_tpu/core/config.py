@@ -146,6 +146,9 @@ class GPTConfig(ConfigBase):
     cond_attn_blocks: int = 6
     mel_bins: int = 100
     types: int = 1
+    # per-block gradient checkpointing: none | dots | dots_no_batch | full
+    # (HF gradient_checkpointing equivalent, ttts/gpt/model.py:257)
+    remat: str = "none"
     # derived sequence geometry (matches build_hf_gpt_transformer at
     # ttts/gpt/model.py:344-345): mel positions = max_mel+2+max_cond,
     # text positions = max_text+2
@@ -199,6 +202,9 @@ class DiffusionModelConfig(ConfigBase):
     dropout: float = 0.0
     in_latent_channels: int = 1024   # GPT latent dim -> hint_converter
     unconditioned_percentage: float = 0.1
+    # per-block gradient checkpointing over ResBlocks + SpatialTransformers
+    # (LDM use_checkpoint equivalent, ldm/modules/attention.py:270-272)
+    remat: str = "none"
     clip: CLIPRefConfig = field(default_factory=CLIPRefConfig)
 
 
@@ -316,6 +322,9 @@ class TrainConfig(ConfigBase):
     batch_size: int = 8
     seed: int = 0
     dtype: str = "bfloat16"       # compute dtype; params stay f32
+    # gradient checkpointing for the trained family's blocks
+    # (none | dots | dots_no_batch | full — xtts_tpu/nn/remat.py)
+    remat: str = "none"
 
 
 @dataclass(frozen=True)

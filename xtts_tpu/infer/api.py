@@ -269,6 +269,36 @@ class TextToSpeech:
                               key, temperature, steps=steps, sampler=sampler,
                               cond_free_k=cond_free_k)
 
+    @functools.cached_property
+    def _render_full_jit(self):
+        """ONE program for latent-extract -> diffusion -> vocos.
+
+        The tunnel charges ~20-25 ms fixed per program launch (PERF.md), so
+        running these three stages as separate jits costs two extra
+        round-trips per utterance; fused they are a single dispatch.
+        Compiles once per (code-bucket, steps, sampler) combination."""
+        def impl(gvars, dvars, vvars, cond_mel, diff_cond_norm, text_tokens,
+                 text_lens, codes, wav_lens, key, temperature,
+                 steps, sampler, cond_free_k):
+            latent = self.gpt.apply(gvars, cond_mel, text_tokens, text_lens,
+                                    codes, wav_lens, return_latent=True)
+            latent = jnp.swapaxes(latent, 1, 2)        # (B, D, N)
+            mel = self._diffusion_mel_impl(
+                dvars, latent, diff_cond_norm, key, temperature,
+                steps=steps, sampler=sampler, cond_free_k=cond_free_k)
+            return self.vocos.apply(vvars, mel)
+        return jax.jit(impl,
+                       static_argnames=("steps", "sampler", "cond_free_k"))
+
+    @functools.cached_property
+    def _render_shortcut_jit(self):
+        """ONE program for dvae-decode -> vocos (test.py:152-154 shortcut)."""
+        def impl(dvvars, vvars, codes):
+            mel_rec, _ = self.dvae.apply(dvvars, codes,
+                                         method=self.dvae.decode)
+            return self.vocos.apply(vvars, mel_rec), mel_rec
+        return jax.jit(impl)
+
     def _diffusion_mel_impl(self, dvars, latent, cond_mel_norm, key,
                             temperature, steps=50, sampler="p",
                             cond_free_k=2.0):
@@ -292,16 +322,17 @@ class TextToSpeech:
         # depend on t only through the timestep embedding and the spaced
         # samplers visit a STATIC timestep list, so all `steps` passes batch
         # into one upfront call (the reference recomputes it every step,
-        # aa_model.py:337; SURVEY §7 hard parts). Gated to small batches
-        # (features are ~4 MB/step/seq) and to samplers on the spaced grid
-        # (the continuous-time solvers query arbitrary float t).
+        # aa_model.py:337; SURVEY §7 hard parts). Gated by total feature
+        # memory (~4 MB/step/seq: b*steps <= 512 keeps it under ~2 GB at
+        # flagship shapes — covers both B=1 e2e and B=8 batched serving)
+        # and to samplers on the spaced grid (the continuous-time solvers
+        # query arbitrary float t).
         ov = os.environ.get("XTTS_HOIST_REF")
         spaced = sampler in ("p", "ddim", "dpm++2m", "unipc")
         # the continuous-time solvers query arbitrary float t — hoisting is
         # never valid there, so the env override only flips the gate within
         # the spaced family
-        hoist = spaced and ((b <= 2 and steps <= 64) if ov is None
-                            else ov == "1")
+        hoist = spaced and ((b * steps <= 512) if ov is None else ov == "1")
         tmap = jnp.asarray(gd.timestep_map)
         control_all = None
         if hoist:
@@ -393,31 +424,43 @@ class TextToSpeech:
 
         out = {"codes": np.asarray(res.codes), "lengths": np.asarray(res.lengths)}
         if not use_diffusion:
-            mel_rec, _ = self._dvae_decode_jit(self.vars["dvae"], codes)
-            wav = self._vocos_jit(self.vars["vocos"], mel_rec)
+            wav, mel_rec = self._render_shortcut_jit(self.vars["dvae"],
+                                                     self.vars["vocos"], codes)
             if return_intermediates:
                 out["mel"] = np.asarray(mel_rec[:, :, :n * comp])
             out["wav"] = np.asarray(wav[:, :n * comp * hop])
             return out
 
-        latent = self._latent_jit(
-            self.vars["gpt"], cond_mel, text_tokens,
-            jnp.array([text_tokens.shape[-1]]), codes,
-            jnp.array([n * self.cfg.gpt.mel_length_compression]))
-        latent = jnp.swapaxes(latent, 1, 2)          # (B, D, N) like test.py:160
         # with stacked multi-clip conditioning, the diffusion ReferenceNet /
         # CLIP refer mel is the first clip (the AA path has no multi-clip
         # support in the reference; only GPT conditioning averages)
         diff_cond = cond_mel if cond_mel.ndim == 3 else cond_mel[:, 0]
-        mel = self._diffusion_mel(
-            latent, normalize_tacotron_mel(diff_cond), k2,
-            steps=settings.diffusion_steps, sampler=settings.sampler,
-            cond_free_k=settings.cond_free_k,
-            temperature=settings.diffusion_temperature)
-        wav = self._vocos_jit(self.vars["vocos"], mel)
         if return_intermediates:
+            # debug path: separate programs so latent/mel can be fetched
+            latent = self._latent_jit(
+                self.vars["gpt"], cond_mel, text_tokens,
+                jnp.array([text_tokens.shape[-1]]), codes,
+                jnp.array([n * self.cfg.gpt.mel_length_compression]))
+            latent = jnp.swapaxes(latent, 1, 2)      # (B, D, N) test.py:160
+            mel = self._diffusion_mel(
+                latent, normalize_tacotron_mel(diff_cond), k2,
+                steps=settings.diffusion_steps, sampler=settings.sampler,
+                cond_free_k=settings.cond_free_k,
+                temperature=settings.diffusion_temperature)
+            wav = self._vocos_jit(self.vars["vocos"], mel)
             out["latent"] = np.asarray(latent[:, :, :n])
             out["mel"] = np.asarray(mel[:, :, :n * comp])
+            out["wav"] = np.asarray(wav[:, :n * comp * hop])
+            return out
+
+        wav = self._render_full_jit(
+            self.vars["gpt"], self.vars["diffusion"], self.vars["vocos"],
+            cond_mel, normalize_tacotron_mel(diff_cond), text_tokens,
+            jnp.array([text_tokens.shape[-1]]), codes,
+            jnp.array([n * self.cfg.gpt.mel_length_compression]), k2,
+            settings.diffusion_temperature,
+            steps=settings.diffusion_steps, sampler=settings.sampler,
+            cond_free_k=settings.cond_free_k)
         out["wav"] = np.asarray(wav[:, :n * comp * hop])
         return out
 

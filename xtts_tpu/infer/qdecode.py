@@ -273,6 +273,97 @@ def _decode_logits(qt: Dict[str, Any], heads: int, token: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# quantization quality gate (VERDICT r2 #9)
+# ---------------------------------------------------------------------------
+
+def requantize_int4_tree(qtree: Dict[str, Any]) -> Dict[str, Any]:
+    """Emulate the fused kernel's int4 weight grid in the XLA-chain tree.
+
+    Uses stack_qtree_int4's exact math (ops/decode_step.py:427-432):
+    dequantize the int8 weights, re-quantize per-output-channel symmetric to
+    [-7, 7]. The resulting tree runs through the plain XLA engine, so int4
+    WEIGHT quality is measurable on any backend without the fused kernel."""
+    def requant(q):
+        w = q["w"].astype(jnp.float32) * q["scale"][None, :]
+        s4 = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 7.0, 1e-8)
+        w4 = jnp.clip(jnp.round(w / s4[None, :]), -7, 7).astype(jnp.int8)
+        return {"w": w4, "scale": s4}
+
+    out = dict(qtree)
+    out["layers"] = [
+        {k: (requant(v) if k in ("qkv", "proj", "fc", "out") else v)
+         for k, v in layer.items()}
+        for layer in qtree["layers"]]
+    out["mel_head"] = requant(qtree["mel_head"])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _teacher_forced_agreement(model: UnifiedVoice, variables, qtree,
+                              cond_mel, text_tokens, codes):
+    """Per-position greedy-argmax agreement between the quantized decode
+    engine and the full-precision decode chain under TEACHER FORCING: both
+    engines see the same ground-truth history, so agreement isolates
+    per-step logit fidelity from compounding sampling drift."""
+    cfg = model.cfg
+    prefix, n_cond = model.apply(variables, cond_mel, text_tokens,
+                                 method=model.encode_prefix)
+    b, p_len, _ = prefix.shape
+    n = codes.shape[1]
+    s_max = p_len + n + 1
+    mk_cache = lambda: KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
+                                     cfg.model_dim // cfg.heads,
+                                     dtype=jnp.bfloat16)
+    _, cache_f = model.apply(variables, prefix, mk_cache(),
+                             method=model.prefill)
+    _, cache_q = model.apply(variables, prefix, mk_cache(),
+                             method=model.prefill)
+
+    def body(carry, t):
+        cache_f, cache_q = carry
+        tok = codes[:, t]
+        mel_pos = t + 1 + (n_cond if cfg.decode_position_quirk else 0)
+        lf, cache_f = model.apply(variables, tok, mel_pos, cache_f,
+                                  p_len + t, method=model.decode_one)
+        lq, cache_q = _decode_logits(qtree, cfg.heads, tok, mel_pos,
+                                     cache_q, p_len + t)
+        return (cache_f, cache_q), (jnp.argmax(lf, -1), jnp.argmax(lq, -1))
+
+    _, (af, aq) = jax.lax.scan(body, (cache_f, cache_q), jnp.arange(n))
+    return jnp.mean((af == aq).astype(jnp.float32))
+
+
+def quantization_quality_gate(model: UnifiedVoice, variables, cond_mel,
+                              text_tokens, codes, bits: int = 8,
+                              min_agreement: float = 0.98) -> Dict[str, Any]:
+    """The acceptance check for enabling a quantized decode engine by
+    default on a given set of weights (VERDICT r2 #9).
+
+    Measures teacher-forced greedy top-1 agreement of the int8 (or
+    int4-grid) engine against the full-precision decode chain over the
+    provided mel-code sequences. A trained model's peaked logits score far
+    higher than random weights (PERF.md round 2: ~2/3 on random int4); gate
+    on REAL converted weights before flipping a default.
+
+    Returns {bits, agreement, n_positions, min_agreement, passed}.
+    Policy: int8 defaults on at >= 0.98; int4 stays experimental
+    (XTTS_DECODE_BITS=4) until its gate passes on the target checkpoint.
+    """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qtree = quantize_gpt_decode(variables, model.cfg, include_fused=False)
+    if bits == 4:
+        qtree = requantize_int4_tree(qtree)
+    agreement = float(_teacher_forced_agreement(
+        model, variables, qtree, jnp.asarray(cond_mel),
+        jnp.asarray(text_tokens, jnp.int32), jnp.asarray(codes, jnp.int32)))
+    return {"bits": bits, "agreement": agreement,
+            "n_positions": int(codes.shape[0]) * int(codes.shape[1]),
+            "min_agreement": min_agreement,
+            "passed": agreement >= min_agreement}
+
+
+# ---------------------------------------------------------------------------
 # generation loop
 # ---------------------------------------------------------------------------
 

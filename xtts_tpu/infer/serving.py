@@ -107,25 +107,25 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     comp = cfg.vqvae.compression
 
     if not use_diffusion:
-        mel_rec, _ = tts._dvae_decode_jit(tts.vars["dvae"], codes)
-        wav = np.asarray(tts._vocos_jit(tts.vars["vocos"], mel_rec))
+        wav, _ = tts._render_shortcut_jit(tts.vars["dvae"],
+                                          tts.vars["vocos"], codes)
+        wav = np.asarray(wav)
     else:
-        latent = tts._latent_jit(
-            tts.vars["gpt"], cond, jnp.asarray(texts),
-            jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
-            codes,
-            jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32))
-        latent = jnp.swapaxes(latent, 1, 2)
         from xtts_tpu.models.aa_diffusion import normalize_tacotron_mel
         key, k2 = jax.random.split(key)
         # multi-clip stacked cond: ReferenceNet/CLIP refer = first clip
         diff_cond = cond if cond.ndim == 3 else cond[:, 0]
-        mel = tts._diffusion_mel(
-            latent, normalize_tacotron_mel(diff_cond), k2,
+        # latent extract + 50-step CFG diffusion + vocos in ONE program
+        # (two fewer ~20 ms tunnel dispatches per batch — PERF.md)
+        wav = np.asarray(tts._render_full_jit(
+            tts.vars["gpt"], tts.vars["diffusion"], tts.vars["vocos"],
+            cond, normalize_tacotron_mel(diff_cond), jnp.asarray(texts),
+            jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
+            codes,
+            jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32), k2,
+            settings.diffusion_temperature,
             steps=settings.diffusion_steps, sampler=settings.sampler,
-            cond_free_k=settings.cond_free_k,
-            temperature=settings.diffusion_temperature)
-        wav = np.asarray(tts._vocos_jit(tts.vars["vocos"], mel))
+            cond_free_k=settings.cond_free_k))
 
     return [wav[i, :int(ns[i]) * comp * hop] for i in range(b)]
 

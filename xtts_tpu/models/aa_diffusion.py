@@ -142,7 +142,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, refer=None):
+    def __call__(self, x, context, refer=None, skip=()):
         produced = x if refer is None else None
         ln1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
         ln2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
@@ -159,10 +159,22 @@ class BasicTransformerBlock(nn.Module):
         else:
             xa = jnp.concatenate([x, refer], axis=1)  # consumer: attend over both
         t_len = x.shape[1]
-        y = attn1(ln1(xa).astype(xa.dtype)) + xa
-        y = y[:, :t_len]
-        y = attn2(ln2(y).astype(y.dtype), context) + y
-        y = ff(ln3(y).astype(y.dtype)) + y
+        if "attn1" not in skip:
+            xa_n = ln1(xa).astype(xa.dtype)
+            if refer is None:
+                xa = attn1(xa_n) + xa
+            else:
+                # the reference truncates the refer rows right after attn1
+                # (x = self.attn1(...); x[:, :x_len], attention.py:282-284),
+                # so their query rows are dead — compute queries only for the
+                # x rows against the full [x ; refer] K/V: identical outputs
+                # for the kept rows, ~Tr/(Tx+Tr) less attention work
+                xa = attn1(xa_n[:, :t_len], context=xa_n) + xa[:, :t_len]
+        y = xa[:, :t_len]
+        if "attn2" not in skip:
+            y = attn2(ln2(y).astype(y.dtype), context) + y
+        if "ff" not in skip:
+            y = ff(ln3(y).astype(y.dtype)) + y
         if produced is not None:
             return y, produced
         return y
@@ -180,7 +192,7 @@ class SpatialTransformer1D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, refer=None):
+    def __call__(self, x, context, refer=None, skip=()):
         x_in = x
         h = GroupNorm32(eps=1e-6, name="norm")(x)
         h = nn.Dense(self.heads * self.dim_head, dtype=self.dtype,
@@ -193,7 +205,7 @@ class SpatialTransformer1D(nn.Module):
             if refer is None:
                 h, produced = blk(h, context)
             else:
-                h = blk(h, context, refer)
+                h = blk(h, context, refer, skip=skip)
         h = nn.Dense(self.channels, dtype=self.dtype, kernel_init=_zero_init(),
                      name="proj_out")(h)
         out = h + x_in
@@ -211,22 +223,27 @@ class UNetTrunk(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        from xtts_tpu.nn.remat import maybe_remat
         c = self.cfg
+        # LDM use_checkpoint equivalent (attention.py:270-272): remat each
+        # ResBlock/SpatialTransformer on the backward pass per cfg.remat
+        res_cls = maybe_remat(UNetResBlock, c.remat)
+        attn_cls = maybe_remat(SpatialTransformer1D, c.remat)
         self.in_conv = nn.Conv(c.model_channels, (3,), padding=1,
                                dtype=self.dtype, name="in_conv")
         res, attn = [], []
         n_attn = 0
         for level, _ in enumerate(c.channel_mult):
             for _ in range(c.num_res_blocks):
-                res.append(UNetResBlock(c.model_channels, 4 * c.model_channels,
-                                        c.dropout, dtype=self.dtype))
-                attn.append(SpatialTransformer1D(
+                res.append(res_cls(c.model_channels, 4 * c.model_channels,
+                                   c.dropout, dtype=self.dtype))
+                attn.append(attn_cls(
                     c.model_channels, c.num_heads,
                     c.model_channels // c.num_heads, c.context_dim,
                     depth=c.transformer_depth, dtype=self.dtype))
                 n_attn += 1
-            res.append(UNetResBlock(c.model_channels, 4 * c.model_channels,
-                                    c.dropout, dtype=self.dtype))
+            res.append(res_cls(c.model_channels, 4 * c.model_channels,
+                               c.dropout, dtype=self.dtype))
         self.res_blocks = res
         self.attn_blocks = attn
         self.time_fc1 = nn.Dense(4 * c.model_channels, dtype=self.dtype)
@@ -236,10 +253,11 @@ class UNetTrunk(nn.Module):
         e = timestep_embedding(t, self.cfg.model_channels)
         return self.time_fc2(nn.silu(self.time_fc1(e.astype(self.dtype))))
 
-    def run(self, x, emb, context, refers=None, hint=None):
+    def run(self, x, emb, context, refers=None, hint=None, skip=()):
         """x (B,T,C_in). refers: list of reference features (consumer) or
         None (producer — returns the list). hint added after the first block
-        (aa_model.py:264-268)."""
+        (aa_model.py:264-268). skip: profiling ablations (see
+        AADiffusion.denoise)."""
         c = self.cfg
         produced: List[jnp.ndarray] = []
         h = self.in_conv(x)
@@ -250,16 +268,18 @@ class UNetTrunk(nn.Module):
         idx = 0
         for level, _ in enumerate(c.channel_mult):
             for j in range(c.num_res_blocks):
-                h = self.res_blocks[idx](h, emb)
+                if "res" not in skip:
+                    h = self.res_blocks[idx](h, emb)
                 attn = self.attn_blocks[ri]
                 if refers is None:
                     h, p = attn(h, context)
                     produced.append(p)
                 else:
-                    h = attn(h, context, refers[ri])
+                    h = attn(h, context, refers[ri], skip=skip)
                 ri += 1
                 idx += 1
-            h = self.res_blocks[idx](h, emb)
+            if "res" not in skip:
+                h = self.res_blocks[idx](h, emb)
             idx += 1
         if refers is None:
             return h, produced
@@ -351,12 +371,17 @@ class AADiffusion(nn.Module):
         _, produced = self.refer_model.run(x, emb, refer_cross, refers=None)
         return produced
 
-    def denoise(self, x_bct, t, hint_bct, refer_cross, control):
-        """BaseModel pass. hint_bct: (B, latent_ch, Tx) already resized."""
+    def denoise(self, x_bct, t, hint_bct, refer_cross, control, skip=()):
+        """BaseModel pass. hint_bct: (B, latent_ch, Tx) already resized.
+
+        skip: component names to bypass ("attn1"/"attn2"/"ff"/"res") —
+        ablation knob for scripts/profile_diffusion.py ONLY; params are
+        unchanged (flax ignores unvisited params under apply)."""
         x = jnp.swapaxes(x_bct, 1, 2)
         hint = self.hint_converter(jnp.swapaxes(hint_bct, 1, 2))
         emb = self.base_model.time_embed(t)
-        h = self.base_model.run(x, emb, refer_cross, refers=control, hint=hint)
+        h = self.base_model.run(x, emb, refer_cross, refers=control,
+                                hint=hint, skip=skip)
         h = nn.silu(self.out_norm(h))
         out = self.out_conv(h)
         return jnp.swapaxes(out, 1, 2)

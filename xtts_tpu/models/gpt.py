@@ -76,7 +76,8 @@ class UnifiedVoice(nn.Module):
             c.max_mel_positions, c.model_dim, embedding_init=_normal_embed())
         self.text_pos_embedding = nn.Embed(
             c.max_text_positions, c.model_dim, embedding_init=_normal_embed())
-        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype)
+        self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype,
+                             remat=c.remat)
         self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        name="final_norm")
         self.text_head = nn.Dense(c.number_text_tokens * c.types + 1,

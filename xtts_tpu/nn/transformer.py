@@ -151,16 +151,24 @@ class Block(nn.Module):
 
 
 class GPT2Stack(nn.Module):
-    """n_layer pre-LN blocks + final LayerNorm (HF GPT2Model equivalent)."""
+    """n_layer pre-LN blocks + final LayerNorm (HF GPT2Model equivalent).
+
+    remat: per-block gradient checkpointing policy (xtts_tpu/nn/remat.py) —
+    the TPU counterpart of HF `gradient_checkpointing`
+    (ttts/gpt/model.py:257). Params and the decode path are unaffected;
+    only training-backward memory/FLOPs change."""
 
     layers: int
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
+    remat: str = "none"
 
     def setup(self):
-        self.blocks = [Block(self.dim, self.heads, dtype=self.dtype,
-                             name=f"h_{i}") for i in range(self.layers)]
+        from xtts_tpu.nn.remat import maybe_remat
+        block_cls = maybe_remat(Block, self.remat)
+        self.blocks = [block_cls(self.dim, self.heads, dtype=self.dtype,
+                                 name=f"h_{i}") for i in range(self.layers)]
         self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
 
     def __call__(self, x, attn_mask=None, collect_kv: bool = False):

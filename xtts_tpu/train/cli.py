@@ -116,6 +116,8 @@ def build_loss(model: str, cfg: XTTSConfig, args):
                 variables["params"], cols, {"dvae": m})
     if model == "gpt":
         from xtts_tpu.train.steps import make_gpt_loss
+        if cfg.train.remat != "none":
+            cfg = cfg.replace(gpt=cfg.gpt.replace(remat=cfg.train.remat))
         gpt, gv = load_model("gpt", cfg)
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
         return (make_gpt_loss(gpt, dvae, dv, cfg.train.text_weight,
@@ -124,6 +126,9 @@ def build_loss(model: str, cfg: XTTSConfig, args):
         from xtts_tpu.diffusion.gaussian import (GaussianDiffusion,
                                                  get_named_beta_schedule)
         from xtts_tpu.train.steps import make_diffusion_loss
+        if cfg.train.remat != "none":
+            cfg = cfg.replace(
+                diffusion=cfg.diffusion.replace(remat=cfg.train.remat))
         diff, fv = load_model("diffusion", cfg)
         gpt, gv = load_model("gpt", cfg, weights_path=args.gpt_weights)
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)

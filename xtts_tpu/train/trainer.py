@@ -159,6 +159,7 @@ class Trainer:
         (replicated by default), batch-independent collections replicated."""
         if self.mesh is None:
             return state
+        from jax.sharding import NamedSharding
         from xtts_tpu.parallel.mesh import shard_params
         params = shard_params(state.params, self.mesh, self.param_rules)
         # Adam moments must be sharded like their params; re-derive them from
@@ -168,6 +169,14 @@ class Trainer:
         rep = replicated(self.mesh)
         put_rep = lambda t: jax.tree_util.tree_map(
             lambda x: jax.device_put(x, rep), t)
+        # moments inherit the param shardings from tx.init, but scalar leaves
+        # (Adam step counts) land on the default device — pin them to the
+        # mesh replicated, or a checkpoint restore commits them to one device
+        # and the next jitted step rejects the mixed placement
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x if (isinstance(x, jax.Array)
+                            and isinstance(x.sharding, NamedSharding))
+            else jax.device_put(x, rep), opt_state)
         return TrainState(params, opt_state,
                           put_rep(state.state_cols), put_rep(state.step))
 
