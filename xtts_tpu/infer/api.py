@@ -299,6 +299,26 @@ class TextToSpeech:
             return self.vocos.apply(vvars, mel_rec), mel_rec
         return jax.jit(impl)
 
+    @functools.cached_property
+    def _pad_codes_jit(self):
+        """Device-side bucket padding of generated codes: rows keep their
+        first `ns[i]` codes, the rest fill with the stop token (the same
+        preformat training applies per wav_lengths). Doing this on device
+        needs only the LENGTHS on host (a tiny fetch) — the full code matrix
+        transfer then overlaps with the render program instead of stalling
+        before it (each host sync pays the ~20 ms tunnel RTT, PERF.md)."""
+        def impl(codes, ns, n_b):
+            b, l = codes.shape
+            stop = self.cfg.gpt.stop_mel_token
+            if l >= n_b:
+                sliced = codes[:, :n_b]
+            else:
+                sliced = jnp.pad(codes, ((0, 0), (0, n_b - l)),
+                                 constant_values=stop)
+            pos = jnp.arange(n_b)[None, :]
+            return jnp.where(pos < ns[:, None], sliced, stop)
+        return jax.jit(impl, static_argnames=("n_b",))
+
     def _diffusion_mel_impl(self, dvars, latent, cond_mel_norm, key,
                             temperature, steps=50, sampler="p",
                             cond_free_k=2.0):
@@ -406,30 +426,35 @@ class TextToSpeech:
                                  res.lengths[best:best + 1], res.steps)
         else:
             res = self._generate(cond_mel, text_tokens, k1, settings)
-        n = max(int(res.lengths[0]) - 2, 1)   # strip 2 (test.py:150)
+        lengths_host = np.asarray(res.lengths)       # tiny sync
+        n = max(int(lengths_host[0]) - 2, 1)   # strip 2 (test.py:150)
         # pad codes (with stop tokens, as training does per wav_lengths) up to
         # a bucket so latent/diffusion/vocos programs compile once per bucket,
-        # not once per utterance length; outputs are trimmed to the true n
+        # not once per utterance length; outputs are trimmed to the true n.
+        # The padding runs ON DEVICE so the full code matrix never has to
+        # reach the host before the render dispatch.
         n_b = bucket_len(n, self._code_buckets())
-        stop = self.cfg.gpt.stop_mel_token
-        # pad on host: a device slice/update would compile one tiny program
-        # per distinct n (~1 s each over a remote-TPU tunnel)
-        codes_host = np.asarray(res.codes)   # fixed (B, max_gen) shape
-        codes_np = np.full((codes_host.shape[0], n_b), stop, np.int32)
-        m = min(n, n_b)
-        codes_np[:, :m] = codes_host[:, :m]
-        codes = jnp.asarray(codes_np)
+        codes = self._pad_codes_jit(res.codes,
+                                    jnp.clip(res.lengths - 2, 1, n_b),
+                                    n_b=n_b)
         hop = self.cfg.vocos.hop_length   # wav samples per mel frame
         comp = self.cfg.vqvae.compression
 
-        out = {"codes": np.asarray(res.codes), "lengths": np.asarray(res.lengths)}
+        def finish(out, wav):
+            # fetch the raw codes AFTER the render dispatch — the transfer
+            # overlaps render execution instead of stalling before it
+            out["codes"] = np.asarray(res.codes)
+            out["lengths"] = lengths_host
+            out["wav"] = np.asarray(wav[:, :n * comp * hop])
+            return out
+
         if not use_diffusion:
             wav, mel_rec = self._render_shortcut_jit(self.vars["dvae"],
                                                      self.vars["vocos"], codes)
+            out = {}
             if return_intermediates:
                 out["mel"] = np.asarray(mel_rec[:, :, :n * comp])
-            out["wav"] = np.asarray(wav[:, :n * comp * hop])
-            return out
+            return finish(out, wav)
 
         # with stacked multi-clip conditioning, the diffusion ReferenceNet /
         # CLIP refer mel is the first clip (the AA path has no multi-clip
@@ -448,10 +473,9 @@ class TextToSpeech:
                 cond_free_k=settings.cond_free_k,
                 temperature=settings.diffusion_temperature)
             wav = self._vocos_jit(self.vars["vocos"], mel)
-            out["latent"] = np.asarray(latent[:, :, :n])
-            out["mel"] = np.asarray(mel[:, :, :n * comp])
-            out["wav"] = np.asarray(wav[:, :n * comp * hop])
-            return out
+            out = {"latent": np.asarray(latent[:, :, :n]),
+                   "mel": np.asarray(mel[:, :, :n * comp])}
+            return finish(out, wav)
 
         wav = self._render_full_jit(
             self.vars["gpt"], self.vars["diffusion"], self.vars["vocos"],
@@ -461,12 +485,16 @@ class TextToSpeech:
             settings.diffusion_temperature,
             steps=settings.diffusion_steps, sampler=settings.sampler,
             cond_free_k=settings.cond_free_k)
-        out["wav"] = np.asarray(wav[:, :n * comp * hop])
-        return out
+        return finish({}, wav)
 
     def _code_buckets(self):
+        # diffusion cost scales linearly with the bucketed code length
+        # (out_len = 4*n_b), so a finer ladder near the common utterance
+        # lengths buys real latency: n=298 on a 320 bucket renders 1280 mel
+        # frames instead of 384's 1536 (-17% loop cost). Compile count per
+        # extra bucket is bounded and the XLA cache persists across runs.
         m = self.cfg.gpt.max_mel_tokens
-        ladder = [64, 128, 192, 256, 384, 512]
+        ladder = [64, 128, 192, 256, 320, 384, 448, 512]
         return tuple([b for b in ladder if b < m] + [m])
 
     def tts(self, text: str, cond_wav: np.ndarray, key=None,

@@ -87,22 +87,23 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
             jnp.clip(res.codes, 0,
                      cfg.clvp.num_speech_tokens - 1).reshape(b, k_cand, s_gen),
             code_mask=code_mask.reshape(b, k_cand, s_gen))
-        best = np.asarray(jnp.argmax(scores, axis=1))               # (B,)
-        rows = np.arange(b) * k_cand + best
-        codes_host = np.asarray(res.codes)[rows]
-        lengths = np.asarray(res.lengths)[rows]
+        # winner selection stays ON DEVICE: only the (B,) lengths ever reach
+        # the host before the render dispatch (each sync pays the tunnel RTT)
+        best = jnp.argmax(scores, axis=1)                           # (B,)
+        codes_dev = jnp.take_along_axis(
+            res.codes.reshape(b, k_cand, s_gen),
+            best[:, None, None], axis=1)[:, 0]
+        lengths_dev = jnp.take_along_axis(
+            res.lengths.reshape(b, k_cand), best[:, None], axis=1)[:, 0]
     else:
         res = tts._generate(cond, jnp.asarray(texts), key, settings)
-        codes_host = np.asarray(res.codes)
-        lengths = np.asarray(res.lengths)
+        codes_dev, lengths_dev = res.codes, res.lengths
+    lengths = np.asarray(lengths_dev)                # tiny sync
     ns = np.maximum(lengths - 2, 1)
     n_b = bucket_len(int(ns.max()), tts._code_buckets())
-    stop = cfg.gpt.stop_mel_token
-    codes_np = np.full((b, n_b), stop, np.int32)
-    for i in range(b):
-        m = min(int(ns[i]), n_b)
-        codes_np[i, :m] = codes_host[i, :m]
-    codes = jnp.asarray(codes_np)
+    codes = tts._pad_codes_jit(codes_dev,
+                               jnp.asarray(np.minimum(ns, n_b), jnp.int32),
+                               n_b=n_b)
     hop = cfg.vocos.hop_length
     comp = cfg.vqvae.compression
 

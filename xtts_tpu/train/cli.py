@@ -275,6 +275,15 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
     from xtts_tpu.core.checkpoint import CheckpointManager
     ckpt = CheckpointManager(os.path.join(args.model_dir, "ckpt"),
                              keep=cfg.train.keep_ckpts)
+    if args.resume and ckpt.latest_step() is not None:
+        from xtts_tpu.train.gan import GANState
+        payload = ckpt.restore(target={
+            "g": state.g_params, "d": state.d_params,
+            "g_opt": state.g_opt, "d_opt": state.d_opt,
+            "step": state.step})
+        state = GANState(payload["g"], payload["d"], payload["g_opt"],
+                         payload["d_opt"], payload["step"])
+        logger.info("hifigan resumed at step %d", int(state.step))
     ml = MetricLogger(os.path.join(args.model_dir, "logs"), console_every=10)
     timer = StepTimer()
     collate = lambda ss: collate_bucketed(
