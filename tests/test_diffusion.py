@@ -116,6 +116,21 @@ class TestSampling:
         # eps = (1+cfk)*1 - cfk*0 = 1+cfk
         np.testing.assert_allclose(np.asarray(out["eps"]), 1 + cfk, rtol=1e-5)
 
+    def test_p_loop_unroll_is_numerics_neutral(self, monkeypatch):
+        """XTTS_SCAN_UNROLL only changes XLA scheduling (prefetch overlap),
+        never the math: unrolled and rolled loops must agree bitwise."""
+        gd = GaussianDiffusion.spaced(1000, 10, conditioning_free=True,
+                                      conditioning_free_k=2.0)
+
+        def paired(x, t_orig):
+            return dummy_model(x, t_orig), dummy_model(x * 0.9, t_orig)
+
+        monkeypatch.delenv("XTTS_SCAN_UNROLL", raising=False)
+        x1 = gd.p_sample_loop(paired, (2, 4, 16), jax.random.PRNGKey(3))
+        monkeypatch.setenv("XTTS_SCAN_UNROLL", "2")
+        x2 = gd.p_sample_loop(paired, (2, 4, 16), jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
     def test_dummy_model_p_loop_converges_to_zero(self):
         # eps=0 prediction means x0_hat = x/sqrt(acp) clipped; ancestral loop
         # should stay bounded

@@ -112,6 +112,58 @@ def test_diffusion_remat_loss_and_grads_unchanged(policy):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("policy", ["dots", "full"])
+def test_remat_survives_lowering(policy):
+    """Remat must reach the lowered program as optimization_barrier ops.
+
+    The blocks are applied in plain Python loops inside one traced graph, so
+    without CSE protection XLA merges the rematerialized forward back into
+    the saved one — silently undoing the checkpoint while every numerics
+    test still passes (this regressed once: prevent_cse=False gave an
+    IDENTICAL 6.4 GiB XLA temp plan for none/dots/full at the reference's
+    bs-64 diffusion scale; with the barriers, full drops it to 2.0 GiB —
+    PERF.md round 3)."""
+    from xtts_tpu.models.aa_diffusion import AADiffusion
+    from xtts_tpu.models.gpt import UnifiedVoice
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32))
+    t = jnp.array([3, 7])
+    hint = jnp.asarray(rng.standard_normal((2, 32, 4)).astype(np.float32))
+    refer = jnp.asarray(rng.standard_normal((2, 8, 12)).astype(np.float32))
+
+    # diffusion UNet
+    m0 = AADiffusion(TINY_DIFF)
+    m1 = AADiffusion(TINY_DIFF.replace(remat=policy))
+    v = jax.jit(m0.init)(jax.random.PRNGKey(0), x, t, hint, refer)
+
+    def diff_loss(m):
+        return lambda p: jnp.mean(
+            m.apply({"params": p["params"]}, x, t, hint, refer) ** 2)
+
+    base_txt = jax.jit(jax.grad(diff_loss(m0))).lower(v).as_text()
+    rem_txt = jax.jit(jax.grad(diff_loss(m1))).lower(v).as_text()
+    assert "optimization_barrier" not in base_txt
+    assert rem_txt.count("optimization_barrier") > 0
+
+    # GPT stack
+    inputs = _gpt_inputs()
+    g0 = UnifiedVoice(TINY_GPT)
+    g1 = UnifiedVoice(TINY_GPT.replace(remat=policy))
+    gv = jax.jit(g0.init)(jax.random.PRNGKey(0), *inputs)
+
+    def gpt_loss(m):
+        def f(p):
+            lt, lm = m.apply({"params": p["params"]}, *inputs)
+            return 0.01 * lt + lm
+        return f
+
+    assert "optimization_barrier" not in jax.jit(
+        jax.grad(gpt_loss(g0))).lower(gv).as_text()
+    assert jax.jit(jax.grad(gpt_loss(g1))).lower(gv).as_text().count(
+        "optimization_barrier") > 0
+
+
 def test_remat_policy_names():
     from xtts_tpu.nn.remat import POLICIES, checkpoint_policy, maybe_remat
     from xtts_tpu.nn.transformer import Block

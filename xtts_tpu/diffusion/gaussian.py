@@ -17,6 +17,7 @@ Shipped-path semantics preserved:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Tuple
 
@@ -253,7 +254,13 @@ class GaussianDiffusion:
             x = pmv["mean"] + nonzero * jnp.exp(0.5 * pmv["log_variance"]) * z
             return (x, key), None
 
-        (x, _), _ = jax.lax.scan(body, (x, key), jnp.arange(steps))
+        # XTTS_SCAN_UNROLL>1 unrolls the scan body so XLA can overlap the
+        # next step's weight prefetch with the current step's compute (the
+        # denoise step is prefetch-scheduling-bound, not FLOP-bound —
+        # PERF.md round-3 profile). Static at trace time; default 1.
+        unroll = int(os.environ.get("XTTS_SCAN_UNROLL", "1"))
+        (x, _), _ = jax.lax.scan(body, (x, key), jnp.arange(steps),
+                                 unroll=unroll)
         return x
 
     def ddim_sample_loop(self, model_fn, shape, key, noise=None,

@@ -38,10 +38,13 @@ def checkpoint_policy(name: str):
 def maybe_remat(cls, policy: str, **kw):
     """Wrap a linen Module class in nn.remat unless policy is 'none'.
 
-    prevent_cse=False: blocks are applied under lax control flow or plain
-    sequential python loops where CSE protection is unnecessary and costs
-    compile time (jax.checkpoint docs recommendation)."""
+    prevent_cse stays at its default (True): the wrapped blocks are applied
+    in plain Python loops inside one traced graph, where XLA would otherwise
+    common-subexpression-eliminate the rematerialized forward against the
+    saved one — silently undoing the checkpoint (measured: identical XLA
+    temp buffers across policies with prevent_cse=False; PERF.md round-3
+    remat table). prevent_cse=False is only safe under lax control flow
+    (scan/while) bodies, which none of these stacks use per-block."""
     if policy in (None, "none"):
         return cls
-    return nn.remat(cls, policy=checkpoint_policy(policy),
-                    prevent_cse=False, **kw)
+    return nn.remat(cls, policy=checkpoint_policy(policy), **kw)
