@@ -65,7 +65,18 @@ def main():
     cond_mel = tts.cond_mel_from_wav(cond_wav)
     text_tokens = rng.integers(3, 250, (1, 50)).astype(np.int32)
 
-    settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps)
+    # Speculative render (default on for the bench): bucket the render at
+    # the max_gen cap and dispatch it without waiting for the generated
+    # length — the lengths fetch then overlaps render execution, removing
+    # one host-sync RTT from the critical path (interleaved in-process A/B:
+    # -42.6 ms p50, PERF.md round 3). With max_gen=300 the cap lands in the
+    # SAME code bucket as the generated 298, so program + inputs + wav are
+    # bitwise identical to the non-speculative path
+    # (tests/test_api_e2e.py::test_speculative_render_matches_default).
+    # BENCH_SPECULATIVE=0 turns it off.
+    spec = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
+    settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps,
+                           speculative_render=spec)
 
     hop = cfg.mel.hop_length
 

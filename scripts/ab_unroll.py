@@ -50,14 +50,20 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def render(unroll):
-        os.environ["XTTS_SCAN_UNROLL"] = str(unroll)
-        # fresh jit per unroll value (the knob is read at trace time)
-        f = jax.jit(tts._diffusion_mel_impl,
-                    static_argnames=("steps", "sampler", "cond_free_k"))
+        # Each variant needs a DISTINCT function object: pjit's global cache
+        # keys on function identity + abstract args, so three jax.jit
+        # wrappers of the same bound method all reuse the first executable
+        # (observed: unroll=2/4 "compiled" in 0.2 s — a silent cache hit
+        # that made the first A/B measure one program three times).
+        def impl(dvars, lat, cm, k, temp):
+            os.environ["XTTS_SCAN_UNROLL"] = str(unroll)   # read at trace
+            return tts._diffusion_mel_impl(dvars, lat, cm, k, temp,
+                                           steps=STEPS, sampler="p",
+                                           cond_free_k=2.0)
+        f = jax.jit(impl)
         def run():
             out = f(tts.vars["diffusion"], latent, cond, key,
-                    jnp.float32(1.0), steps=STEPS, sampler="p",
-                    cond_free_k=2.0)
+                    jnp.float32(1.0))
             float(out.sum())        # host sync
         return run
 

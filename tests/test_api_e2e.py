@@ -66,6 +66,26 @@ def test_full_diffusion_path(tts, rng):
     assert out["wav"].shape[1] == out["mel"].shape[2] * 16  # hop
 
 
+def test_speculative_render_matches_default(tts, rng):
+    """speculative_render removes the pre-render host sync by bucketing at
+    the max_mel_tokens cap; when the generated length lands in the same
+    bucket as the cap, the render program and inputs are identical, so the
+    wav must match the default path bitwise."""
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    tokens = np.array([[1, 3, 4, 5, 2]], np.int32)
+    base = TTSSettings(max_mel_tokens=10, diffusion_steps=3)
+    out0 = tts.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(7), base,
+                          use_diffusion=True)
+    out1 = tts.tts_tokens(
+        tokens, cond_mel, jax.random.PRNGKey(7),
+        TTSSettings(max_mel_tokens=10, diffusion_steps=3,
+                    speculative_render=True), use_diffusion=True)
+    np.testing.assert_array_equal(out0["codes"], out1["codes"])
+    np.testing.assert_array_equal(out0["lengths"], out1["lengths"])
+    np.testing.assert_array_equal(out0["wav"], out1["wav"])
+
+
 def test_dpmpp_sampler_path(tts, rng):
     cond_mel = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
     tokens = np.array([[1, 3, 4, 2]], np.int32)

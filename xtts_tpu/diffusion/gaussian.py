@@ -254,11 +254,14 @@ class GaussianDiffusion:
             x = pmv["mean"] + nonzero * jnp.exp(0.5 * pmv["log_variance"]) * z
             return (x, key), None
 
-        # XTTS_SCAN_UNROLL>1 unrolls the scan body so XLA can overlap the
-        # next step's weight prefetch with the current step's compute (the
-        # denoise step is prefetch-scheduling-bound, not FLOP-bound —
-        # PERF.md round-3 profile). Static at trace time; default 1.
-        unroll = int(os.environ.get("XTTS_SCAN_UNROLL", "1"))
+        # Unrolling the scan body lets XLA overlap the next step's weight
+        # prefetch with the current step's compute (the denoise step is
+        # prefetch-scheduling-bound, not FLOP-bound — PERF.md round-3
+        # profile). Interleaved A/B at the flagship bucket-320 CFG shape:
+        # unroll=2 is 1.033x, unroll=4 1.035x — default 2 (unroll=4 doubles
+        # the marginal compile time for 0.2%). Static at trace time;
+        # override with XTTS_SCAN_UNROLL.
+        unroll = int(os.environ.get("XTTS_SCAN_UNROLL", "2"))
         (x, _), _ = jax.lax.scan(body, (x, key), jnp.arange(steps),
                                  unroll=unroll)
         return x

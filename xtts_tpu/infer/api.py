@@ -66,6 +66,16 @@ class TTSSettings:
     # pad text tokens up to a bucket length (with stop tokens) so the AR
     # program compiles once per bucket instead of once per sentence length
     pad_text_to_bucket: bool = True
+    # Dispatch the render at the max_mel_tokens cap bucket WITHOUT waiting
+    # for the generated length: the lengths fetch then overlaps render
+    # execution instead of stalling before its dispatch, removing one
+    # host-sync RTT (~20-30 ms on a tunneled chip — PERF.md) from the
+    # utterance critical path. Exact when utterances run near the cap
+    # (set max_mel_tokens per request from expected text length); for much
+    # shorter utterances it wastes render compute on the larger bucket and
+    # the attention over the longer stop-padded tail can perturb the kept
+    # region slightly. Diffusion-path B=1 only; ignored elsewhere.
+    speculative_render: bool = False
 
     @classmethod
     def preset(cls, name: str) -> "TTSSettings":
@@ -426,6 +436,34 @@ class TextToSpeech:
                                  res.lengths[best:best + 1], res.steps)
         else:
             res = self._generate(cond_mel, text_tokens, k1, settings)
+
+        spec = (settings.speculative_render and use_diffusion
+                and not return_intermediates)
+        if spec:
+            # Speculative: bucket by the CAP, not the generated length — no
+            # host sync between the AR program and the render dispatch. The
+            # true lengths are fetched after the dispatch (below), where the
+            # transfer overlaps render execution.
+            n_b = bucket_len(max(settings.max_mel_tokens - 2, 1),
+                             self._code_buckets())
+            lens_dev = jnp.clip(res.lengths - 2, 1, n_b)
+            codes = self._pad_codes_jit(res.codes, lens_dev, n_b=n_b)
+            diff_cond = cond_mel if cond_mel.ndim == 3 else cond_mel[:, 0]
+            wav = self._render_full_jit(
+                self.vars["gpt"], self.vars["diffusion"], self.vars["vocos"],
+                cond_mel, normalize_tacotron_mel(diff_cond), text_tokens,
+                jnp.array([text_tokens.shape[-1]]), codes,
+                lens_dev * self.cfg.gpt.mel_length_compression, k2,
+                settings.diffusion_temperature,
+                steps=settings.diffusion_steps, sampler=settings.sampler,
+                cond_free_k=settings.cond_free_k)
+            lengths_host = np.asarray(res.lengths)   # overlaps the render
+            n = max(int(lengths_host[0]) - 2, 1)
+            hop = self.cfg.vocos.hop_length
+            comp = self.cfg.vqvae.compression
+            return {"codes": np.asarray(res.codes), "lengths": lengths_host,
+                    "wav": np.asarray(wav[:, :n * comp * hop])}
+
         lengths_host = np.asarray(res.lengths)       # tiny sync
         n = max(int(lengths_host[0]) - 2, 1)   # strip 2 (test.py:150)
         # pad codes (with stop tokens, as training does per wav_lengths) up to
