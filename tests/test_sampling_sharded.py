@@ -29,6 +29,37 @@ class TestSamplingWarps:
         out = np.asarray(top_p_filter(logits, 1.0))
         assert np.isfinite(out).all()
 
+    @pytest.mark.parametrize("seed,scale", [(0, 1.0), (1, 1.0), (2, 0.05),
+                                            (3, 5.0), (4, 1.0)])
+    def test_top_p_binary_search_matches_sorted_oracle(self, seed, scale):
+        """The binary-search top-p must select the same nucleus as the
+        descending-sort + cumsum formulation (the HF TopPLogitsWarper
+        reference algorithm) across peaked (scale 5), flat (scale 0.05) and
+        normal logit ranges at the real 8194-wide mel vocab."""
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(
+            (scale * rng.standard_normal((2, 8194))).astype(np.float32))
+
+        def oracle(logits, top_p):
+            sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep_sorted = (cum - probs) < top_p
+            keep_sorted = keep_sorted.at[..., 0].set(True)
+            kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                          axis=-1, keepdims=True)
+            return jnp.where(logits >= kth, logits, -1e9)
+
+        for top_p in (0.1, 0.8, 0.95):
+            got = np.asarray(top_p_filter(logits, top_p))
+            want = np.asarray(oracle(logits, top_p))
+            kept_got = got > -1e8
+            kept_want = want > -1e8
+            # identical nucleus (float-rounding knife edges would differ by
+            # <= 1 boundary token; none occur at these scales/seeds)
+            np.testing.assert_array_equal(kept_got, kept_want)
+            np.testing.assert_array_equal(got[kept_got], want[kept_want])
+
     def test_repetition_penalty_direction(self):
         logits = jnp.asarray([[2.0, -2.0, 1.0]])
         seen = jnp.asarray([[True, True, False]])

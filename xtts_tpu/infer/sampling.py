@@ -30,17 +30,40 @@ def apply_repetition_penalty(logits: jnp.ndarray, seen: jnp.ndarray,
 
 def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """Mask tokens outside the nucleus to NEG_INF. Keeps the token that
-    crosses the cumulative threshold (HF convention) and always >= 1 token."""
+    crosses the cumulative threshold (HF convention), extended to all ties
+    of the boundary logit, and always >= 1 token.
+
+    Implemented as a binary search for the boundary logit value rather
+    than a descending sort + cumsum: the nucleus is exactly
+    {v : mass(logits > v) < top_p} extended by ties, so 40 masked-sum
+    passes find the same boundary a full-vocab bitonic sort (~170 array
+    passes for the 8194-wide mel vocab) + prefix scan would. Sampling ops
+    were +0.13 ms of the 0.57 ms/step live decode with the sort
+    (PERF.md round 3). Float-rounding of the mass sums can move the
+    boundary by a token relative to the sorted-cumsum formulation on
+    knife-edge distributions — the same tolerance class as HF's own
+    torch.sort+cumsum."""
     if top_p >= 1.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep while cumulative prob *before* this token < top_p
-    keep_sorted = (cum - probs) < top_p
-    keep_sorted = keep_sorted.at[..., 0].set(True)
-    # threshold value: smallest kept logit
-    kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - lmax)                      # unnormalized probs
+    target = top_p * jnp.sum(e, axis=-1, keepdims=True)
+
+    # invariant: mass strictly above lo >= target > mass strictly above hi
+    lo = jnp.min(logits, axis=-1, keepdims=True) - 1.0
+    hi = lmax
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        m = jnp.sum(jnp.where(logits > mid, e, 0.0), axis=-1, keepdims=True)
+        big = m >= target
+        return jnp.where(big, mid, lo), jnp.where(big, hi, mid)
+
+    # 40 halvings shrink the bracket far below f32 spacing between distinct
+    # logits, so exactly one logit value (the boundary) remains in (lo, hi]
+    lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
+    kth = jnp.min(jnp.where(logits > lo, logits, jnp.inf), axis=-1,
                   keepdims=True)
     return jnp.where(logits >= kth, logits, NEG_INF)
 
