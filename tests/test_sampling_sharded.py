@@ -60,6 +60,19 @@ class TestSamplingWarps:
             np.testing.assert_array_equal(kept_got, kept_want)
             np.testing.assert_array_equal(got[kept_got], want[kept_want])
 
+    def test_top_p_after_prefilter_mask(self):
+        """top-p must stay exact when an earlier warp (typical sampling)
+        already masked part of the vocab to -1e9 — the boundary search
+        bracket must not be stretched by the filter value."""
+        rng = np.random.default_rng(7)
+        logits = (rng.standard_normal((1, 512)) * 0.01).astype(np.float32)
+        logits[0, 256:] = -1e9                     # pre-masked half
+        got = np.asarray(top_p_filter(jnp.asarray(logits), 0.5))
+        kept = got > -1e8
+        # ~half the unmasked tokens (near-uniform probs, p=0.5)
+        assert 100 < kept.sum() < 160
+        assert not kept[0, 256:].any()
+
     def test_repetition_penalty_direction(self):
         logits = jnp.asarray([[2.0, -2.0, 1.0]])
         seen = jnp.asarray([[True, True, False]])

@@ -49,8 +49,14 @@ def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     e = jnp.exp(logits - lmax)                      # unnormalized probs
     target = top_p * jnp.sum(e, axis=-1, keepdims=True)
 
-    # invariant: mass strictly above lo >= target > mass strictly above hi
-    lo = jnp.min(logits, axis=-1, keepdims=True) - 1.0
+    # invariant: mass strictly above lo >= target > mass strictly above hi.
+    # lo is clamped to lmax-88: logits further below lmax carry exactly
+    # zero f32 mass (exp(-88) underflows), so they can never hold the
+    # boundary — and without the clamp, previously-filtered logits at
+    # NEG_INF would stretch the bracket to ~1e9, past what 40 halvings can
+    # resolve.
+    lo = jnp.maximum(jnp.min(logits, axis=-1, keepdims=True) - 1.0,
+                     lmax - 88.0)
     hi = lmax
 
     def body(_, lohi):
