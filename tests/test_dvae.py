@@ -128,3 +128,76 @@ def test_ssim_identity():
     assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
     other = img + 1.0
     assert float(ssim(img, other)) < 1.0
+
+
+class TestBalancingHeuristic:
+    """xtts_dvae.py:53-85 Quantize(balancing_heuristic=True) — tumbling-
+    window faithful form (models/dvae.py balance_codebook)."""
+
+    def test_no_reset_below_window(self):
+        from xtts_tpu.models.dvae import BalanceState, balance_codebook
+        cb = init_codebook(jax.random.PRNGKey(0), 8, 16)
+        bal = BalanceState(jnp.zeros((16,)), jnp.zeros(()))
+        counts = jnp.full((16,), 10.0)         # 160 codes << window
+        new_cb, new_bal, n = balance_codebook(cb, bal, counts,
+                                              jax.random.PRNGKey(1),
+                                              window=1000)
+        assert int(n) == 0
+        np.testing.assert_array_equal(np.asarray(new_cb.embed),
+                                      np.asarray(cb.embed))
+        assert float(new_bal.total) == 160.0   # accumulating
+
+    def test_reset_at_boundary(self):
+        from xtts_tpu.models.dvae import BalanceState, balance_codebook
+        cb = init_codebook(jax.random.PRNGKey(0), 8, 16)
+        cb = cb._replace(cluster_size=jnp.ones((16,)))
+        bal = BalanceState(jnp.zeros((16,)), jnp.zeros(()))
+        # code 0 takes 95% of the window (> 0.9 -> reset); codes 1..13
+        # share the rest ~0.38% each (< 1% -> reset); give 14/15 enough
+        # to clear both thresholds
+        counts = np.zeros(16, np.float32)
+        counts[0] = 950.0
+        counts[14] = 25.0
+        counts[15] = 25.0
+        counts[1:14] = 50.0 / 13
+        new_cb, new_bal, n = balance_codebook(
+            cb, bal, jnp.asarray(counts * 2), jax.random.PRNGKey(1),
+            window=1000, hi=0.9, lo=0.02)
+        n = int(n)
+        assert n == 14                          # 0 and 1..13 reset
+        e = np.asarray(new_cb.embed)
+        a = np.asarray(new_cb.embed_avg)
+        c = np.asarray(new_cb.cluster_size)
+        # reset codes: embed == embed_avg == fresh gaussian, cluster zeroed
+        np.testing.assert_array_equal(e[:, 0], a[:, 0])
+        assert not np.allclose(e[:, 0], np.asarray(cb.embed)[:, 0])
+        assert c[0] == 0.0
+        # surviving codes untouched
+        np.testing.assert_array_equal(e[:, 14], np.asarray(cb.embed)[:, 14])
+        assert c[14] == 1.0
+        # window restarted
+        assert float(new_bal.total) == 0.0
+
+    def test_dvae_loss_threads_balance_state(self, rng):
+        from xtts_tpu.train.steps import make_dvae_loss
+        cfg = DVAEConfig(channels=16, num_tokens=32, hidden_dim=16,
+                         num_resnet_blocks=1, codebook_dim=16, num_layers=2,
+                         balancing_heuristic=True, balance_window=64)
+        model = DVAE(cfg)
+        mel = jnp.asarray(rng.standard_normal((2, 16, 32)).astype(np.float32))
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), mel)
+        assert "bal_hist" in v["codebook"]
+        loss_fn = make_dvae_loss(model)
+        (loss, aux), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+            v["params"], {"codebook": v["codebook"]}, {"mel": mel},
+            jax.random.PRNGKey(1))
+        cols = aux["new_state_cols"]["codebook"]
+        assert np.isfinite(float(loss))
+        # 2*8=16 codes this step, window 64: still accumulating
+        assert float(cols["bal_total"]) > 0
+        # a second step past the boundary resets and restarts the window
+        cols2 = {"codebook": dict(cols)}
+        big = {"mel": jnp.tile(mel, (4, 1, 16))}
+        (_, aux2), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+            v["params"], cols2, big, jax.random.PRNGKey(2))
+        assert float(aux2["new_state_cols"]["codebook"]["bal_total"]) == 0.0

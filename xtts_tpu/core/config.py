@@ -112,6 +112,11 @@ class DVAEConfig(ConfigBase):
     ema_decay: float = 0.99
     ema_eps: float = 1e-5
     compression: int = 4         # num_layers stride-2 => 2**num_layers
+    # Quantize(balancing_heuristic=...) — re-randomize over/under-used
+    # codes each 64k-code window (xtts_dvae.py:53-85). Off by default in
+    # the reference too; see models/dvae.py balance_codebook for caveats.
+    balancing_heuristic: bool = False
+    balance_window: int = 64000
 
 
 @dataclass(frozen=True)

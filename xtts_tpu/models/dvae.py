@@ -136,6 +136,57 @@ def quantize(x: jnp.ndarray, cb: CodebookState) -> QuantizeResult:
     )
 
 
+class BalanceState(NamedTuple):
+    """Tumbling-window code-usage histogram for the balancing heuristic."""
+
+    hist: jnp.ndarray    # (n_embed,) f32 — counts in the current window
+    total: jnp.ndarray   # scalar f32
+
+
+def balance_codebook(cb: CodebookState, bal: BalanceState,
+                     onehot_sum: jnp.ndarray, key: jax.Array,
+                     window: int = 64000, hi: float = 0.9, lo: float = 0.01,
+                     ) -> tuple:
+    """Codebook balancing heuristic (xtts_dvae.py:53-85, ctor default OFF).
+
+    The reference keeps the raw last-64000 emitted indices in a sliding
+    buffer and, once full, re-randomizes every code whose usage share is
+    > 0.9 or < 0.01 (embed and embed_avg set to the SAME fresh gaussian,
+    cluster_size zeroed), then clears the buffer. A dynamic index buffer
+    needs dynamic shapes, so the TPU form keeps the equivalent count
+    HISTOGRAM and tumbles: accumulate per-step code counts; when the
+    window fills, apply the same reset from the histogram shares and
+    restart. Statistic and reset rule are identical at window boundaries;
+    the only divergence is tumbling vs sliding cadence between them.
+
+    NOTE the reference's thresholds assume a small effective codebook: at
+    n_embed=8192 a uniform code is used with share 1/8192 < 0.01, so
+    `lo=0.01` re-randomizes nearly everything each window — one reason it
+    ships disabled. Faithfully reproduced, equally off by default.
+
+    Returns (new_cb, new_bal, n_reset) — n_reset is 0 on non-boundary
+    steps.
+    """
+    hist = bal.hist + onehot_sum
+    total = bal.total + onehot_sum.sum()
+    fire = total >= window
+
+    h = hist / jnp.maximum(total, 1.0)
+    mask = jnp.logical_and(fire, jnp.logical_or(h > hi, h < lo))  # (n,)
+    rand = jax.random.normal(key, cb.embed.shape, cb.embed.dtype)
+    keep = jnp.where(mask[None, :], 0.0, 1.0)
+    embed = cb.embed * keep + rand * (1.0 - keep)
+    embed_avg = cb.embed_avg * keep + rand * (1.0 - keep)
+    cluster_size = jnp.where(mask, 0.0, cb.cluster_size)
+    # tumble: restart the window once it fires (reference clears its buffer
+    # only when the mask is non-empty; with lo=0.01 it always is — we
+    # restart unconditionally at the boundary, same cadence in practice)
+    zero = jnp.where(fire, 0.0, 1.0)
+    new_bal = BalanceState(hist * zero, total * zero)
+    return (CodebookState(embed, cluster_size, embed_avg), new_bal,
+            mask.sum(dtype=jnp.int32))
+
+
 def ema_codebook_update(
     cb: CodebookState,
     onehot_sum: jnp.ndarray,
@@ -183,6 +234,12 @@ class DVAE(nn.Module):
         self._embed_avg = self.variable(
             "codebook", "embed_avg",
             lambda: jnp.array(self._embed.value))  # copy: donation-safe
+        if self.cfg.balancing_heuristic:
+            # tumbling-window usage histogram for balance_codebook()
+            self._bal_hist = self.variable(
+                "codebook", "bal_hist", lambda: jnp.zeros((n,), jnp.float32))
+            self._bal_total = self.variable(
+                "codebook", "bal_total", lambda: jnp.zeros((), jnp.float32))
 
     def _codebook(self) -> CodebookState:
         return CodebookState(self._embed.value, self._cluster_size.value,

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from xtts_tpu.diffusion.gaussian import GaussianDiffusion
 from xtts_tpu.models.aa_diffusion import AADiffusion, normalize_tacotron_mel
-from xtts_tpu.models.dvae import CodebookState, DVAE, ema_codebook_update
+from xtts_tpu.models.dvae import (BalanceState, CodebookState, DVAE,
+                                  balance_codebook, ema_codebook_update)
 from xtts_tpu.models.gpt import UnifiedVoice
 
 
@@ -38,6 +39,16 @@ def make_dvae_loss(model: DVAE, commitment_weight: float = 0.25,
         new_cols = {"codebook": {"embed": new_cb.embed,
                                  "cluster_size": new_cb.cluster_size,
                                  "embed_avg": new_cb.embed_avg}}
+        if "bal_hist" in state_cols["codebook"]:
+            # balancing heuristic (xtts_dvae.py:53-85, cfg.balancing_heuristic)
+            bal = BalanceState(state_cols["codebook"]["bal_hist"],
+                               state_cols["codebook"]["bal_total"])
+            new_cb, new_bal, _ = balance_codebook(
+                new_cb, bal, osum, rng, window=model.cfg.balance_window)
+            new_cols["codebook"].update(
+                embed=new_cb.embed, cluster_size=new_cb.cluster_size,
+                embed_avg=new_cb.embed_avg, bal_hist=new_bal.hist,
+                bal_total=new_bal.total)
         aux = {"recon": recon, "ssim": ssim_l, "commitment": commit,
                "new_state_cols": new_cols}
         return loss, aux
