@@ -41,6 +41,20 @@ import numpy as np
 TARGET_RTF = 0.1  # BASELINE.json north star: <= 0.1 per v5e chip
 
 
+def synthetic_inputs(tts, cfg, text_len: int = 50):
+    """Canonical bench inputs (3 s sine+noise reference clip -> cond mel,
+    random 50-token text). Shared by scripts/ab_*.py so the A/B harnesses
+    measure exactly the workload the headline numbers use."""
+    rng = np.random.default_rng(0)
+    sr = cfg.mel.sample_rate
+    t = np.arange(3 * sr) / sr
+    cond_wav = (0.3 * np.sin(2 * np.pi * 220 * t)
+                + 0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
+    cond_mel = tts.cond_mel_from_wav(cond_wav)
+    text_tokens = rng.integers(3, 250, (1, text_len)).astype(np.int32)
+    return cond_mel, text_tokens
+
+
 def main():
     from xtts_tpu.core.config import XTTSConfig
     from xtts_tpu.infer.api import TTSSettings, TextToSpeech
@@ -56,14 +70,8 @@ def main():
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                        quantized_decode=quant)
 
-    rng = np.random.default_rng(0)
-    # 3 s synthetic reference clip -> conditioning mel
     sr = cfg.mel.sample_rate
-    t = np.arange(3 * sr) / sr
-    cond_wav = (0.3 * np.sin(2 * np.pi * 220 * t)
-                + 0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
-    cond_mel = tts.cond_mel_from_wav(cond_wav)
-    text_tokens = rng.integers(3, 250, (1, 50)).astype(np.int32)
+    cond_mel, text_tokens = synthetic_inputs(tts, cfg)
 
     # Speculative render (default on for the bench): bucket the render at
     # the max_gen cap and dispatch it without waiting for the generated

@@ -1,8 +1,9 @@
 """Micro-attribution for the two non-render e2e stages (real TPU).
 
-1. AR decode: sampled (HF-order top-p, the live path — includes a full
-   8194-vocab sort per step) vs greedy, same-moment, fused int8 engine.
-   Attributes the per-step cost of the sampling ops.
+1. AR decode: sampled (HF-order top-p, the live path — rep-penalty +
+   binary-search nucleus filter + categorical per step) vs greedy,
+   same-moment, fused int8 engine. Attributes the per-step cost of the
+   sampling ops.
 2. Host fetch: device->host transfer time for the e2e wav size in f32 vs
    int16 — is the ~1.2 MB wav fetch RTT-bound or bandwidth-bound on this
    tunnel?
@@ -31,17 +32,14 @@ def main():
     from xtts_tpu.infer.qdecode import (attach_fused_stack,
                                         generate_speech_quantized)
 
+    from bench import synthetic_inputs
+
     cfg = XTTSConfig()
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                        quantized_decode=True)
     attach_fused_stack(tts._qtree, cfg.gpt)
-    rng = np.random.default_rng(0)
-    sr = cfg.mel.sample_rate
-    t = np.arange(3 * sr) / sr
-    cond_wav = (0.3 * np.sin(2 * np.pi * 220 * t)
-                + 0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
-    cond_mel = tts.cond_mel_from_wav(cond_wav)
-    text = jnp.asarray(rng.integers(3, 250, (1, 50)).astype(np.int32))
+    cond_mel, text_np = synthetic_inputs(tts, cfg)
+    text = jnp.asarray(text_np)
 
     def gen(key, do_sample):
         res = generate_speech_quantized(

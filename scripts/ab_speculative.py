@@ -30,25 +30,25 @@ def main():
     from xtts_tpu.core.config import XTTSConfig
     from xtts_tpu.infer.api import TTSSettings, TextToSpeech
 
+    from bench import synthetic_inputs
+
     cfg = XTTSConfig()
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                        quantized_decode=True)
-    rng = np.random.default_rng(0)
-    sr = cfg.mel.sample_rate
-    t = np.arange(3 * sr) / sr
-    cond_wav = (0.3 * np.sin(2 * np.pi * 220 * t)
-                + 0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
-    cond_mel = tts.cond_mel_from_wav(cond_wav)
-    text_tokens = rng.integers(3, 250, (1, 50)).astype(np.int32)
+    cond_mel, text_tokens = synthetic_inputs(tts, cfg)
 
     variants = {
         False: TTSSettings(max_mel_tokens=MAX_GEN, diffusion_steps=STEPS),
         True: TTSSettings(max_mel_tokens=MAX_GEN, diffusion_steps=STEPS,
                           speculative_render=True),
     }
-    for spec, s in variants.items():        # compile/warm both
-        tts.tts_tokens(text_tokens, cond_mel, jax.random.PRNGKey(99), s,
-                       use_diffusion=True)
+    # warm EVERY timed key under both variants: a sampled run that stops
+    # early lands in a smaller code bucket, and an uncompiled bucket inside
+    # the timed loop would corrupt the A/B with a multi-minute compile
+    for spec, s in variants.items():
+        for i in range(REPS):
+            tts.tts_tokens(text_tokens, cond_mel, jax.random.PRNGKey(i), s,
+                           use_diffusion=True)
 
     times = {False: [], True: []}
     for i in range(REPS):

@@ -41,7 +41,7 @@ def main():
     cfg = XTTSConfig()
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                        quantized_decode=False)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(0)   # render-only A/B: raw latents suffice
     latent = jnp.asarray(rng.standard_normal(
         (1, cfg.gpt.model_dim, T_LAT)).astype(np.float32)) * 0.1
     refer = jnp.asarray(rng.standard_normal(

@@ -1,12 +1,16 @@
-"""Time the live render loop under the current XLA_FLAGS (real TPU).
+"""Time the live render loop in an isolated process (real TPU).
 
-Helper for flag A/Bs (scoped VMEM limit etc.): XLA compile options are
-process-global, so each flag setting runs as its own process and prints
-one line. Drift between processes is ~10% on this tunnel — run A/B/A and
-trust only effects larger than the two control runs' spread.
+Process-level A/B harness for anything that must be set before jax import
+(XLA_FLAGS, platform knobs): each setting runs as its own process and
+prints one line. Drift between processes is ~10% on this tunnel — run
+A/B/A and trust only effects larger than the control runs' spread.
 
-Usage:
-  XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=65536" python scripts/ab_vmem.py
+NOTE on XLA_FLAGS: TPU-tuning flags (e.g. --xla_tpu_scoped_vmem_limit_kib)
+are UNKNOWN to the axon PJRT plugin and FATAL on import here (PERF.md
+round 3) — on this platform the harness is only useful for generic
+settings (JAX config env vars, cache dirs, XTTS_* knobs).
+
+Usage:  AB_TAG=ctrl python scripts/ab_vmem.py
 Env: AB_T_LAT (320), AB_STEPS (50), AB_REPS (7), AB_TAG (label).
 """
 import os

@@ -261,7 +261,10 @@ class GaussianDiffusion:
         # unroll=2 is 1.033x, unroll=4 1.035x — default 2 (unroll=4 doubles
         # the marginal compile time for 0.2%). Static at trace time;
         # override with XTTS_SCAN_UNROLL.
-        unroll = int(os.environ.get("XTTS_SCAN_UNROLL", "2"))
+        try:
+            unroll = max(1, int(os.environ.get("XTTS_SCAN_UNROLL", "2")))
+        except ValueError:
+            unroll = 2
         (x, _), _ = jax.lax.scan(body, (x, key), jnp.arange(steps),
                                  unroll=unroll)
         return x

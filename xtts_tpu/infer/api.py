@@ -439,50 +439,36 @@ class TextToSpeech:
 
         spec = (settings.speculative_render and use_diffusion
                 and not return_intermediates)
-        if spec:
-            # Speculative: bucket by the CAP, not the generated length — no
-            # host sync between the AR program and the render dispatch. The
-            # true lengths are fetched after the dispatch (below), where the
-            # transfer overlaps render execution.
-            n_b = bucket_len(max(settings.max_mel_tokens - 2, 1),
-                             self._code_buckets())
-            lens_dev = jnp.clip(res.lengths - 2, 1, n_b)
-            codes = self._pad_codes_jit(res.codes, lens_dev, n_b=n_b)
-            diff_cond = cond_mel if cond_mel.ndim == 3 else cond_mel[:, 0]
-            wav = self._render_full_jit(
-                self.vars["gpt"], self.vars["diffusion"], self.vars["vocos"],
-                cond_mel, normalize_tacotron_mel(diff_cond), text_tokens,
-                jnp.array([text_tokens.shape[-1]]), codes,
-                lens_dev * self.cfg.gpt.mel_length_compression, k2,
-                settings.diffusion_temperature,
-                steps=settings.diffusion_steps, sampler=settings.sampler,
-                cond_free_k=settings.cond_free_k)
-            lengths_host = np.asarray(res.lengths)   # overlaps the render
-            n = max(int(lengths_host[0]) - 2, 1)
-            hop = self.cfg.vocos.hop_length
-            comp = self.cfg.vqvae.compression
-            return {"codes": np.asarray(res.codes), "lengths": lengths_host,
-                    "wav": np.asarray(wav[:, :n * comp * hop])}
-
-        lengths_host = np.asarray(res.lengths)       # tiny sync
-        n = max(int(lengths_host[0]) - 2, 1)   # strip 2 (test.py:150)
         # pad codes (with stop tokens, as training does per wav_lengths) up to
         # a bucket so latent/diffusion/vocos programs compile once per bucket,
         # not once per utterance length; outputs are trimmed to the true n.
         # The padding runs ON DEVICE so the full code matrix never has to
         # reach the host before the render dispatch.
-        n_b = bucket_len(n, self._code_buckets())
-        codes = self._pad_codes_jit(res.codes,
-                                    jnp.clip(res.lengths - 2, 1, n_b),
-                                    n_b=n_b)
+        if spec:
+            # Speculative: bucket by the CAP, not the generated length — no
+            # host sync between the AR program and the render dispatch; the
+            # true lengths are fetched in finish(), where the transfer
+            # overlaps render execution.
+            n_b = bucket_len(max(settings.max_mel_tokens - 2, 1),
+                             self._code_buckets())
+            lengths_host = None
+        else:
+            lengths_host = np.asarray(res.lengths)       # tiny sync
+            n = max(int(lengths_host[0]) - 2, 1)
+            n_b = bucket_len(n, self._code_buckets())
+        lens_dev = jnp.clip(res.lengths - 2, 1, n_b)  # strip 2 (test.py:150)
+        codes = self._pad_codes_jit(res.codes, lens_dev, n_b=n_b)
         hop = self.cfg.vocos.hop_length   # wav samples per mel frame
         comp = self.cfg.vqvae.compression
 
         def finish(out, wav):
-            # fetch the raw codes AFTER the render dispatch — the transfer
-            # overlaps render execution instead of stalling before it
+            # fetch the raw codes/lengths AFTER the render dispatch — the
+            # transfers overlap render execution instead of stalling it
+            lh = (np.asarray(res.lengths) if lengths_host is None
+                  else lengths_host)
+            n = max(int(lh[0]) - 2, 1)
             out["codes"] = np.asarray(res.codes)
-            out["lengths"] = lengths_host
+            out["lengths"] = lh
             out["wav"] = np.asarray(wav[:, :n * comp * hop])
             return out
 
@@ -503,7 +489,7 @@ class TextToSpeech:
             latent = self._latent_jit(
                 self.vars["gpt"], cond_mel, text_tokens,
                 jnp.array([text_tokens.shape[-1]]), codes,
-                jnp.array([n * self.cfg.gpt.mel_length_compression]))
+                lens_dev * self.cfg.gpt.mel_length_compression)
             latent = jnp.swapaxes(latent, 1, 2)      # (B, D, N) test.py:160
             mel = self._diffusion_mel(
                 latent, normalize_tacotron_mel(diff_cond), k2,
@@ -519,7 +505,7 @@ class TextToSpeech:
             self.vars["gpt"], self.vars["diffusion"], self.vars["vocos"],
             cond_mel, normalize_tacotron_mel(diff_cond), text_tokens,
             jnp.array([text_tokens.shape[-1]]), codes,
-            jnp.array([n * self.cfg.gpt.mel_length_compression]), k2,
+            lens_dev * self.cfg.gpt.mel_length_compression, k2,
             settings.diffusion_temperature,
             steps=settings.diffusion_steps, sampler=settings.sampler,
             cond_free_k=settings.cond_free_k)

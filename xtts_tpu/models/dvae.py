@@ -171,20 +171,27 @@ def balance_codebook(cb: CodebookState, bal: BalanceState,
     total = bal.total + onehot_sum.sum()
     fire = total >= window
 
-    h = hist / jnp.maximum(total, 1.0)
-    mask = jnp.logical_and(fire, jnp.logical_or(h > hi, h < lo))  # (n,)
-    rand = jax.random.normal(key, cb.embed.shape, cb.embed.dtype)
-    keep = jnp.where(mask[None, :], 0.0, 1.0)
-    embed = cb.embed * keep + rand * (1.0 - keep)
-    embed_avg = cb.embed_avg * keep + rand * (1.0 - keep)
-    cluster_size = jnp.where(mask, 0.0, cb.cluster_size)
-    # tumble: restart the window once it fires (reference clears its buffer
-    # only when the mask is non-empty; with lo=0.01 it always is — we
-    # restart unconditionally at the boundary, same cadence in practice)
-    zero = jnp.where(fire, 0.0, 1.0)
-    new_bal = BalanceState(hist * zero, total * zero)
-    return (CodebookState(embed, cluster_size, embed_avg), new_bal,
-            mask.sum(dtype=jnp.int32))
+    def reset(_):
+        h = hist / jnp.maximum(total, 1.0)
+        mask = jnp.logical_or(h > hi, h < lo)               # (n,)
+        rand = jax.random.normal(key, cb.embed.shape, cb.embed.dtype)
+        keep = jnp.where(mask[None, :], 0.0, 1.0)
+        embed = cb.embed * keep + rand * (1.0 - keep)
+        embed_avg = cb.embed_avg * keep + rand * (1.0 - keep)
+        cluster_size = jnp.where(mask, 0.0, cb.cluster_size)
+        # tumble: restart the window (the reference clears its buffer only
+        # when the mask is non-empty; with lo=0.01 it always is — we
+        # restart unconditionally at the boundary, same cadence in practice)
+        return (CodebookState(embed, cluster_size, embed_avg),
+                BalanceState(jnp.zeros_like(hist), jnp.zeros_like(total)),
+                mask.sum(dtype=jnp.int32))
+
+    def accumulate(_):
+        return cb, BalanceState(hist, total), jnp.int32(0)
+
+    # cond: the (dim, n_embed) RNG draw + codebook rewrite only runs at
+    # window boundaries (~1 in window/batch_codes steps), not every step
+    return jax.lax.cond(fire, reset, accumulate, None)
 
 
 def ema_codebook_update(
