@@ -52,6 +52,35 @@ class TestDVAETraining:
         cb1 = np.asarray(state.state_cols["codebook"]["embed"])
         assert np.abs(cb1 - cb0).max() > 0
 
+    def test_balancing_sharded_matches_single_device(self, rng):
+        """The balancing reset (lax.cond + replicated RNG + codebook
+        rewrite) under the data mesh must equal the single-device step,
+        with the window firing INSIDE the step (window=8 << 64 codes/step)
+        so the reset branch itself runs under GSPMD."""
+        cfg = DVAE_CFG.replace(balancing_heuristic=True, balance_window=8)
+        batch = {"mel": jnp.asarray(
+            rng.standard_normal((8, MEL, 32)).astype(np.float32))}
+        results = []
+        for mesh in (None, make_mesh(8, 1)):
+            model = DVAE(cfg)
+            variables = model.init(jax.random.PRNGKey(0), batch["mel"][:1])
+            trainer = Trainer(make_dvae_loss(model), TRAIN_CFG, mesh=mesh)
+            state = trainer.shard_state(trainer.init_state(
+                variables["params"],
+                {"codebook": dict(variables["codebook"])}))
+            b = trainer.shard_batch(batch)
+            state, metrics = trainer.step(state, b, jax.random.PRNGKey(3))
+            results.append((float(metrics["loss"]),
+                            jax.tree_util.tree_map(
+                                np.asarray, state.state_cols["codebook"])))
+        (l0, c0), (l1, c1) = results
+        np.testing.assert_allclose(l0, l1, rtol=2e-5)
+        assert float(c0["bal_total"]) == 0.0      # window fired + restarted
+        for k in c0:
+            np.testing.assert_allclose(
+                c0[k], c1[k], rtol=2e-4, atol=2e-5,
+                err_msg=f"codebook mismatch at {k}")
+
     def test_accumulation(self, rng):
         model = DVAE(DVAE_CFG)
         mel = jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32))
