@@ -21,6 +21,10 @@ Knobs (env):
                     | 'serving' (batched synthesis audio-s/s per chip:
                     headline = full-quality 50-step CFG diffusion with
                     CLVP rerank; shortcut render reported alongside)
+                    | 'vqvae' (BASELINE config #1: mel -> VQ codes ->
+                    decoded mel round-trip, audio-s/s)
+                    | 'vocos' (BASELINE config #3: mel -> 24 kHz wav,
+                    audio-s/s)
   BENCH_RERANK_K    serving CLVP candidates per utterance (default 2;
                     1 = rerank off)
 """
@@ -124,6 +128,42 @@ def main():
             "metric": "gpt_ar_mel_tokens_per_sec", "value": round(tps, 2),
             "unit": "tokens/s",
             "vs_baseline": round(TARGET_RTF / rtf, 4)}))
+        return
+
+    if path in ("vqvae", "vocos"):
+        # BASELINE configs #1/#3: subsystem throughput in audio-s/s. The
+        # fidelity halves of these configs (mel-L1 parity, bit-exact VQ
+        # codes) are pinned by the golden suite (tests/test_reference_parity
+        # .py, tests/test_torch_parity.py) — this measures speed only.
+        b = int(os.environ.get("BENCH_BATCH", 8))
+        frames = 1504                     # ~16 s of audio per row at hop 256
+        mel = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (b, cfg.mel.n_mels, frames)).astype(np.float32))
+
+        if path == "vqvae":
+            def prog(dvars, mel):
+                codes = tts.dvae.apply(dvars, mel,
+                                       method=tts.dvae.get_codebook_indices)
+                rec, _ = tts.dvae.apply(dvars, codes, method=tts.dvae.decode)
+                return rec
+            fn = jax.jit(prog)
+            args = (tts.vars["dvae"], mel)
+        else:
+            fn = jax.jit(tts.vocos.apply)
+            args = (tts.vars["vocos"], mel)
+
+        jax.block_until_ready(fn(*args))          # compile
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            jax.block_until_ready(fn(*args))
+        dt = time.perf_counter() - t0
+        audio_s = repeats * b * frames * cfg.mel.hop_length / sr
+        thr = audio_s / dt
+        print(json.dumps({
+            "metric": f"{path}_audio_s_per_s_per_chip",
+            "value": round(thr, 1), "unit": "audio_s/s",
+            "vs_baseline": round(thr * TARGET_RTF, 4),
+            "batch": b, "frames": frames}))
         return
 
     if path == "serving":
