@@ -314,3 +314,63 @@ class TestPrepare:
         r_lp = high_freq_energy_ratio(
             sosfilt(sos, wav).astype(np.float32), 24000)
         assert r_lp < r_full
+
+
+class TestASR:
+    """data/asr.py — transcript acceptance (asr_process.py:31-38) and the
+    Whisper adapter (random-init model + stub tokenizer; no files/network)."""
+
+    def test_accept_transcript_rule(self):
+        from xtts_tpu.data.asr import accept_transcript
+        assert accept_transcript("这是一个足够长的句子")
+        assert not accept_transcript("短")                   # < 5 chars
+        assert not accept_transcript("这句话含有abc字母")     # Latin letters
+        assert not accept_transcript("okay")                 # both
+
+    def test_vad_asr_jsonl_applies_filter(self, tmp_path):
+        from xtts_tpu.data.prepare import vad_asr_to_jsonl
+        texts = {"a.wav": "这是一个足够长的句子", "b.wav": "短",
+                 "c.wav": "mixed语言output"}
+        out = tmp_path / "o.jsonl"
+        vad_asr_to_jsonl(list(texts), str(out), asr_fn=lambda p: texts[p])
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert [r["path"] for r in rows] == ["a.wav"]
+        # opt-out keeps everything
+        vad_asr_to_jsonl(list(texts), str(out), asr_fn=lambda p: texts[p],
+                         accept=lambda t: True)
+        assert len(out.read_text().splitlines()) == 3
+
+    def test_whisper_adapter_random_model(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from transformers import (WhisperConfig, WhisperFeatureExtractor,
+                                  WhisperForConditionalGeneration)
+        from xtts_tpu.data.asr import WhisperASR
+        from xtts_tpu.data.audio import save_wav
+
+        cfg = WhisperConfig(
+            vocab_size=64, num_mel_bins=80, d_model=32,
+            encoder_layers=1, decoder_layers=1, encoder_attention_heads=2,
+            decoder_attention_heads=2, encoder_ffn_dim=64, decoder_ffn_dim=64,
+            max_source_positions=1500, max_target_positions=64,
+            decoder_start_token_id=1, pad_token_id=0, bos_token_id=1,
+            eos_token_id=2, suppress_tokens=[], begin_suppress_tokens=[])
+        model = WhisperForConditionalGeneration(cfg)
+
+        class StubTok:
+            def get_decoder_prompt_ids(self, language, task):
+                raise KeyError(language)        # adapter must tolerate
+
+            def batch_decode(self, ids, skip_special_tokens=True):
+                return ["  token" + "".join(str(int(i)) for i in ids[0][:3])]
+
+        class StubProc:
+            feature_extractor = WhisperFeatureExtractor()
+            tokenizer = StubTok()
+
+        asr = WhisperASR(model=model, processor=StubProc())
+        wav = (0.1 * np.sin(2 * np.pi * 220 * np.arange(24000) / 24000)
+               ).astype(np.float32)
+        p = tmp_path / "x.wav"
+        save_wav(str(p), wav, 24000)            # adapter resamples to 16 k
+        text = asr(str(p))
+        assert isinstance(text, str) and text == text.strip() and text

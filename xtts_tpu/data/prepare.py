@@ -70,8 +70,15 @@ def transcribe(wav_path: str, asr_fn: Optional[TranscribeFn] = None) -> str:
 
 
 def vad_asr_to_jsonl(wav_paths: Sequence[str], out_jsonl: str,
-                     asr_fn: TranscribeFn):
-    """Clips -> `{path, text}` jsonl (ttts/prepare/vad_asr_save_to_jsonl.py)."""
+                     asr_fn: TranscribeFn, accept=None):
+    """Clips -> `{path, text}` jsonl (ttts/prepare/vad_asr_save_to_jsonl.py).
+
+    accept: transcript keep-rule; defaults to the reference's
+    asr_process.py:31-38 filter (>= 5 chars, no Latin letters) via
+    data/asr.py. Pass `lambda t: True` to keep everything."""
+    if accept is None:
+        from xtts_tpu.data.asr import accept_transcript
+        accept = accept_transcript
     with open(out_jsonl, "w", encoding="utf-8") as f:
         for p in wav_paths:
             try:
@@ -80,6 +87,9 @@ def vad_asr_to_jsonl(wav_paths: Sequence[str], out_jsonl: str,
                 raise
             except Exception as e:
                 log.warning("ASR failed for %s: %s", p, e)
+                continue
+            if not accept(text):
+                log.info("transcript rejected for %s: %r", p, text)
                 continue
             f.write(json.dumps({"path": p, "text": text},
                                ensure_ascii=False) + "\n")
