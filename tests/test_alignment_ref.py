@@ -148,3 +148,50 @@ def test_redact_noop_without_brackets():
     _, ours, audio = make_pair("abc")
     out = ours.redact(audio, "abc")
     assert out is audio
+
+
+def test_model_path_branch_with_real_wav2vec2(tmp_path):
+    """Exercise the REAL checkpoint-loading branch (model_path=...) end to
+    end: a random-init HF Wav2Vec2ForCTC + a real Wav2Vec2CTCTokenizer
+    (locally-written vocab) saved with save_pretrained and loaded back —
+    the exact path a user with a downloaded
+    jbetker/wav2vec2-large-robust-ft-libritts-voxpopuli checkpoint takes
+    (wav2vec_alignment.py:48-56). Random weights emit garbage text, so
+    alignment falls back to interpolated offsets; the contract is shape +
+    monotonic non-negative offsets + redact removing audio."""
+    import json as _json
+
+    from transformers import (Wav2Vec2Config, Wav2Vec2CTCTokenizer,
+                              Wav2Vec2ForCTC)
+
+    from xtts_tpu.utils.alignment import Wav2VecAlignment
+
+    vocab = {"<pad>": 0, "<unk>": 1, "|": 2}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz'"):
+        vocab[ch] = i + 3
+    vp = tmp_path / "vocab.json"
+    vp.write_text(_json.dumps(vocab))
+    tok = Wav2Vec2CTCTokenizer(str(vp), pad_token="<pad>",
+                               unk_token="<unk>",
+                               word_delimiter_token="|")
+    cfg = Wav2Vec2Config(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(8, 8, 8, 8, 8, 8, 8), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=2)
+    model = Wav2Vec2ForCTC(cfg)
+    model.save_pretrained(tmp_path)
+    tok.save_pretrained(tmp_path)
+
+    aligner = Wav2VecAlignment(model_path=str(tmp_path))
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+
+    text = "hello world"
+    offs = aligner.align(audio, text)
+    assert len(offs) == len(text)
+    assert all(0 <= o <= len(audio) for o in offs)
+    assert all(b >= a for a, b in zip(offs, offs[1:]))   # non-decreasing
+
+    red = aligner.redact(audio, "hello [world]")
+    assert len(red) < len(audio)
