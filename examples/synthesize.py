@@ -33,6 +33,9 @@ def main():
                     help="DVAE-decode render (skip diffusion) — fastest")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight-only AR decode engine")
+    ap.add_argument("--hifigan", action="store_true",
+                    help="HifiDecoder latent->wav render (XTTS-v2 style; "
+                         "skips diffusion+vocos)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -51,18 +54,21 @@ def main():
     t0 = time.perf_counter()
     if args.weights:
         tts = TextToSpeech.from_pretrained(args.weights,
-                                           quantized_decode=args.int8)
+                                           quantized_decode=args.int8,
+                                           with_hifigan=args.hifigan)
     else:
         print("NOTE: no --weights; random init (noise output, timing only)")
         tts = TextToSpeech(rng=jax.random.PRNGKey(args.seed),
-                           quantized_decode=args.int8)
+                           quantized_decode=args.int8,
+                           with_hifigan=args.hifigan)
     print(f"models ready in {time.perf_counter() - t0:.1f}s")
 
     refs = [load_wav(p, tts.cfg.mel.sample_rate)[0] for p in args.ref_wav]
     ref = refs[0] if len(refs) == 1 else refs
     t0 = time.perf_counter()
     wav = tts.tts(args.text, ref, jax.random.PRNGKey(args.seed), settings,
-                  lang=args.lang, use_diffusion=not args.shortcut)
+                  lang=args.lang, use_diffusion=not args.shortcut,
+                  use_hifigan=args.hifigan)
     dt = time.perf_counter() - t0
     dur = wav.size / tts.cfg.mel.sample_rate
     save_wav(args.out, wav, tts.cfg.mel.sample_rate)

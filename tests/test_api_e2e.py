@@ -231,3 +231,55 @@ def test_tts_bracket_redaction(tts):
                         TTSSettings(max_mel_tokens=8, diffusion_steps=3),
                         use_diffusion=False)
     assert out_nored.size > 0
+
+
+TINY_HIFIGAN = __import__("xtts_tpu.core.config", fromlist=["HiFiGANConfig"]
+                          ).HiFiGANConfig(
+    decoder_input_dim=32, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+    upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),), d_vector_dim=16)
+
+
+@pytest.fixture(scope="module")
+def tts_hifigan():
+    return TextToSpeech(TINY.replace(hifigan=TINY_HIFIGAN),
+                        rng=jax.random.PRNGKey(11), with_hifigan=True)
+
+
+def test_hifigan_render_path(tts_hifigan, rng):
+    """use_hifigan renders GPT latents directly to waveform via the
+    HifiDecoder (hifigan_vocoder.py:744-756), skipping diffusion+Vocos;
+    output length follows the latent->frame resize math (:719-731)."""
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    spk = jnp.asarray(rng.standard_normal((1, 24, 64)).astype(np.float32))
+    tokens = np.array([[1, 3, 4, 2]], np.int32)
+    out = tts_hifigan.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(5),
+                                 TTSSettings(max_mel_tokens=8),
+                                 use_hifigan=True, spk_mel16=spk)
+    n = max(int(out["lengths"][0]) - 2, 1)
+    ratio = 1024 / 256 * 24000 / 22050   # cfg defaults
+    assert out["wav"].shape == (1, int(round(n * ratio)) * 16)  # up = 4*4
+    assert np.isfinite(out["wav"]).all()
+
+
+def test_hifigan_text_to_wav(tts_hifigan):
+    """tts(use_hifigan=True) derives the speaker mel from the cond clip."""
+    wav_ref = np.sin(np.linspace(0, 400, 24000)).astype(np.float32)
+    wav = tts_hifigan.tts("你好。", wav_ref, jax.random.PRNGKey(3),
+                          TTSSettings(max_mel_tokens=6), use_hifigan=True)
+    assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+
+
+def test_hifigan_requires_flag_and_speaker_mel(tts, tts_hifigan, rng):
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    tokens = np.array([[1, 2]], np.int32)
+    with pytest.raises(ValueError):
+        tts.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(0),
+                       TTSSettings(max_mel_tokens=4), use_hifigan=True,
+                       spk_mel16=jnp.zeros((1, 8, 64)))
+    with pytest.raises(ValueError):
+        tts_hifigan.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(0),
+                               TTSSettings(max_mel_tokens=4),
+                               use_hifigan=True)

@@ -99,10 +99,16 @@ class TextToSpeech:
 
     def __init__(self, cfg: XTTSConfig = XTTSConfig(), variables=None,
                  rng: Optional[jax.Array] = None, dtype=jnp.float32,
-                 with_clvp: bool = False, quantized_decode: bool = False):
+                 with_clvp: bool = False, quantized_decode: bool = False,
+                 with_hifigan: bool = False):
         """quantized_decode: int8 weight-only AR decode engine — ~1.5x
         tokens/s on v5e, logits within per-channel-int8 error (~99% greedy
-        token agreement); see xtts_tpu/infer/qdecode.py."""
+        token agreement); see xtts_tpu/infer/qdecode.py.
+
+        with_hifigan: attach the XTTS-v2-style HifiDecoder so
+        tts/tts_tokens can render GPT latents DIRECTLY to waveform,
+        skipping diffusion+Vocos (the reference's alternative vocoder path,
+        ttts/hifigan/hifigan_vocoder.py:655-771, README.md:46-47)."""
         self.cfg = cfg
         self.mel = MelFrontend(cfg.mel)
         self.gpt = UnifiedVoice(cfg.gpt, dtype=dtype)
@@ -113,6 +119,11 @@ class TextToSpeech:
         if with_clvp:
             from xtts_tpu.models.clvp import CLVP
             self.clvp = CLVP(cfg.clvp, dtype=dtype)
+        self.hifigan = None
+        self._spk_mel_frontend = None
+        if with_hifigan:
+            from xtts_tpu.models.hifigan import HifiDecoder
+            self.hifigan = HifiDecoder(cfg.hifigan, dtype=dtype)
         self.vars = variables if variables is not None else {}
         if not self.vars:
             self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
@@ -171,6 +182,8 @@ class TextToSpeech:
         names = ["gpt", "vqvae", "diffusion", "vocos"]
         if tts.clvp is not None:
             names.append("clvp")
+        if tts.hifigan is not None:
+            names.append("hifigan")
         alias = {"vqvae": "dvae"}
         for name in names:
             hits = []
@@ -214,6 +227,14 @@ class TextToSpeech:
             kc = jax.random.fold_in(key, 5)
             self.vars["clvp"] = jax.jit(self.clvp.init)(
                 kc, jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32))
+        if self.hifigan is not None:
+            kh = jax.random.fold_in(key, 6)
+            # init through the ref_mel16k path so BOTH the waveform decoder
+            # and the speaker encoder get parameters (models/hifigan.py note)
+            self.vars["hifigan"] = jax.jit(
+                lambda k, lat, m16: self.hifigan.init(k, lat, ref_mel16k=m16))(
+                    kh, jnp.zeros((1, 8, c.hifigan.decoder_input_dim)),
+                    jnp.zeros((1, 16, 64)))
 
     # ------------------------------------------------------------------
 
@@ -236,6 +257,20 @@ class TextToSpeech:
         mels = [self.mel(np.pad(a, (0, n - a.shape[0]))) for a in arrs]
         return jnp.stack(mels, axis=1)          # (1, n_clips, mel, T)
 
+    def speaker_mel_from_wav(self, wav: np.ndarray) -> jnp.ndarray:
+        """Reference clip at cfg.mel.sample_rate -> (1, T, 64) 16 kHz
+        log-mel for the HiFi-GAN speaker encoder (the reference resamples
+        24k->16k before its torch-spec mel, ttts/hifigan/train_ms.py:110-117
+        + hifigan_vocoder.py:671-678)."""
+        from xtts_tpu.data.audio import resample
+        from xtts_tpu.dsp.mel import SPEAKER_ENCODER_MEL_CONFIG
+        if self._spk_mel_frontend is None:
+            self._spk_mel_frontend = MelFrontend(SPEAKER_ENCODER_MEL_CONFIG)
+        w = np.asarray(wav, np.float32).reshape(-1)
+        w16 = resample(w, self.cfg.mel.sample_rate,
+                       SPEAKER_ENCODER_MEL_CONFIG.sample_rate)
+        return jnp.swapaxes(self._spk_mel_frontend(w16), 1, 2)
+
     # jitted model entry points (eager flax apply dispatches per-op — ~100x
     # slower over a remote-TPU tunnel; one compiled program per shape bucket)
 
@@ -251,6 +286,18 @@ class TextToSpeech:
     def _dvae_decode_jit(self):
         return jax.jit(functools.partial(self.dvae.apply,
                                          method=self.dvae.decode))
+
+    @functools.cached_property
+    def _render_hifigan_jit(self):
+        """codes -> teacher-forced GPT latents -> HifiDecoder waveform (one
+        program; the reference's latent->hifigan alternative to
+        latent->diffusion->vocos, hifigan_vocoder.py:744-756)."""
+        def impl(gvars, hvars, cond_mel, text_tokens, text_lens, codes,
+                 wav_lens, spk_mel16):
+            latent = self.gpt.apply(gvars, cond_mel, text_tokens, text_lens,
+                                    codes, wav_lens, return_latent=True)
+            return self.hifigan.apply(hvars, latent, ref_mel16k=spk_mel16)
+        return jax.jit(impl)
 
     @functools.cached_property
     def _clvp_rerank_jit(self):
@@ -403,11 +450,19 @@ class TextToSpeech:
     def tts_tokens(self, text_tokens: np.ndarray, cond_mel: jnp.ndarray,
                    key=None, settings: TTSSettings = TTSSettings(),
                    use_diffusion: bool = True,
-                   return_intermediates: bool = False):
+                   return_intermediates: bool = False,
+                   use_hifigan: bool = False,
+                   spk_mel16: Optional[jnp.ndarray] = None):
         """Synthesize from prepared text tokens (B=1). Returns dict with
         'wav' (np.ndarray) and 'codes'; with return_intermediates also
         'latent'/'mel' (several MB of device->host traffic per call — keep
-        off in serving paths)."""
+        off in serving paths).
+
+        use_hifigan: render GPT latents directly to waveform through the
+        HifiDecoder (skipping diffusion+Vocos) — requires
+        with_hifigan=True and spk_mel16 (speaker_mel_from_wav of the
+        reference clip). The reference's alternative vocoder path
+        (hifigan_vocoder.py:744-756)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         text_tokens = jnp.asarray(text_tokens, jnp.int32)
@@ -438,7 +493,7 @@ class TextToSpeech:
             res = self._generate(cond_mel, text_tokens, k1, settings)
 
         spec = (settings.speculative_render and use_diffusion
-                and not return_intermediates)
+                and not return_intermediates and not use_hifigan)
         # pad codes (with stop tokens, as training does per wav_lengths) up to
         # a bucket so latent/diffusion/vocos programs compile once per bucket,
         # not once per utterance length; outputs are trimmed to the true n.
@@ -461,7 +516,7 @@ class TextToSpeech:
         hop = self.cfg.vocos.hop_length   # wav samples per mel frame
         comp = self.cfg.vqvae.compression
 
-        def finish(out, wav):
+        def finish(out, wav, trim=None):
             # fetch the raw codes/lengths AFTER the render dispatch — the
             # transfers overlap render execution instead of stalling it
             lh = (np.asarray(res.lengths) if lengths_host is None
@@ -469,8 +524,31 @@ class TextToSpeech:
             n = max(int(lh[0]) - 2, 1)
             out["codes"] = np.asarray(res.codes)
             out["lengths"] = lh
-            out["wav"] = np.asarray(wav[:, :n * comp * hop])
+            out["wav"] = np.asarray(
+                wav[:, :(trim(n) if trim is not None else n * comp * hop)])
             return out
+
+        if use_hifigan:
+            if self.hifigan is None or "hifigan" not in self.vars:
+                raise ValueError(
+                    "use_hifigan needs TextToSpeech(with_hifigan=True)")
+            if spk_mel16 is None:
+                raise ValueError("use_hifigan needs spk_mel16 "
+                                 "(speaker_mel_from_wav of the ref clip)")
+            wav = self._render_hifigan_jit(
+                self.vars["gpt"], self.vars["hifigan"], cond_mel,
+                text_tokens, jnp.array([text_tokens.shape[-1]]), codes,
+                lens_dev * self.cfg.gpt.mel_length_compression, spk_mel16)
+            # samples per latent differ from the vocos path: n latents ->
+            # round(n * 1024/256 * out_sr/in_sr) frames x prod(upsample_rates)
+            # samples (models/hifigan.py __call__)
+            hc = self.cfg.hifigan
+            ratio = (hc.ar_mel_length_compression / hc.output_hop_length
+                     * hc.output_sample_rate / hc.input_sample_rate)
+            up = 1
+            for r in hc.upsample_rates:
+                up *= r
+            return finish({}, wav, trim=lambda n: int(round(n * ratio)) * up)
 
         if not use_diffusion:
             wav, mel_rec = self._render_shortcut_jit(self.vars["dvae"],
@@ -526,7 +604,8 @@ class TextToSpeech:
             use_diffusion: bool = True,
             batch_sentences: bool = True,
             inter_sentence_silence_ms: float = 0.0,
-            aligner=None) -> np.ndarray:
+            aligner=None,
+            use_hifigan: bool = False) -> np.ndarray:
         """Full text in, 24 kHz waveform out — sentence-split like
         test.py:108-177.
 
@@ -548,6 +627,9 @@ class TextToSpeech:
         reference's get_conditioning_latents (ttts/api.py:225-240 +
         ttts/gpt/model.py:463-476); the diffusion refer mel is the first
         clip (the reference AA path is single-clip only).
+
+        use_hifigan: render through the HifiDecoder latent->wav path
+        (with_hifigan=True required); sentences run sequentially.
         """
         from xtts_tpu.text.frontend import (sentence_to_tokens,
                                             split_sentences)
@@ -593,7 +675,7 @@ class TextToSpeech:
                 return np.asarray(aligner.redact(wav, redact_text))
             return wav
 
-        if batch_sentences and len(token_lists) > 1:
+        if batch_sentences and len(token_lists) > 1 and not use_hifigan:
             from xtts_tpu.infer.serving import (SynthesisRequest,
                                                 synthesize_batch)
             wavs = synthesize_batch(
@@ -601,10 +683,17 @@ class TextToSpeech:
                 settings, use_diffusion=use_diffusion, key=key)
             return finish(join(wavs))
 
+        spk_mel16 = None
+        if use_hifigan:
+            first = (cond_wav[0] if isinstance(cond_wav, (list, tuple))
+                     else cond_wav)
+            spk_mel16 = self.speaker_mel_from_wav(first)
         wavs = []
         for tokens in token_lists:
             key, sub = jax.random.split(key)
             out = self.tts_tokens(tokens, cond_mel, sub, settings,
-                                  use_diffusion=use_diffusion)
+                                  use_diffusion=use_diffusion,
+                                  use_hifigan=use_hifigan,
+                                  spk_mel16=spk_mel16)
             wavs.append(out["wav"][0])
         return finish(join(wavs))
