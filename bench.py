@@ -25,6 +25,9 @@ Knobs (env):
                     decoded mel round-trip, audio-s/s)
                     | 'vocos' (BASELINE config #3: mel -> 24 kHz wav,
                     audio-s/s)
+                    | 'hifigan' (XTTS-v2-style alternative render: AR ->
+                    teacher-forced latent -> HifiDecoder wav, no
+                    diffusion/vocos; e2e RTF)
   BENCH_RERANK_K    serving CLVP candidates per utterance (default 2;
                     1 = rerank off)
 """
@@ -45,7 +48,7 @@ import numpy as np
 TARGET_RTF = 0.1  # BASELINE.json north star: <= 0.1 per v5e chip
 
 
-def synthetic_inputs(tts, cfg, text_len: int = 50):
+def synthetic_inputs(tts, cfg, text_len: int = 50, return_wav: bool = False):
     """Canonical bench inputs (3 s sine+noise reference clip -> cond mel,
     random 50-token text). Shared by scripts/ab_*.py so the A/B harnesses
     measure exactly the workload the headline numbers use."""
@@ -56,6 +59,8 @@ def synthetic_inputs(tts, cfg, text_len: int = 50):
                 + 0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
     cond_mel = tts.cond_mel_from_wav(cond_wav)
     text_tokens = rng.integers(3, 250, (1, text_len)).astype(np.int32)
+    if return_wav:
+        return cond_mel, text_tokens, cond_wav
     return cond_mel, text_tokens
 
 
@@ -72,10 +77,12 @@ def main():
     cfg = XTTSConfig()
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-                       quantized_decode=quant)
+                       quantized_decode=quant,
+                       with_hifigan=(path == "hifigan"))
 
     sr = cfg.mel.sample_rate
-    cond_mel, text_tokens = synthetic_inputs(tts, cfg)
+    cond_mel, text_tokens, cond_wav = synthetic_inputs(tts, cfg,
+                                                       return_wav=True)
 
     # Speculative render (default on for the bench): bucket the render at
     # the max_gen cap and dispatch it without waiting for the generated
@@ -209,6 +216,35 @@ def main():
             "rerank_k": k_cand, "diffusion_steps": diff_steps,
             "batch": b,
             "shortcut_audio_s_per_s": round(thr_shortcut, 2)}))
+        return
+
+    if path == "hifigan":
+        # XTTS-v2-style alternative render (hifigan_vocoder.py:655-771):
+        # AR decode -> teacher-forced latent -> HifiDecoder waveform. No
+        # diffusion loop — the latency floor of the latent-direct path.
+        spk = tts.speaker_mel_from_wav(cond_wav)
+        out_sr = cfg.hifigan.output_sample_rate
+
+        def run_h(key):
+            return tts.tts_tokens(text_tokens, cond_mel, key, settings,
+                                  use_hifigan=True, spk_mel16=spk)
+
+        for i in range(repeats):
+            run_h(jax.random.PRNGKey(i))          # compile all buckets
+        times, rtfs = [], []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            out = run_h(jax.random.PRNGKey(i))
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            rtfs.append(dt / max(out["wav"].shape[1] / out_sr, 1e-9))
+        rtf = float(np.median(rtfs))
+        print(json.dumps({
+            "metric": "hifigan_e2e_rtf_per_chip",
+            "value": round(rtf, 4), "unit": "wall_s_per_audio_s",
+            "vs_baseline": round(TARGET_RTF / rtf, 4),
+            "p50_latency_s": round(float(np.percentile(times, 50)), 3),
+            "repeats": repeats}))
         return
 
     def run_e2e(key):

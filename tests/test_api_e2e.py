@@ -283,3 +283,16 @@ def test_hifigan_requires_flag_and_speaker_mel(tts, tts_hifigan, rng):
         tts_hifigan.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(0),
                                TTSSettings(max_mel_tokens=4),
                                use_hifigan=True)
+
+
+def test_tts_stream_matches_sequential(tts):
+    """tts_stream yields per-sentence wavs; their concatenation equals the
+    non-batched tts() output bitwise (same key-split sequence)."""
+    ref = np.zeros(4000, np.float32)
+    s = TTSSettings(max_mel_tokens=6)
+    whole = tts.tts("你好。再见。", ref, jax.random.PRNGKey(6), s,
+                    use_diffusion=False, batch_sentences=False)
+    chunks = list(tts.tts_stream("你好。再见。", ref, jax.random.PRNGKey(6),
+                                 s, use_diffusion=False))
+    assert len(chunks) == 2
+    np.testing.assert_array_equal(np.concatenate(chunks), whole)

@@ -135,3 +135,30 @@ def test_batch_server_sequential_submissions(tts, cond_mel):
         assert w1.size > 0 and w2.size > 0
     finally:
         srv.close()
+
+
+def test_synthesize_batch_hifigan():
+    """Batched HifiDecoder render: per-row trim follows the latent->frame
+    resize math; consistency with the single-utterance path."""
+    from test_api_e2e import TINY_HIFIGAN
+    tts_h = TextToSpeech(TINY.replace(hifigan=TINY_HIFIGAN),
+                         rng=jax.random.PRNGKey(11), with_hifigan=True)
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    spk = jnp.asarray(rng.standard_normal((1, 24, 64)).astype(np.float32))
+    reqs = [SynthesisRequest(np.array([1, 3, 4, 2], np.int32)),
+            SynthesisRequest(np.array([1, 5, 2], np.int32))]
+    wavs = synthesize_batch(tts_h, reqs, cond,
+                            TTSSettings(max_mel_tokens=8),
+                            use_hifigan=True, spk_mel16=spk,
+                            key=jax.random.PRNGKey(2))
+    assert len(wavs) == 2
+    ratio = 1024 / 256 * 24000 / 22050
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all()
+        assert w.size % 16 == 0          # up = 4*4 samples per frame
+        n = w.size // 16 / ratio         # invert the trim formula
+        assert abs(n - round(n)) < 0.2
+    with pytest.raises(ValueError):
+        synthesize_batch(tts_h, reqs, cond, TTSSettings(max_mel_tokens=8),
+                         use_hifigan=True)   # no spk_mel16

@@ -599,6 +599,58 @@ class TextToSpeech:
         ladder = [64, 128, 192, 256, 320, 384, 448, 512]
         return tuple([b for b in ladder if b < m] + [m])
 
+    def _spk_mel16_from_cond(self, cond_wav) -> jnp.ndarray:
+        first = (cond_wav[0] if isinstance(cond_wav, (list, tuple))
+                 else cond_wav)
+        return self.speaker_mel_from_wav(first)
+
+    def _cond_mel_from_cond(self, cond_wav) -> jnp.ndarray:
+        if isinstance(cond_wav, (list, tuple)):
+            return (self.cond_mels_from_wavs(cond_wav) if len(cond_wav) > 1
+                    else self.cond_mel_from_wav(cond_wav[0]))
+        return self.cond_mel_from_wav(cond_wav)
+
+    def _text_to_token_lists(self, text: str, lang: str,
+                             settings: TTSSettings):
+        from xtts_tpu.text.frontend import (sentence_to_tokens,
+                                            split_sentences)
+        token_lists = []
+        for sent in split_sentences(text):
+            tokens = sentence_to_tokens(
+                sent, lang, start_token=self.cfg.gpt.start_text_token,
+                stop_token=self.cfg.gpt.stop_text_token)
+            if settings.pad_text_to_bucket:
+                tb = bucket_len(len(tokens),
+                                (16, 32, 64, 128, 256,
+                                 self.cfg.gpt.max_text_tokens))
+                tokens = np.pad(tokens, (0, max(0, tb - len(tokens))),
+                                constant_values=self.cfg.gpt.stop_text_token)
+            token_lists.append(tokens)
+        return token_lists
+
+    def tts_stream(self, text: str, cond_wav: np.ndarray, key=None,
+                   settings: TTSSettings = TTSSettings(), lang: str = "ZH",
+                   use_diffusion: bool = True,
+                   use_hifigan: bool = False):
+        """Generator: yield each sentence's 24 kHz waveform as soon as it is
+        rendered. Time-to-first-audio becomes one sentence's latency instead
+        of the whole text's (the reference has no streaming mode —
+        test.py:108-177 renders everything before writing gen.wav).
+        Per-sentence outputs are bitwise identical to
+        tts(batch_sentences=False) with the same key (same split sequence),
+        so np.concatenate(list(tts_stream(...))) == that path's waveform."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cond_mel = self._cond_mel_from_cond(cond_wav)
+        spk_mel16 = (self._spk_mel16_from_cond(cond_wav) if use_hifigan
+                     else None)
+        for tokens in self._text_to_token_lists(text, lang, settings):
+            key, sub = jax.random.split(key)
+            out = self.tts_tokens(tokens, cond_mel, sub, settings,
+                                  use_diffusion=use_diffusion,
+                                  use_hifigan=use_hifigan,
+                                  spk_mel16=spk_mel16)
+            yield out["wav"][0]
+
     def tts(self, text: str, cond_wav: np.ndarray, key=None,
             settings: TTSSettings = TTSSettings(), lang: str = "ZH",
             use_diffusion: bool = True,
@@ -629,33 +681,16 @@ class TextToSpeech:
         clip (the reference AA path is single-clip only).
 
         use_hifigan: render through the HifiDecoder latent->wav path
-        (with_hifigan=True required); sentences run sequentially.
+        (with_hifigan=True required); multi-sentence text batches like the
+        other renderers.
         """
-        from xtts_tpu.text.frontend import (sentence_to_tokens,
-                                            split_sentences)
         redact_text = None
         if aligner is not None and "[" in text:
             redact_text = text
             text = text.replace("[", "").replace("]", "")
-        if isinstance(cond_wav, (list, tuple)):
-            cond_mel = (self.cond_mels_from_wavs(cond_wav)
-                        if len(cond_wav) > 1
-                        else self.cond_mel_from_wav(cond_wav[0]))
-        else:
-            cond_mel = self.cond_mel_from_wav(cond_wav)
+        cond_mel = self._cond_mel_from_cond(cond_wav)
         key = key if key is not None else jax.random.PRNGKey(0)
-        token_lists = []
-        for sent in split_sentences(text):
-            tokens = sentence_to_tokens(
-                sent, lang, start_token=self.cfg.gpt.start_text_token,
-                stop_token=self.cfg.gpt.stop_text_token)
-            if settings.pad_text_to_bucket:
-                tb = bucket_len(len(tokens),
-                                (16, 32, 64, 128, 256,
-                                 self.cfg.gpt.max_text_tokens))
-                tokens = np.pad(tokens, (0, max(0, tb - len(tokens))),
-                                constant_values=self.cfg.gpt.stop_text_token)
-            token_lists.append(tokens)
+        token_lists = self._text_to_token_lists(text, lang, settings)
         if not token_lists:
             return np.zeros(0, np.float32)
 
@@ -675,19 +710,17 @@ class TextToSpeech:
                 return np.asarray(aligner.redact(wav, redact_text))
             return wav
 
-        if batch_sentences and len(token_lists) > 1 and not use_hifigan:
+        spk_mel16 = (self._spk_mel16_from_cond(cond_wav) if use_hifigan
+                     else None)
+
+        if batch_sentences and len(token_lists) > 1:
             from xtts_tpu.infer.serving import (SynthesisRequest,
                                                 synthesize_batch)
             wavs = synthesize_batch(
                 self, [SynthesisRequest(t) for t in token_lists], cond_mel,
-                settings, use_diffusion=use_diffusion, key=key)
+                settings, use_diffusion=use_diffusion, key=key,
+                use_hifigan=use_hifigan, spk_mel16=spk_mel16)
             return finish(join(wavs))
-
-        spk_mel16 = None
-        if use_hifigan:
-            first = (cond_wav[0] if isinstance(cond_wav, (list, tuple))
-                     else cond_wav)
-            spk_mel16 = self.speaker_mel_from_wav(first)
         wavs = []
         for tokens in token_lists:
             key, sub = jax.random.split(key)

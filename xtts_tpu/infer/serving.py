@@ -54,10 +54,16 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
                      cond_mel: jnp.ndarray,
                      settings: TTSSettings = TTSSettings(),
                      use_diffusion: bool = False,
-                     key: Optional[jax.Array] = None) -> List[np.ndarray]:
+                     key: Optional[jax.Array] = None,
+                     use_hifigan: bool = False,
+                     spk_mel16: Optional[jnp.ndarray] = None) -> List[np.ndarray]:
     """Synthesize B utterances sharing one reference voice in one pass.
 
     Returns per-request waveforms trimmed to their true lengths.
+
+    use_hifigan: render the B rows' GPT latents directly to waveform via
+    the HifiDecoder (one batched program; needs with_hifigan=True and
+    spk_mel16 from tts.speaker_mel_from_wav). Overrides use_diffusion.
     """
     cfg = tts.cfg
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -106,6 +112,28 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
                                n_b=n_b)
     hop = cfg.vocos.hop_length
     comp = cfg.vqvae.compression
+
+    if use_hifigan:
+        if tts.hifigan is None or "hifigan" not in tts.vars:
+            raise ValueError("use_hifigan needs TextToSpeech(with_hifigan=True)")
+        if spk_mel16 is None:
+            raise ValueError("use_hifigan needs spk_mel16 "
+                             "(tts.speaker_mel_from_wav of the ref clip)")
+        spk = (jnp.tile(spk_mel16, (b, 1, 1))
+               if spk_mel16.shape[0] == 1 else spk_mel16)
+        wav = np.asarray(tts._render_hifigan_jit(
+            tts.vars["gpt"], tts.vars["hifigan"], cond, jnp.asarray(texts),
+            jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
+            codes,
+            jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32), spk))
+        hc = cfg.hifigan
+        ratio = (hc.ar_mel_length_compression / hc.output_hop_length
+                 * hc.output_sample_rate / hc.input_sample_rate)
+        up = 1
+        for r in hc.upsample_rates:
+            up *= r
+        return [wav[i, :int(round(int(ns[i]) * ratio)) * up]
+                for i in range(b)]
 
     if not use_diffusion:
         wav, _ = tts._render_shortcut_jit(tts.vars["dvae"],
