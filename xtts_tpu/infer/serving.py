@@ -170,13 +170,17 @@ class BatchServer:
     def __init__(self, tts: TextToSpeech, cond_mel: jnp.ndarray,
                  settings: TTSSettings = TTSSettings(),
                  max_batch: int = 8, window_ms: float = 20.0,
-                 use_diffusion: bool = False):
+                 use_diffusion: bool = False,
+                 use_hifigan: bool = False,
+                 spk_mel16: Optional[jnp.ndarray] = None):
         self.tts = tts
         self.cond_mel = cond_mel
         self.settings = settings
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
         self.use_diffusion = use_diffusion
+        self.use_hifigan = use_hifigan
+        self.spk_mel16 = spk_mel16
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._seq = 0
@@ -226,6 +230,8 @@ class BatchServer:
                     self.tts, [SynthesisRequest(t) for t in tokens],
                     self.cond_mel, self.settings,
                     use_diffusion=self.use_diffusion,
+                    use_hifigan=self.use_hifigan,
+                    spk_mel16=self.spk_mel16,
                     key=jax.random.PRNGKey(self._seq))
                 for f, w in zip(futs, wavs):
                     f.set_result(w)
