@@ -296,3 +296,35 @@ def test_tts_stream_matches_sequential(tts):
                                  s, use_diffusion=False))
     assert len(chunks) == 2
     np.testing.assert_array_equal(np.concatenate(chunks), whole)
+
+
+def test_from_pretrained_npz_roundtrip(tts_hifigan, tmp_path):
+    """Save every model's variables as npz + the config json, reload via
+    from_pretrained, and get bitwise-identical trees (incl. hifigan and the
+    dvae<->vqvae stem alias)."""
+    import os
+    from xtts_tpu.utils.registry import save_npz
+    d = str(tmp_path)
+    tts_hifigan.cfg.to_json(os.path.join(d, "xtts_config.json"))
+    for stem, key in [("gpt", "gpt"), ("vqvae", "vqvae"),
+                      ("diffusion", "diffusion"), ("vocos", "vocos"),
+                      ("hifigan", "hifigan")]:
+        save_npz(os.path.join(d, stem + ".npz"),
+                 tts_hifigan.vars["dvae" if key == "vqvae" else key])
+    tts2 = TextToSpeech.from_pretrained(d, with_hifigan=True)
+    assert set(tts2.vars) == set(tts_hifigan.vars)
+    for key in tts_hifigan.vars:
+        a = jax.tree.leaves(tts_hifigan.vars[key])
+        b = jax.tree.leaves(tts2.vars[key])
+        assert len(a) == len(b), key
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_from_pretrained_missing_falls_back(tmp_path, caplog):
+    """Missing weight files keep random init and warn instead of raising."""
+    import logging
+    with caplog.at_level(logging.WARNING):
+        tts2 = TextToSpeech.from_pretrained(str(tmp_path), cfg=TINY)
+    assert "no weights" in caplog.text
+    assert "gpt" in tts2.vars       # random init present
