@@ -207,3 +207,45 @@ class TestPerceiverConditioning:
                             typical_mass=0.9, cache_dtype=jnp.float32)
         codes = np.asarray(r.codes)
         assert ((codes >= 0) & (codes < 34)).all()
+
+
+class TestCacheLadder:
+    """Segmented cache-capacity ladder (TPU-shaped KV-cache paging): growing
+    the cache through static rungs must be TOKEN-EXACT vs the monolithic
+    cache — excluded positions mask to exp(-1e9) == 0 exactly, so attention
+    sums are unchanged."""
+
+    def test_sampled_ladder_matches_monolithic(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond = jnp.asarray(rng.standard_normal((1, 20, 30)).astype(np.float32))
+        text = jnp.asarray(rng.integers(2, 15, (1, 5)).astype(np.int32))
+        base = generate_speech(model, variables, cond, text,
+                               jax.random.PRNGKey(7), max_gen=16,
+                               cache_dtype=jnp.float32)
+        lad = generate_speech(model, variables, cond, text,
+                              jax.random.PRNGKey(7), max_gen=16,
+                              cache_dtype=jnp.float32,
+                              cache_ladder=(4, 9))
+        np.testing.assert_array_equal(np.asarray(base.codes),
+                                      np.asarray(lad.codes))
+        np.testing.assert_array_equal(np.asarray(base.lengths),
+                                      np.asarray(lad.lengths))
+
+    def test_batched_greedy_ladder_matches(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond = jnp.asarray(rng.standard_normal((3, 20, 30)).astype(np.float32))
+        text = jnp.asarray(rng.integers(2, 15, (3, 5)).astype(np.int32))
+        base = generate_speech(model, variables, cond, text,
+                               jax.random.PRNGKey(0), max_gen=12,
+                               do_sample=False, cache_dtype=jnp.float32)
+        lad = generate_speech(model, variables, cond, text,
+                              jax.random.PRNGKey(0), max_gen=12,
+                              do_sample=False, cache_dtype=jnp.float32,
+                              cache_ladder=(3, 6, 100))  # >max_gen rung drops
+        np.testing.assert_array_equal(np.asarray(base.codes),
+                                      np.asarray(lad.codes))
+
+    def test_ladder_caps_normalization(self):
+        from xtts_tpu.models.gpt_infer import ladder_caps
+        assert ladder_caps(None, 10) == (10,)
+        assert ladder_caps((4, 4, 20, 0, 7), 10) == (4, 7, 10)

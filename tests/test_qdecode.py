@@ -216,3 +216,29 @@ class TestQuantizationQualityGate:
         np.testing.assert_allclose(np.asarray(t4["layers"][0]["qkv"]["scale"]),
                                    s4, rtol=1e-6)
         assert int(np.abs(np.asarray(t4["layers"][0]["qkv"]["w"])).max()) <= 7
+
+
+class TestCacheLadderQuantized:
+    def test_ladder_matches_monolithic(self, setup):
+        model, variables, qt, cond, text = setup
+        kw = dict(max_gen=12, top_p=0.8, temperature=0.8)
+        base = generate_speech_quantized(model, variables, qt, cond, text,
+                                         jax.random.PRNGKey(3), **kw)
+        lad = generate_speech_quantized(model, variables, qt, cond, text,
+                                        jax.random.PRNGKey(3),
+                                        cache_ladder=(4, 8), **kw)
+        np.testing.assert_array_equal(np.asarray(base.codes),
+                                      np.asarray(lad.codes))
+        np.testing.assert_array_equal(np.asarray(base.lengths),
+                                      np.asarray(lad.lengths))
+
+    def test_ladder_matches_with_quantized_kv(self, setup):
+        model, variables, qt, cond, text = setup
+        kw = dict(max_gen=10, do_sample=False, quantize_kv_cache=True)
+        base = generate_speech_quantized(model, variables, qt, cond, text,
+                                         jax.random.PRNGKey(1), **kw)
+        lad = generate_speech_quantized(model, variables, qt, cond, text,
+                                        jax.random.PRNGKey(1),
+                                        cache_ladder=(5,), **kw)
+        np.testing.assert_array_equal(np.asarray(base.codes),
+                                      np.asarray(lad.codes))

@@ -76,6 +76,13 @@ class TTSSettings:
     # the attention over the longer stop-padded tail can perturb the kept
     # region slightly. Diffusion-path B=1 only; ignored elsewhere.
     speculative_render: bool = False
+    # Segmented KV-cache capacity ladder, e.g. (64, 128, 256) — the decode
+    # runs against progressively larger caches so early steps read a much
+    # smaller K/V buffer (TPU-shaped "KV-cache paging", BASELINE config #5;
+    # token-exact, see gpt_infer.generate_speech). Pays off when cache
+    # reads dominate — large-B serving; None = monolithic cache. Ignored by
+    # the fused B=1 engine.
+    cache_ladder: Optional[tuple] = None
 
     @classmethod
     def preset(cls, name: str) -> "TTSSettings":
@@ -140,7 +147,8 @@ class TextToSpeech:
         """AR generation via the active decode engine."""
         kw = dict(max_gen=settings.max_mel_tokens, top_p=settings.top_p,
                   temperature=settings.temperature,
-                  repetition_penalty=settings.repetition_penalty)
+                  repetition_penalty=settings.repetition_penalty,
+                  cache_ladder=settings.cache_ladder)
         if self._qtree is not None:
             from xtts_tpu.infer.qdecode import generate_speech_quantized
             # B=1 on TPU runs each token as one fused pallas_call

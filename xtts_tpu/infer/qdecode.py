@@ -367,11 +367,22 @@ def quantization_quality_gate(model: UnifiedVoice, variables, cond_mel,
 # generation loop
 # ---------------------------------------------------------------------------
 
+def _grow_cache_axis2(cache, new_s: int):
+    """Zero-extend every cache array along the position axis (axis 2).
+    Padded positions dequantize/attend to exact zeros and are masked by
+    `pos <= index`, so growth is numerics-neutral."""
+    def grow(a):
+        pad = [(0, 0)] * a.ndim
+        pad[2] = (0, new_s - a.shape[2])
+        return jnp.pad(a, pad)
+    return type(cache)(*(grow(a) for a in cache))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_gen", "do_sample", "top_p", "temperature",
                      "repetition_penalty", "cache_dtype",
-                     "quantize_kv_cache", "use_fused"),
+                     "quantize_kv_cache", "use_fused", "cache_ladder"),
 )
 def generate_speech_quantized(
     model: UnifiedVoice,
@@ -388,6 +399,7 @@ def generate_speech_quantized(
     cache_dtype=jnp.bfloat16,
     quantize_kv_cache: bool = False,
     use_fused: bool = False,
+    cache_ladder: Optional[tuple] = None,
 ) -> GenerateResult:
     """generate_speech with the int8 per-token engine. Prefill (one big
     compute-bound pass) stays bf16-flax; the while_loop uses qtree.
@@ -398,7 +410,11 @@ def generate_speech_quantized(
     memory-bound regimes / a future Pallas fused-dequant attention kernel.
     use_fused (B=1 only): run each token as ONE pallas_call — the fused
     single-launch decode kernel (ops/decode_step.py), measured 1.11-1.16x
-    over the XLA step chain at the flagship shape."""
+    over the XLA step chain at the flagship shape.
+    cache_ladder: segmented cache-capacity ladder (see
+    gpt_infer.generate_speech) — the TPU equivalent of KV-cache paging for
+    the serving regime where cache reads dominate the step. Ignored on the
+    fused B=1 path (its cache layout is DMA-aligned and weight-bound)."""
     cfg = model.cfg
     stop = cfg.stop_mel_token
     vocab = cfg.number_mel_codes
@@ -407,9 +423,11 @@ def generate_speech_quantized(
     prefix, n_cond = model.apply(variables, cond_mel, text_tokens,
                                  method=model.encode_prefix)
     b, p_len, _ = prefix.shape
-    s_max = p_len + max_gen
     fused = (use_fused and b == 1 and not quantize_kv_cache
              and cache_dtype == jnp.bfloat16)
+    from xtts_tpu.models.gpt_infer import ladder_caps
+    caps = (max_gen,) if fused else ladder_caps(cache_ladder, max_gen)
+    s_max = p_len + caps[0]
     # (cache_dtype != bf16 falls back to the XLA chain: the fused kernel's
     # cache buffers are bf16, so honoring an f32 cache request there would
     # silently change the precision the caller asked for)
@@ -449,10 +467,6 @@ def generate_speech_quantized(
     done0 = jnp.zeros((b,), bool)
     lengths0 = jnp.zeros((b,), jnp.int32)
 
-    def cond_fn(st):
-        step, _, _, done, *_ = st
-        return (step < max_gen) & ~jnp.all(done)
-
     def body_fn(st):
         step, logits, cache, done, seen, codes, lengths, k = st
         k, sub = jax.random.split(k)
@@ -487,6 +501,16 @@ def generate_speech_quantized(
 
     state = (jnp.int32(0), logits0.astype(jnp.float32), cache, done0, seen0,
              codes0, lengths0, key)
-    step, _, _, done, _, codes, lengths, _ = jax.lax.while_loop(
-        cond_fn, body_fn, state)
+    for i, cap in enumerate(caps):
+        if i:  # grow the cache into the next rung (zero-pad is exact)
+            st = list(state)
+            st[2] = _grow_cache_axis2(st[2], p_len + cap)
+            state = tuple(st)
+
+        def seg_cond(st, _cap=cap):
+            step, _, _, done, *_ = st
+            return (step < _cap) & ~jnp.all(done)
+
+        state = jax.lax.while_loop(seg_cond, body_fn, state)
+    step, _, _, done, _, codes, lengths, _ = state
     return GenerateResult(codes, lengths, step)

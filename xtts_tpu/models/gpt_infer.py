@@ -32,10 +32,19 @@ class GenerateResult(NamedTuple):
     steps: jnp.ndarray     # scalar int32 — decode iterations executed
 
 
+def ladder_caps(cache_ladder, max_gen: int):
+    """Normalize a cache-capacity ladder: sorted unique breakpoints below
+    max_gen, always ending at max_gen. None/() -> single monolithic cache."""
+    caps = tuple(sorted({int(c) for c in (cache_ladder or ())
+                         if 0 < int(c) < max_gen}))
+    return caps + (max_gen,)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "max_gen", "do_sample", "top_p", "temperature",
-                     "repetition_penalty", "typical_mass", "cache_dtype"),
+                     "repetition_penalty", "typical_mass", "cache_dtype",
+                     "cache_ladder"),
 )
 def generate_speech(
     model: UnifiedVoice,
@@ -50,7 +59,18 @@ def generate_speech(
     repetition_penalty: float = 2.0,
     typical_mass: Optional[float] = None,
     cache_dtype=jnp.bfloat16,
+    cache_ladder: Optional[tuple] = None,
 ) -> GenerateResult:
+    """cache_ladder: optional generation-capacity breakpoints, e.g.
+    (64, 128, 256). The decode then runs as SEGMENTED while_loops in one
+    program, each against a cache of capacity prefix+cap — the TPU-shaped
+    equivalent of paged KV caches (BASELINE config #5 "KV-cache paging"):
+    instead of page tables + gathers (dynamic shapes XLA cannot tile), the
+    cache grows through a static ladder, so early decode steps read a much
+    smaller K/V buffer. Token-exact vs the monolithic cache: excluded
+    positions are masked to exp(-1e9) == 0 exactly, so attention sums are
+    unchanged (tests/test_gpt.py). Pays off when cache reads dominate the
+    step (large B serving); costs one extra compile + copy per rung."""
     cfg = model.cfg
     stop = cfg.stop_mel_token
     vocab = cfg.number_mel_codes
@@ -58,9 +78,10 @@ def generate_speech(
     prefix, n_cond = model.apply(variables, cond_mel, text_tokens,
                                  method=model.encode_prefix)
     b, p_len, _ = prefix.shape
-    s_max = p_len + max_gen
-    cache = KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
-                          cfg.model_dim // cfg.heads, dtype=cache_dtype)
+    caps = ladder_caps(cache_ladder, max_gen)
+    hd = cfg.model_dim // cfg.heads
+    cache = KVCache.zeros(cfg.layers, b, p_len + caps[0], cfg.heads, hd,
+                          dtype=cache_dtype)
     logits0, cache = model.apply(variables, prefix, cache, method=model.prefill)
 
     # ids HF's repetition penalty has already seen: the fake input id 1 and
@@ -71,10 +92,6 @@ def generate_speech(
     codes0 = jnp.full((b, max_gen), stop, jnp.int32)
     done0 = jnp.zeros((b,), bool)
     lengths0 = jnp.zeros((b,), jnp.int32)
-
-    def cond_fn(st):
-        step, _, _, done, *_ = st
-        return (step < max_gen) & ~jnp.all(done)
 
     def body_fn(st):
         step, logits, cache, done, seen, codes, lengths, k = st
@@ -101,6 +118,21 @@ def generate_speech(
         return (step + 1, logits, cache, now_done, seen, codes, lengths, k)
 
     state = (jnp.int32(0), logits0, cache, done0, seen0, codes0, lengths0, key)
-    step, _, _, done, _, codes, lengths, _ = jax.lax.while_loop(
-        cond_fn, body_fn, state)
+    for i, cap in enumerate(caps):
+        if i:  # grow the cache into the next rung (prefix copy is exact)
+            st = list(state)
+            old = st[2]
+            bigger = KVCache.zeros(cfg.layers, b, p_len + cap, cfg.heads, hd,
+                                   dtype=cache_dtype)
+            st[2] = KVCache(
+                jax.lax.dynamic_update_slice(bigger.k, old.k, (0,) * 5),
+                jax.lax.dynamic_update_slice(bigger.v, old.v, (0,) * 5))
+            state = tuple(st)
+
+        def cond_fn(st, _cap=cap):
+            step, _, _, done, *_ = st
+            return (step < _cap) & ~jnp.all(done)
+
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+    step, _, _, done, _, codes, lengths, _ = state
     return GenerateResult(codes, lengths, step)
