@@ -162,3 +162,56 @@ def test_synthesize_batch_hifigan():
     with pytest.raises(ValueError):
         synthesize_batch(tts_h, reqs, cond, TTSSettings(max_mel_tokens=8),
                          use_hifigan=True)   # no spk_mel16
+
+
+def test_per_request_voices(tts, cond_mel):
+    """Multi-tenant batch: each row speaks with its request's voice; rows
+    match near-greedy single-request runs with the same cond."""
+    rng = np.random.default_rng(9)
+    cond2 = jnp.asarray(
+        rng.standard_normal(cond_mel.shape).astype(np.float32))
+    tok = np.array([1, 3, 4, 2], np.int32)
+    s = TTSSettings(max_mel_tokens=8, temperature=1e-4)
+    wavs = synthesize_batch(
+        tts, [SynthesisRequest(tok, cond_mel=cond_mel),
+              SynthesisRequest(tok, cond_mel=cond2)],
+        cond_mel, s, use_diffusion=False, key=jax.random.PRNGKey(3))
+    solo2 = synthesize_batch(
+        tts, [SynthesisRequest(tok), SynthesisRequest(tok)], cond2, s,
+        use_diffusion=False, key=jax.random.PRNGKey(3))
+    # row 1 used cond2 -> equals the all-cond2 batch's row 1
+    np.testing.assert_allclose(wavs[1], solo2[1], atol=1e-5)
+    # different voices -> different codes (near-greedy, same text)
+    assert wavs[0].shape != wavs[1].shape or \
+        not np.allclose(wavs[0], wavs[1])
+
+
+def test_per_request_voice_shape_mismatch_raises(tts, cond_mel):
+    tok = np.array([1, 3, 2], np.int32)
+    bad = jnp.zeros((1, MEL_BINS, 17))
+    with pytest.raises(ValueError):
+        synthesize_batch(tts, [SynthesisRequest(tok, cond_mel=cond_mel),
+                               SynthesisRequest(tok, cond_mel=bad)],
+                         cond_mel, TTSSettings(max_mel_tokens=4),
+                         use_diffusion=False)
+
+
+def test_cond_mel_bucketed_shared_length(tts):
+    rng = np.random.default_rng(11)
+    a = tts.cond_mel_bucketed(rng.standard_normal(20000).astype(np.float32))
+    b = tts.cond_mel_bucketed(rng.standard_normal(50000).astype(np.float32))
+    # both clips are < 3 s @ 24 kHz, so both pad to the 72000-sample bucket
+    assert a.shape == b.shape
+
+
+def test_batch_server_per_request_voice(tts, cond_mel):
+    rng = np.random.default_rng(12)
+    cond2 = jnp.asarray(
+        rng.standard_normal(cond_mel.shape).astype(np.float32))
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6),
+                      max_batch=2)
+    f1 = srv.submit(np.array([1, 3, 2], np.int32))
+    f2 = srv.submit(np.array([1, 4, 2], np.int32), cond_mel=cond2)
+    w1, w2 = f1.result(timeout=600), f2.result(timeout=600)
+    srv.close()
+    assert np.isfinite(w1).all() and np.isfinite(w2).all()

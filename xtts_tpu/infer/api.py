@@ -250,6 +250,22 @@ class TextToSpeech:
         """Reference audio (T,) or (1, T) float -> conditioning mel."""
         return self.mel(wav)
 
+    def cond_mel_bucketed(self, wav: np.ndarray,
+                          bucket_seconds=(3.0, 6.0, 10.0)) -> jnp.ndarray:
+        """Reference clip -> conditioning mel at a shared length bucket:
+        the clip is zero-padded up to the next bucket (or head-cropped to
+        the last one), so per-request voices in one serving batch stack on
+        a common T (SynthesisRequest.cond_mel). The reference pads/crops
+        cond clips to one fixed length the same way (ttts/api.py:68-79
+        format_conditioning)."""
+        sr = self.cfg.mel.sample_rate
+        w = np.asarray(wav, np.float32).reshape(-1)
+        for s in bucket_seconds:
+            n = int(s * sr)
+            if len(w) <= n:
+                return self.mel(np.pad(w, (0, n - len(w))))
+        return self.mel(w[:int(bucket_seconds[-1] * sr)])
+
     def cond_mels_from_wavs(self, wavs) -> jnp.ndarray:
         """Multiple reference clips -> stacked conditioning mels
         (1, n_clips, mel, T).

@@ -38,6 +38,12 @@ from xtts_tpu.infer.api import TTSSettings, TextToSpeech, bucket_len
 class SynthesisRequest:
     text_tokens: np.ndarray          # (T,) int32, framed [start..stop]
     key: Optional[jax.Array] = None
+    # per-request voice: (1, mel, T) conditioning mel. All requests in a
+    # batch must share T — build with TextToSpeech.cond_mel_bucketed so
+    # reference clips land on a common length bucket (the reference pads/
+    # crops cond clips to one fixed length too, ttts/api.py:68-79).
+    # None -> the batch-level cond_mel.
+    cond_mel: Optional[jnp.ndarray] = None
 
 
 def _pad_texts(texts: Sequence[np.ndarray], stop_token: int,
@@ -71,8 +77,19 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     texts = _pad_texts([r.text_tokens for r in requests],
                        cfg.gpt.stop_text_token, text_buckets)
     b = texts.shape[0]
-    reps = (b,) + (1,) * (cond_mel.ndim - 1)
-    cond = jnp.tile(cond_mel, reps) if cond_mel.shape[0] == 1 else cond_mel
+    if any(r.cond_mel is not None for r in requests):
+        # multi-tenant batch: each row speaks with its request's voice
+        per = [r.cond_mel if r.cond_mel is not None else cond_mel
+               for r in requests]
+        shapes = {tuple(c.shape) for c in per}
+        if len(shapes) != 1 or per[0].ndim != 3:
+            raise ValueError(
+                "per-request cond_mels must all be (1, mel, T) with one "
+                f"shared T (use cond_mel_bucketed); got {sorted(shapes)}")
+        cond = jnp.concatenate(per, axis=0)
+    else:
+        reps = (b,) + (1,) * (cond_mel.ndim - 1)
+        cond = jnp.tile(cond_mel, reps) if cond_mel.shape[0] == 1 else cond_mel
 
     k_cand = settings.num_candidates
     if k_cand > 1:
@@ -187,11 +204,15 @@ class BatchServer:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, text_tokens: np.ndarray) -> "Future[np.ndarray]":
+    def submit(self, text_tokens: np.ndarray,
+               cond_mel: Optional[jnp.ndarray] = None) -> "Future[np.ndarray]":
+        """cond_mel: optional per-request voice ((1, mel, T), shared T
+        across a batch — see SynthesisRequest.cond_mel); None uses the
+        server's default voice."""
         if self._stop.is_set():
             raise RuntimeError("BatchServer is closed")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((np.asarray(text_tokens, np.int32), fut))
+        self._q.put((np.asarray(text_tokens, np.int32), cond_mel, fut))
         return fut
 
     def close(self):
@@ -222,12 +243,12 @@ class BatchServer:
             batch = self._collect()
             if not batch:
                 continue
-            tokens = [t for t, _ in batch]
-            futs = [f for _, f in batch]
+            reqs = [SynthesisRequest(t, cond_mel=c) for t, c, _ in batch]
+            futs = [f for _, _, f in batch]
             self._seq += 1
             try:
                 wavs = synthesize_batch(
-                    self.tts, [SynthesisRequest(t) for t in tokens],
+                    self.tts, reqs,
                     self.cond_mel, self.settings,
                     use_diffusion=self.use_diffusion,
                     use_hifigan=self.use_hifigan,
