@@ -30,6 +30,9 @@ Knobs (env):
                     diffusion/vocos; e2e RTF)
   BENCH_RERANK_K    serving CLVP candidates per utterance (default 2;
                     1 = rerank off)
+  BENCH_CACHE_LADDER  comma-separated cache-capacity rungs for the serving
+                    AR decode (e.g. "128,256"); empty/unset = monolithic
+                    cache (see TTSSettings.cache_ladder)
 """
 import json
 import os
@@ -190,9 +193,12 @@ def main():
             tts.vars["clvp"] = jax.jit(tts.clvp.init)(
                 jax.random.PRNGKey(5), jnp.zeros((1, 8), jnp.int32),
                 jnp.zeros((1, 8), jnp.int32))
+        lad = os.environ.get("BENCH_CACHE_LADDER", "")
+        ladder = tuple(int(x) for x in lad.split(",") if x) or None
         quality = TTSSettings(max_mel_tokens=max_gen,
                               diffusion_steps=diff_steps,
-                              num_candidates=k_cand)
+                              num_candidates=k_cand,
+                              cache_ladder=ladder)
 
         def run_srv(key, use_diffusion, s):
             wavs = synthesize_batch(tts, reqs, cond_mel, s,
@@ -207,7 +213,9 @@ def main():
                 audio += run_srv(jax.random.PRNGKey(i), use_diffusion, s)
             return audio / (time.perf_counter() - t0)
 
-        thr_shortcut = throughput(False, settings)
+        import dataclasses
+        thr_shortcut = throughput(
+            False, dataclasses.replace(settings, cache_ladder=ladder))
         thr_full = throughput(True, quality)
         print(json.dumps({
             "metric": "serving_full_quality_audio_s_per_s_per_chip",

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--hifigan", action="store_true",
                     help="HifiDecoder latent->wav render (XTTS-v2 style; "
                          "skips diffusion+vocos)")
+    ap.add_argument("--stream", action="store_true",
+                    help="stream per-sentence chunks (prints time-to-first-"
+                         "audio); output wav is identical to the "
+                         "non-batched path")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -66,9 +70,23 @@ def main():
     refs = [load_wav(p, tts.cfg.mel.sample_rate)[0] for p in args.ref_wav]
     ref = refs[0] if len(refs) == 1 else refs
     t0 = time.perf_counter()
-    wav = tts.tts(args.text, ref, jax.random.PRNGKey(args.seed), settings,
-                  lang=args.lang, use_diffusion=not args.shortcut,
-                  use_hifigan=args.hifigan)
+    if args.stream:
+        chunks = []
+        for i, w in enumerate(tts.tts_stream(
+                args.text, ref, jax.random.PRNGKey(args.seed), settings,
+                lang=args.lang, use_diffusion=not args.shortcut,
+                use_hifigan=args.hifigan)):
+            if i == 0:
+                print(f"time-to-first-audio: "
+                      f"{time.perf_counter() - t0:.2f}s")
+            chunks.append(w)
+        wav = (np.concatenate(chunks) if chunks
+               else np.zeros(0, np.float32))
+    else:
+        wav = tts.tts(args.text, ref, jax.random.PRNGKey(args.seed),
+                      settings, lang=args.lang,
+                      use_diffusion=not args.shortcut,
+                      use_hifigan=args.hifigan)
     dt = time.perf_counter() - t0
     dur = wav.size / tts.cfg.mel.sample_rate
     save_wav(args.out, wav, tts.cfg.mel.sample_rate)
