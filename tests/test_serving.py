@@ -215,3 +215,29 @@ def test_batch_server_per_request_voice(tts, cond_mel):
     w1, w2 = f1.result(timeout=600), f2.result(timeout=600)
     srv.close()
     assert np.isfinite(w1).all() and np.isfinite(w2).all()
+
+
+def test_mesh_sharded_serving_matches(tts, cond_mel):
+    """place_on_mesh + synthesize_batch shards rows over the 'data' axis;
+    results equal the unsharded run token-for-token, including dummy-row
+    padding when B is not a mesh multiple (B=3 pads to 4)."""
+    from jax.sharding import Mesh
+    reqs = [SynthesisRequest(np.array([1, 3, 4, 2], np.int32)),
+            SynthesisRequest(np.array([1, 5, 2], np.int32)),
+            SynthesisRequest(np.array([1, 6, 7, 2], np.int32))]
+    # near-greedy: the dummy-row padding changes the program's batch size,
+    # and batched categorical draws are batch-size-dependent; argmax isn't
+    s = TTSSettings(max_mel_tokens=8, temperature=1e-4)
+    base = synthesize_batch(tts, reqs, cond_mel, s, use_diffusion=False,
+                            key=jax.random.PRNGKey(4))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    tts.place_on_mesh(mesh)
+    try:
+        sharded = synthesize_batch(tts, reqs, cond_mel, s,
+                                   use_diffusion=False,
+                                   key=jax.random.PRNGKey(4))
+    finally:
+        tts.mesh = None           # module-scoped fixture: restore
+    assert len(sharded) == 3
+    for a, b in zip(base, sharded):
+        np.testing.assert_allclose(a, b, atol=1e-5)

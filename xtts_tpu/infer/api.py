@@ -135,6 +135,7 @@ class TextToSpeech:
         if not self.vars:
             self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
         self.quantized_decode = quantized_decode
+        self.mesh = None            # set by place_on_mesh
         self._qtree = None
         if quantized_decode:
             from xtts_tpu.infer.qdecode import quantize_gpt_decode
@@ -280,6 +281,27 @@ class TextToSpeech:
         n = max(a.shape[0] for a in arrs)
         mels = [self.mel(np.pad(a, (0, n - a.shape[0]))) for a in arrs]
         return jnp.stack(mels, axis=1)          # (1, n_clips, mel, T)
+
+    def place_on_mesh(self, mesh) -> None:
+        """Replicate all model variables (and the int8 qtree) over a
+        `jax.sharding.Mesh` with a 'data' axis, enabling multi-chip
+        data-sharded serving: synthesize_batch then shards the request
+        rows over the mesh and GSPMD partitions the AR while_loop + render
+        programs (sharded == replicated token-for-token,
+        tests/test_sampling_sharded.py). Call once after weights load."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), t)
+        self.vars = {k: put(v) for k, v in self.vars.items()}
+        if self._qtree is not None:
+            fused = self._qtree.pop("fused", None)
+            self._qtree = put(self._qtree)
+            if fused is not None:
+                # the fused stack is the B=1 single-chip kernel; keep it
+                # off-mesh (serving batches never use it)
+                self._qtree["fused"] = fused
+        self.mesh = mesh
 
     def speaker_mel_from_wav(self, wav: np.ndarray) -> jnp.ndarray:
         """Reference clip at cfg.mel.sample_rate -> (1, T, 64) 16 kHz

@@ -70,9 +70,21 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     use_hifigan: render the B rows' GPT latents directly to waveform via
     the HifiDecoder (one batched program; needs with_hifigan=True and
     spk_mel16 from tts.speaker_mel_from_wav). Overrides use_diffusion.
+
+    Multi-chip: after tts.place_on_mesh(mesh), the request rows are padded
+    to a multiple of the mesh's 'data' size, sharded over it, and GSPMD
+    partitions every program (AR while_loop included) — throughput scales
+    with chips at identical tokens (tests/test_serving.py sharded test).
     """
     cfg = tts.cfg
     key = key if key is not None else jax.random.PRNGKey(0)
+    n_real = len(requests)
+    mesh = getattr(tts, "mesh", None)
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        pad = (-n_real) % n_data
+        # dummy rows reuse request 0 (outputs dropped below)
+        requests = list(requests) + [requests[0]] * pad
     text_buckets = (16, 32, 64, 128, 256, cfg.gpt.max_text_tokens)
     texts = _pad_texts([r.text_tokens for r in requests],
                        cfg.gpt.stop_text_token, text_buckets)
@@ -90,6 +102,13 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     else:
         reps = (b,) + (1,) * (cond_mel.ndim - 1)
         cond = jnp.tile(cond_mel, reps) if cond_mel.shape[0] == 1 else cond_mel
+
+    texts = jnp.asarray(texts)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P("data"))
+        texts = jax.device_put(texts, shard)
+        cond = jax.device_put(cond, shard)
 
     k_cand = settings.num_candidates
     if k_cand > 1:
@@ -150,7 +169,7 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
         for r in hc.upsample_rates:
             up *= r
         return [wav[i, :int(round(int(ns[i]) * ratio)) * up]
-                for i in range(b)]
+                for i in range(n_real)]
 
     if not use_diffusion:
         wav, _ = tts._render_shortcut_jit(tts.vars["dvae"],
@@ -173,7 +192,7 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
             steps=settings.diffusion_steps, sampler=settings.sampler,
             cond_free_k=settings.cond_free_k))
 
-    return [wav[i, :int(ns[i]) * comp * hop] for i in range(b)]
+    return [wav[i, :int(ns[i]) * comp * hop] for i in range(n_real)]
 
 
 class BatchServer:

@@ -232,7 +232,6 @@ def build_eval_render(model: str, cfg: XTTSConfig, args, ctx):
 def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
     """GAN loop: HifiDecoder generator vs MPD+MSD (ttts/hifigan/train_ms.py),
     latents from frozen GPT+DVAE each step."""
-    from xtts_tpu.core.config import MelConfig
     from xtts_tpu.core.logging import MetricLogger, StepTimer
     from xtts_tpu.data.datasets import (HifiGANDataset, batch_iterator,
                                         collate_bucketed, read_filelist)
@@ -243,10 +242,11 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
 
     import jax.numpy as jnp
 
+    from xtts_tpu.dsp.mel import SPEAKER_ENCODER_MEL_CONFIG
     mel_fn = MelFrontend(cfg.mel)
-    mel16_fn = MelFrontend(MelConfig(
-        sample_rate=16000, n_mels=64, n_fft=512, win_length=400,
-        hop_length=160))
+    # the HiFi-GAN speaker encoder's 16 kHz 64-bin log-mel
+    # (hifigan_vocoder.py:671-678) — same constant the inference API uses
+    mel16_fn = MelFrontend(SPEAKER_ENCODER_MEL_CONFIG)
     dataset = HifiGANDataset(read_filelist(args.filelist), tok, mel_fn,
                              mel16_fn, sample_rate=cfg.mel.sample_rate,
                              seed=cfg.train.seed)
