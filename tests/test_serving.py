@@ -241,3 +241,38 @@ def test_mesh_sharded_serving_matches(tts, cond_mel):
     assert len(sharded) == 3
     for a, b in zip(base, sharded):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_per_request_speaker_mels_hifigan():
+    """Per-request spk_mel16 gives each row its own speaker d-vector in the
+    hifigan render (review finding: it used to be silently shared)."""
+    from test_api_e2e import TINY_HIFIGAN
+    tts_h = TextToSpeech(TINY.replace(hifigan=TINY_HIFIGAN),
+                         rng=jax.random.PRNGKey(11), with_hifigan=True)
+    rng = np.random.default_rng(6)
+    cond = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    spk_a = jnp.asarray(rng.standard_normal((1, 24, 64)).astype(np.float32))
+    spk_b = jnp.asarray(5 * rng.standard_normal((1, 24, 64)).astype(np.float32))
+    tok = np.array([1, 3, 4, 2], np.int32)
+    s = TTSSettings(max_mel_tokens=8, temperature=1e-4)
+    both_a = synthesize_batch(
+        tts_h, [SynthesisRequest(tok), SynthesisRequest(tok)], cond, s,
+        use_hifigan=True, spk_mel16=spk_a, key=jax.random.PRNGKey(2))
+    mixed = synthesize_batch(
+        tts_h, [SynthesisRequest(tok), SynthesisRequest(tok, spk_mel16=spk_b)],
+        cond, s, use_hifigan=True, spk_mel16=spk_a, key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(mixed[0], both_a[0], atol=1e-5)  # row 0: spk_a
+    assert not np.allclose(mixed[1], both_a[1])                 # row 1: spk_b
+
+
+def test_batch_server_groups_mismatched_cond_shapes(tts, cond_mel):
+    """A tenant with a different cond shape must not fail its co-batched
+    neighbors: the server groups by shape and runs separate programs."""
+    other = jnp.zeros((1, MEL_BINS, cond_mel.shape[2] + 9))
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6),
+                      max_batch=4, window_ms=300.0)
+    f1 = srv.submit(np.array([1, 3, 2], np.int32))
+    f2 = srv.submit(np.array([1, 4, 2], np.int32), cond_mel=other)
+    w1, w2 = f1.result(timeout=600), f2.result(timeout=600)
+    srv.close()
+    assert np.isfinite(w1).all() and np.isfinite(w2).all()

@@ -146,10 +146,12 @@ class TextToSpeech:
 
     def _generate(self, cond, text, key, settings: "TTSSettings"):
         """AR generation via the active decode engine."""
+        ladder = (tuple(settings.cache_ladder) if settings.cache_ladder
+                  else None)   # lists would break jit's static-arg hashing
         kw = dict(max_gen=settings.max_mel_tokens, top_p=settings.top_p,
                   temperature=settings.temperature,
                   repetition_penalty=settings.repetition_penalty,
-                  cache_ladder=settings.cache_ladder)
+                  cache_ladder=ladder)
         if self._qtree is not None:
             from xtts_tpu.infer.qdecode import generate_speech_quantized
             # B=1 on TPU runs each token as one fused pallas_call
@@ -290,6 +292,9 @@ class TextToSpeech:
         programs (sharded == replicated token-for-token,
         tests/test_sampling_sharded.py). Call once after weights load."""
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if "data" not in mesh.axis_names:
+            raise ValueError(
+                f"place_on_mesh needs a 'data' axis; got {mesh.axis_names}")
         rep = NamedSharding(mesh, P())
         put = lambda t: jax.tree_util.tree_map(
             lambda x: jax.device_put(x, rep), t)
@@ -303,18 +308,30 @@ class TextToSpeech:
                 self._qtree["fused"] = fused
         self.mesh = mesh
 
-    def speaker_mel_from_wav(self, wav: np.ndarray) -> jnp.ndarray:
+    def speaker_mel_from_wav(self, wav: np.ndarray,
+                             bucket_seconds=(3.0, 6.0, 10.0)) -> jnp.ndarray:
         """Reference clip at cfg.mel.sample_rate -> (1, T, 64) 16 kHz
         log-mel for the HiFi-GAN speaker encoder (the reference resamples
         24k->16k before its torch-spec mel, ttts/hifigan/train_ms.py:110-117
-        + hifigan_vocoder.py:671-678)."""
+        + hifigan_vocoder.py:671-678). The clip is zero-padded to a length
+        bucket (cropped past the last) so T snaps to a small ladder —
+        device-facing lengths must be bucketed to bound compile counts
+        (CLAUDE.md), and per-request speaker mels in one serving batch
+        must share T."""
         from xtts_tpu.data.audio import resample
         from xtts_tpu.dsp.mel import SPEAKER_ENCODER_MEL_CONFIG
         if self._spk_mel_frontend is None:
             self._spk_mel_frontend = MelFrontend(SPEAKER_ENCODER_MEL_CONFIG)
         w = np.asarray(wav, np.float32).reshape(-1)
-        w16 = resample(w, self.cfg.mel.sample_rate,
-                       SPEAKER_ENCODER_MEL_CONFIG.sample_rate)
+        sr16 = SPEAKER_ENCODER_MEL_CONFIG.sample_rate
+        w16 = resample(w, self.cfg.mel.sample_rate, sr16)
+        for s in bucket_seconds:
+            n = int(s * sr16)
+            if len(w16) <= n:
+                w16 = np.pad(w16, (0, n - len(w16)))
+                break
+        else:
+            w16 = w16[:int(bucket_seconds[-1] * sr16)]
         return jnp.swapaxes(self._spk_mel_frontend(w16), 1, 2)
 
     # jitted model entry points (eager flax apply dispatches per-op — ~100x
@@ -585,16 +602,11 @@ class TextToSpeech:
                 self.vars["gpt"], self.vars["hifigan"], cond_mel,
                 text_tokens, jnp.array([text_tokens.shape[-1]]), codes,
                 lens_dev * self.cfg.gpt.mel_length_compression, spk_mel16)
-            # samples per latent differ from the vocos path: n latents ->
-            # round(n * 1024/256 * out_sr/in_sr) frames x prod(upsample_rates)
-            # samples (models/hifigan.py __call__)
-            hc = self.cfg.hifigan
-            ratio = (hc.ar_mel_length_compression / hc.output_hop_length
-                     * hc.output_sample_rate / hc.input_sample_rate)
-            up = 1
-            for r in hc.upsample_rates:
-                up *= r
-            return finish({}, wav, trim=lambda n: int(round(n * ratio)) * up)
+            # samples per latent differ from the vocos path
+            # (models/hifigan.py length contract)
+            from xtts_tpu.models.hifigan import hifigan_samples
+            return finish({}, wav,
+                          trim=lambda n: hifigan_samples(self.cfg.hifigan, n))
 
         if not use_diffusion:
             wav, mel_rec = self._render_shortcut_jit(self.vars["dvae"],

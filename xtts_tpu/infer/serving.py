@@ -44,6 +44,10 @@ class SynthesisRequest:
     # crops cond clips to one fixed length too, ttts/api.py:68-79).
     # None -> the batch-level cond_mel.
     cond_mel: Optional[jnp.ndarray] = None
+    # per-request speaker d-vector mel for the hifigan renderer
+    # ((1, T16, 64) from speaker_mel_from_wav; all requests in a batch must
+    # share the shape). None -> the batch-level spk_mel16.
+    spk_mel16: Optional[jnp.ndarray] = None
 
 
 def _pad_texts(texts: Sequence[np.ndarray], stop_token: int,
@@ -79,9 +83,11 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     cfg = tts.cfg
     key = key if key is not None else jax.random.PRNGKey(0)
     n_real = len(requests)
+    if n_real == 0:
+        return []
     mesh = getattr(tts, "mesh", None)
     if mesh is not None:
-        n_data = mesh.shape.get("data", 1)
+        n_data = mesh.shape["data"]     # place_on_mesh guarantees the axis
         pad = (-n_real) % n_data
         # dummy rows reuse request 0 (outputs dropped below)
         requests = list(requests) + [requests[0]] * pad
@@ -155,20 +161,25 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
         if spk_mel16 is None:
             raise ValueError("use_hifigan needs spk_mel16 "
                              "(tts.speaker_mel_from_wav of the ref clip)")
-        spk = (jnp.tile(spk_mel16, (b, 1, 1))
-               if spk_mel16.shape[0] == 1 else spk_mel16)
+        if any(r.spk_mel16 is not None for r in requests):
+            per = [r.spk_mel16 if r.spk_mel16 is not None else spk_mel16
+                   for r in requests]
+            shapes = {tuple(s.shape) for s in per}
+            if len(shapes) != 1:
+                raise ValueError(
+                    "per-request spk_mel16s must share one shape (use "
+                    f"speaker_mel_from_wav, bucketed); got {sorted(shapes)}")
+            spk = jnp.concatenate(per, axis=0)
+        else:
+            spk = (jnp.tile(spk_mel16, (b, 1, 1))
+                   if spk_mel16.shape[0] == 1 else spk_mel16)
         wav = np.asarray(tts._render_hifigan_jit(
             tts.vars["gpt"], tts.vars["hifigan"], cond, jnp.asarray(texts),
             jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
             codes,
             jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32), spk))
-        hc = cfg.hifigan
-        ratio = (hc.ar_mel_length_compression / hc.output_hop_length
-                 * hc.output_sample_rate / hc.input_sample_rate)
-        up = 1
-        for r in hc.upsample_rates:
-            up *= r
-        return [wav[i, :int(round(int(ns[i]) * ratio)) * up]
+        from xtts_tpu.models.hifigan import hifigan_samples
+        return [wav[i, :hifigan_samples(cfg.hifigan, int(ns[i]))]
                 for i in range(n_real)]
 
     if not use_diffusion:
@@ -224,14 +235,20 @@ class BatchServer:
         self._thread.start()
 
     def submit(self, text_tokens: np.ndarray,
-               cond_mel: Optional[jnp.ndarray] = None) -> "Future[np.ndarray]":
+               cond_mel: Optional[jnp.ndarray] = None,
+               spk_mel16: Optional[jnp.ndarray] = None
+               ) -> "Future[np.ndarray]":
         """cond_mel: optional per-request voice ((1, mel, T), shared T
         across a batch — see SynthesisRequest.cond_mel); None uses the
-        server's default voice."""
+        server's default voice. spk_mel16: per-request speaker mel for the
+        hifigan renderer. Requests with different cond/spk shapes are
+        grouped into separate device programs, so a mismatched tenant
+        never fails its co-batched neighbors."""
         if self._stop.is_set():
             raise RuntimeError("BatchServer is closed")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((np.asarray(text_tokens, np.int32), cond_mel, fut))
+        self._q.put((np.asarray(text_tokens, np.int32), cond_mel, spk_mel16,
+                     fut))
         return fut
 
     def close(self):
@@ -262,20 +279,30 @@ class BatchServer:
             batch = self._collect()
             if not batch:
                 continue
-            reqs = [SynthesisRequest(t, cond_mel=c) for t, c, _ in batch]
-            futs = [f for _, _, f in batch]
-            self._seq += 1
-            try:
-                wavs = synthesize_batch(
-                    self.tts, reqs,
-                    self.cond_mel, self.settings,
-                    use_diffusion=self.use_diffusion,
-                    use_hifigan=self.use_hifigan,
-                    spk_mel16=self.spk_mel16,
-                    key=jax.random.PRNGKey(self._seq))
-                for f, w in zip(futs, wavs):
-                    f.set_result(w)
-            except Exception as e:  # pragma: no cover - defensive
-                for f in futs:
-                    if not f.done():
-                        f.set_exception(e)
+            # group by (cond shape, spk shape): per-request conds must share
+            # shapes within one program; grouping keeps a mismatched tenant
+            # from failing its co-batched neighbors
+            groups: dict = {}
+            for t, c, s, f in batch:
+                gk = (None if c is None else tuple(c.shape),
+                      None if s is None else tuple(s.shape))
+                groups.setdefault(gk, []).append((t, c, s, f))
+            for items in groups.values():
+                reqs = [SynthesisRequest(t, cond_mel=c, spk_mel16=s)
+                        for t, c, s, _ in items]
+                futs = [f for _, _, _, f in items]
+                self._seq += 1
+                try:
+                    wavs = synthesize_batch(
+                        self.tts, reqs,
+                        self.cond_mel, self.settings,
+                        use_diffusion=self.use_diffusion,
+                        use_hifigan=self.use_hifigan,
+                        spk_mel16=self.spk_mel16,
+                        key=jax.random.PRNGKey(self._seq))
+                    for f, w in zip(futs, wavs):
+                        f.set_result(w)
+                except Exception as e:  # pragma: no cover - defensive
+                    for f in futs:
+                        if not f.done():
+                            f.set_exception(e)

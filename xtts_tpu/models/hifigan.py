@@ -272,6 +272,24 @@ class ResNetSpeakerEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def hifigan_frames(cfg: "HiFiGANConfig", n_latents: int) -> int:
+    """Latent count -> generator input frames: the reference's two
+    interpolations (1024/256 then out_sr/in_sr, hifigan_vocoder.py:719-731)
+    folded into one resize. Single source of truth for the length
+    contract — the decoder and every waveform-trim site derive from it."""
+    return int(round(n_latents * (cfg.ar_mel_length_compression
+                                  / cfg.output_hop_length)
+                     * (cfg.output_sample_rate / cfg.input_sample_rate)))
+
+
+def hifigan_samples(cfg: "HiFiGANConfig", n_latents: int) -> int:
+    """Latent count -> output waveform samples (frames x prod(upsample))."""
+    up = 1
+    for r in cfg.upsample_rates:
+        up *= r
+    return hifigan_frames(cfg, n_latents) * up
+
+
 class HifiDecoder(nn.Module):
     """GPT latent (B, T_lat, 1024) + speaker d-vector -> (B, T_wav) waveform
     (hifigan_vocoder.py:655-771)."""
@@ -315,11 +333,7 @@ class HifiDecoder(nn.Module):
             if ref_mel16k is None:
                 raise ValueError("need speaker d-vector g or ref_mel16k")
             g = self.speaker_encoder(ref_mel16k)
-        c = self.cfg
-        t_lat = latents.shape[1]
-        frames = int(round(t_lat * (c.ar_mel_length_compression
-                                    / c.output_hop_length)
-                           * (c.output_sample_rate / c.input_sample_rate)))
+        frames = hifigan_frames(self.cfg, latents.shape[1])
         z = linear_resize_time(latents, frames)
         wav = self.waveform_decoder(z, g=g)
         return wav[..., 0]
