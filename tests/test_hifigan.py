@@ -167,3 +167,59 @@ class TestGANTrainer:
             state, m = tr.step(state, batch, jax.random.PRNGKey(i))
             losses.append(float(m["d_loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestResizeVsReferenceTwoStep:
+    """The reference interpolates latents TWICE (1024/256 then
+    24000/22050, hifigan_vocoder.py:727-738); HifiDecoder folds both into
+    one resize to hifigan_frames(cfg, t). Pin (a) our one-step resize to
+    torch F.interpolate exactly, and (b) the documented divergence bound
+    of one-step vs the reference's two-step composition."""
+
+    def test_one_step_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 37, 5)).astype(np.float32)
+        ours = np.asarray(linear_resize_time(jnp.asarray(x), 160))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 2, 1), size=160,
+            mode="linear", align_corners=False).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(ours, want, atol=2e-5)
+
+    def test_two_step_divergence_bounded(self):
+        torch = pytest.importorskip("torch")
+        from xtts_tpu.core.config import HiFiGANConfig
+        from xtts_tpu.models.hifigan import hifigan_frames
+        cfg = HiFiGANConfig()
+        rng = np.random.default_rng(1)
+        t_lat = 75
+        x = rng.standard_normal((1, t_lat, 8)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 2, 1)
+        s1 = cfg.ar_mel_length_compression / cfg.output_hop_length
+        s2 = cfg.output_sample_rate / cfg.input_sample_rate
+        two = torch.nn.functional.interpolate(
+            torch.nn.functional.interpolate(xt, scale_factor=s1,
+                                            mode="linear"),
+            scale_factor=s2, mode="linear").permute(0, 2, 1).numpy()
+        frames = hifigan_frames(cfg, t_lat)
+        assert abs(two.shape[1] - frames) <= 1   # same target length +-1
+        one = np.asarray(linear_resize_time(jnp.asarray(x), two.shape[1]))
+        # The fold is a DOCUMENTED divergence (models/hifigan.py): on unit
+        # white-noise latents the two-step composition differs by ~0.07
+        # mean abs / ~0.49 max (the intermediate x4 grid slightly low-pass
+        # filters before the second resample). Pin the measured envelope so
+        # a regression in either path is caught; real latents are smoother
+        # than white noise, where the two agree much more closely.
+        assert float(np.max(np.abs(one - two))) < 0.6
+        assert float(np.mean(np.abs(one - two))) < 0.09
+        # sanity: both resizes preserve smooth content nearly exactly
+        sm = np.cumsum(rng.standard_normal((1, t_lat, 1)), axis=1)
+        sm = (sm / np.abs(sm).max()).astype(np.float32)
+        smt = torch.from_numpy(sm).permute(0, 2, 1)
+        two_s = torch.nn.functional.interpolate(
+            torch.nn.functional.interpolate(smt, scale_factor=s1,
+                                            mode="linear"),
+            scale_factor=s2, mode="linear").permute(0, 2, 1).numpy()
+        one_s = np.asarray(linear_resize_time(jnp.asarray(sm),
+                                              two_s.shape[1]))
+        assert float(np.max(np.abs(one_s - two_s))) < 0.04
