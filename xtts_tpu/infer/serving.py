@@ -14,9 +14,12 @@ num_autoregressive_samples batching (ttts/api.py:276-281). Here:
   one device program. This is the TPU-idiomatic replacement for per-request
   GPU streams.
 
-KV-cache memory note: the decode cache is (L, B, S, H, hd) preallocated per
-batch bucket — "paging" on TPU means choosing S from the text/code buckets
-rather than dynamic allocation (static shapes are what XLA wants).
+KV-cache paging, TPU-shaped: the decode cache is (L, B, S, H, hd)
+preallocated per batch bucket (static shapes are what XLA wants), and
+`TTSSettings.cache_ladder` additionally grows S through a static capacity
+ladder inside the decode program, so early steps read a much smaller
+cache — the equivalent of page-table paging without dynamic shapes
+(token-exact; see gpt_infer.generate_speech).
 """
 from __future__ import annotations
 
