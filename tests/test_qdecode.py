@@ -242,3 +242,20 @@ class TestCacheLadderQuantized:
                                         cache_ladder=(5,), **kw)
         np.testing.assert_array_equal(np.asarray(base.codes),
                                       np.asarray(lad.codes))
+
+
+    def test_fused_ladder_matches_fused_monolithic(self, setup):
+        """The cache ladder on the fused B=1 path (per-rung kernel shapes)
+        must be token-exact vs the monolithic fused cache."""
+        model, variables, qt, cond, text = setup
+        kw = dict(max_gen=8, do_sample=False, cache_dtype=jnp.bfloat16,
+                  use_fused=True)
+        base = generate_speech_quantized(model, variables, qt, cond, text,
+                                         jax.random.PRNGKey(0), **kw)
+        lad = generate_speech_quantized(model, variables, qt, cond, text,
+                                        jax.random.PRNGKey(0),
+                                        cache_ladder=(3, 6), **kw)
+        np.testing.assert_array_equal(np.asarray(base.codes),
+                                      np.asarray(lad.codes))
+        np.testing.assert_array_equal(np.asarray(base.lengths),
+                                      np.asarray(lad.lengths))

@@ -412,9 +412,11 @@ def generate_speech_quantized(
     single-launch decode kernel (ops/decode_step.py), measured 1.11-1.16x
     over the XLA step chain at the flagship shape.
     cache_ladder: segmented cache-capacity ladder (see
-    gpt_infer.generate_speech) — the TPU equivalent of KV-cache paging for
-    the serving regime where cache reads dominate the step. Ignored on the
-    fused B=1 path (its cache layout is DMA-aligned and weight-bound)."""
+    gpt_infer.generate_speech) — the TPU equivalent of KV-cache paging.
+    Applies to BOTH the XLA chain (serving regime: cache reads dominate)
+    and the fused B=1 kernel (whose per-layer DMA copies the whole (S, D)
+    cache, so smaller early rungs cut per-token cache traffic ~Sx); each
+    rung compiles its own kernel at the 8-aligned segment length."""
     cfg = model.cfg
     stop = cfg.stop_mel_token
     vocab = cfg.number_mel_codes
@@ -426,8 +428,17 @@ def generate_speech_quantized(
     fused = (use_fused and b == 1 and not quantize_kv_cache
              and cache_dtype == jnp.bfloat16)
     from xtts_tpu.models.gpt_infer import ladder_caps
-    caps = (max_gen,) if fused else ladder_caps(cache_ladder, max_gen)
-    s_max = p_len + caps[0]
+    caps = ladder_caps(cache_ladder, max_gen)
+
+    def seg_len(cap: int) -> int:
+        # Mosaic DMA slices need 8-aligned sublane extents (CLAUDE.md):
+        # the fused kernel's per-layer cache DMA copies (s, D), so pad the
+        # cache length up; decode never reads past `index` so padding is
+        # inert
+        s = p_len + cap
+        return -(-s // 8) * 8 if fused else s
+
+    s_max = seg_len(caps[0])
     # (cache_dtype != bf16 falls back to the XLA chain: the fused kernel's
     # cache buffers are bf16, so honoring an f32 cache request there would
     # silently change the precision the caller asked for)
@@ -436,11 +447,6 @@ def generate_speech_quantized(
             "use_fused=True but the qtree has no fused tile stack — build "
             "it with quantize_gpt_decode(..., include_fused=True) or "
             "attach_fused_stack(qtree, cfg)")
-    if fused:
-        # Mosaic DMA slices need 8-aligned sublane extents (CLAUDE.md):
-        # the per-layer cache-row DMA copies (s_max, D), so pad the cache
-        # length up; decode never reads past `index` so padding is inert
-        s_max = -(-s_max // 8) * 8
     cache = KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
                           cfg.model_dim // cfg.heads, dtype=cache_dtype)
     logits0, cache = model.apply(variables, prefix, cache, method=model.prefill)
@@ -451,13 +457,17 @@ def generate_speech_quantized(
         from xtts_tpu.ops import decode_step as _ds
         head_tiles = -(-vocab // d)
         interp = jax.default_backend() != "tpu"
-        # VMEM budget: weight ring (ring*group MB int8) + 2 cache buffers
-        # (2*s_max*d*2 B) + ~2.5 MB aux must stay under the 16 MB scoped
-        # limit — shrink the DMA group at long cache buckets
-        cache_mb = 2 * s_max * d * 2 / (1 << 20)
-        group = _ds.GROUP
-        while group > 1 and _ds.RING * group + cache_mb > 12.0:
-            group //= 2
+
+        def fused_group(s: int) -> int:
+            # VMEM budget: weight ring (ring*group MB int8) + 2 cache
+            # buffers (2*s*d*2 B) + ~2.5 MB aux must stay under the 16 MB
+            # scoped limit — shrink the DMA group at long cache buckets
+            cache_mb = 2 * s * d * 2 / (1 << 20)
+            g = _ds.GROUP
+            while g > 1 and _ds.RING * g + cache_mb > 12.0:
+                g //= 2
+            return g
+
         cache = (cache.k.reshape(cfg.layers, s_max, d).astype(jnp.bfloat16),
                  cache.v.reshape(cfg.layers, s_max, d).astype(jnp.bfloat16))
 
@@ -467,50 +477,65 @@ def generate_speech_quantized(
     done0 = jnp.zeros((b,), bool)
     lengths0 = jnp.zeros((b,), jnp.int32)
 
-    def body_fn(st):
-        step, logits, cache, done, seen, codes, lengths, k = st
-        k, sub = jax.random.split(k)
-        if do_sample:
-            tok = sample_token(sub, logits, temperature=temperature,
-                               top_p=top_p, seen=seen,
-                               repetition_penalty=repetition_penalty)
-        else:
-            tok = greedy_token(logits)
-        tok = jnp.where(done, stop, tok)
-        codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
-        seen = seen.at[jnp.arange(b), tok].set(True)
-        now_done = done | (tok == stop)
-        lengths = jnp.where(done, lengths, step + 1)
-        # same mel-position convention as gpt_infer (reference quirk at
-        # ttts/gpt/model.py:147-149 embeds code t at position n_cond+1+t)
-        mel_pos = step + 1 + (n_cond if cfg.decode_position_quirk else 0)
-        if fused:
-            kc, vc = cache
-            x = (qtree["mel_embedding"][tok]
-                 + qtree["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
-            logits, kc, vc = _ds._fused_decode_logits(
-                qtree["fused"], x, kc, vc, p_len + step,
-                layers=cfg.layers, heads=cfg.heads, head_tiles=head_tiles,
-                interpret=interp, group=group, ring=_ds.RING)
-            logits = logits[:, :vocab].astype(jnp.float32)
-            cache = (kc, vc)
-        else:
-            logits, cache = _decode_logits(qtree, cfg.heads, tok, mel_pos,
-                                           cache, p_len + step)
-        return (step + 1, logits, cache, now_done, seen, codes, lengths, k)
+    def make_body(group=None):
+        def body_fn(st):
+            step, logits, cache, done, seen, codes, lengths, k = st
+            k, sub = jax.random.split(k)
+            if do_sample:
+                tok = sample_token(sub, logits, temperature=temperature,
+                                   top_p=top_p, seen=seen,
+                                   repetition_penalty=repetition_penalty)
+            else:
+                tok = greedy_token(logits)
+            tok = jnp.where(done, stop, tok)
+            codes = jax.lax.dynamic_update_slice(codes, tok[:, None],
+                                                 (0, step))
+            seen = seen.at[jnp.arange(b), tok].set(True)
+            now_done = done | (tok == stop)
+            lengths = jnp.where(done, lengths, step + 1)
+            # same mel-position convention as gpt_infer (reference quirk at
+            # ttts/gpt/model.py:147-149 embeds code t at position n_cond+1+t)
+            mel_pos = step + 1 + (n_cond if cfg.decode_position_quirk else 0)
+            if fused:
+                kc, vc = cache
+                x = (qtree["mel_embedding"][tok]
+                     + qtree["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+                logits, kc, vc = _ds._fused_decode_logits(
+                    qtree["fused"], x, kc, vc, p_len + step,
+                    layers=cfg.layers, heads=cfg.heads,
+                    head_tiles=head_tiles, interpret=interp, group=group,
+                    ring=_ds.RING)
+                logits = logits[:, :vocab].astype(jnp.float32)
+                cache = (kc, vc)
+            else:
+                logits, cache = _decode_logits(qtree, cfg.heads, tok,
+                                               mel_pos, cache, p_len + step)
+            return (step + 1, logits, cache, now_done, seen, codes, lengths,
+                    k)
+        return body_fn
 
     state = (jnp.int32(0), logits0.astype(jnp.float32), cache, done0, seen0,
              codes0, lengths0, key)
     for i, cap in enumerate(caps):
+        new_s = seg_len(cap)
         if i:  # grow the cache into the next rung (zero-pad is exact)
             st = list(state)
-            st[2] = _grow_cache_axis2(st[2], p_len + cap)
+            if fused:
+                # fused-path cache is a pair of (L, S, D) buffers; the
+                # kernel's per-layer DMA copies the WHOLE (S, D) cache, so
+                # smaller early rungs cut cache traffic directly
+                kc, vc = st[2]
+                pad = ((0, 0), (0, new_s - kc.shape[1]), (0, 0))
+                st[2] = (jnp.pad(kc, pad), jnp.pad(vc, pad))
+            else:
+                st[2] = _grow_cache_axis2(st[2], new_s)
             state = tuple(st)
 
         def seg_cond(st, _cap=cap):
             step, _, _, done, *_ = st
             return (step < _cap) & ~jnp.all(done)
 
-        state = jax.lax.while_loop(seg_cond, body_fn, state)
+        body = make_body(fused_group(new_s)) if fused else make_body()
+        state = jax.lax.while_loop(seg_cond, body, state)
     step, _, _, done, _, codes, lengths, _ = state
     return GenerateResult(codes, lengths, step)
