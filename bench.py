@@ -97,8 +97,11 @@ def main():
     # (tests/test_api_e2e.py::test_speculative_render_matches_default).
     # BENCH_SPECULATIVE=0 turns it off.
     spec = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
+    _lad = os.environ.get("BENCH_CACHE_LADDER", "")
+    cache_ladder = tuple(int(x) for x in _lad.split(",") if x) or None
     settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps,
-                           speculative_render=spec)
+                           speculative_render=spec,
+                           cache_ladder=cache_ladder)
 
     hop = cfg.mel.hop_length
 
@@ -193,12 +196,10 @@ def main():
             tts.vars["clvp"] = jax.jit(tts.clvp.init)(
                 jax.random.PRNGKey(5), jnp.zeros((1, 8), jnp.int32),
                 jnp.zeros((1, 8), jnp.int32))
-        lad = os.environ.get("BENCH_CACHE_LADDER", "")
-        ladder = tuple(int(x) for x in lad.split(",") if x) or None
         quality = TTSSettings(max_mel_tokens=max_gen,
                               diffusion_steps=diff_steps,
                               num_candidates=k_cand,
-                              cache_ladder=ladder)
+                              cache_ladder=cache_ladder)
 
         def run_srv(key, use_diffusion, s):
             wavs = synthesize_batch(tts, reqs, cond_mel, s,
@@ -213,9 +214,7 @@ def main():
                 audio += run_srv(jax.random.PRNGKey(i), use_diffusion, s)
             return audio / (time.perf_counter() - t0)
 
-        import dataclasses
-        thr_shortcut = throughput(
-            False, dataclasses.replace(settings, cache_ladder=ladder))
+        thr_shortcut = throughput(False, settings)
         thr_full = throughput(True, quality)
         print(json.dumps({
             "metric": "serving_full_quality_audio_s_per_s_per_chip",
