@@ -138,3 +138,32 @@ class TestShardedGeneration:
                                       np.asarray(ref.codes))
         np.testing.assert_array_equal(np.asarray(out.lengths),
                                       np.asarray(ref.lengths))
+
+    def test_sharded_generation_with_cache_ladder(self):
+        """The segmented cache ladder composes with data sharding: the
+        growth copies and per-segment while_loops partition like the
+        monolithic program (sharded+ladder == replicated+no-ladder)."""
+        model = UnifiedVoice(CFG)
+        rng = np.random.default_rng(3)
+        b = 8
+        cond = jnp.asarray(rng.standard_normal((b, 8, 20)).astype(np.float32))
+        text = jnp.asarray(rng.integers(1, 30, (b, 6)).astype(np.int32))
+        variables = model.init(jax.random.PRNGKey(0), cond[:1], text[:1],
+                               jnp.array([6]), jnp.zeros((1, 8), jnp.int32),
+                               jnp.array([8 * 1024]))
+        ref = generate_speech(model, variables, cond, text,
+                              jax.random.PRNGKey(5), max_gen=8,
+                              do_sample=True, cache_dtype=jnp.float32)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        vars_s = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), variables)
+        out = generate_speech(model, vars_s,
+                              jax.device_put(cond, shard),
+                              jax.device_put(text, shard),
+                              jax.random.PRNGKey(5), max_gen=8,
+                              do_sample=True, cache_dtype=jnp.float32,
+                              cache_ladder=(3, 5))
+        np.testing.assert_array_equal(np.asarray(out.codes),
+                                      np.asarray(ref.codes))
