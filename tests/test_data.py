@@ -374,3 +374,50 @@ class TestASR:
         save_wav(str(p), wav, 24000)            # adapter resamples to 16 k
         text = asr(str(p))
         assert isinstance(text, str) and text == text.strip() and text
+
+
+class TestPrefetchIterator:
+    """Background-thread prefetch (the reference's DataLoader num_workers
+    analogue, ttts/gpt/train_ms.py:104-110)."""
+
+    def test_same_stream(self):
+        from xtts_tpu.data.datasets import prefetch_iterator
+        src = [{"x": np.full((2,), i)} for i in range(7)]
+        got = list(prefetch_iterator(iter(src), depth=2))
+        assert len(got) == 7
+        for i, b in enumerate(got):
+            np.testing.assert_array_equal(b["x"], src[i]["x"])
+
+    def test_depth_zero_noop(self):
+        from xtts_tpu.data.datasets import prefetch_iterator
+        assert list(prefetch_iterator(iter([1, 2, 3]), depth=0)) == [1, 2, 3]
+
+    def test_exception_propagates(self):
+        from xtts_tpu.data.datasets import prefetch_iterator
+
+        def bad():
+            yield 1
+            raise RuntimeError("loader died")
+
+        it = prefetch_iterator(bad(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="loader died"):
+            list(it)
+
+    def test_batch_iterator_prefetch_equals_sync(self):
+        from xtts_tpu.data.datasets import batch_iterator
+
+        class Toy:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return {"x": np.full((3,), i, np.float32)}
+
+        coll = lambda ss: {"x": np.stack([s["x"] for s in ss])}
+        sync = list(batch_iterator(Toy(), 3, coll, seed=5, epochs=2))
+        pre = list(batch_iterator(Toy(), 3, coll, seed=5, epochs=2,
+                                  prefetch=3))
+        assert len(sync) == len(pre)
+        for a, b in zip(sync, pre):
+            np.testing.assert_array_equal(a["x"], b["x"])

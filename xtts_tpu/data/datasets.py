@@ -368,12 +368,54 @@ def collate_bucketed(samples: List[Optional[Dict[str, np.ndarray]]],
     return out
 
 
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch over any batch iterator: the host
+    assembles the next `depth` batches (wav IO + STFT/mel, numpy/BLAS —
+    GIL-releasing) while the device executes the current step. The TPU
+    counterpart of the reference's DataLoader worker processes
+    (ttts/gpt/train_ms.py:104-110 num_workers); depth<=0 is a no-op."""
+    if depth <= 0:
+        yield from it
+        return
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def fill():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=fill, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def batch_iterator(dataset, batch_size: int, collate_fn: Callable,
                    shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                   epochs: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
-    """Simple epoch-shuffled host loader (the reference uses torch DataLoader
-    with worker processes; XLA overlap makes a sync host loader sufficient
-    for these batch sizes)."""
+                   epochs: Optional[int] = None,
+                   prefetch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Epoch-shuffled host loader; prefetch>0 wraps it in a background-
+    thread prefetcher (the reference uses torch DataLoader worker
+    processes; XLA dispatch overlap plus thread prefetch covers the same
+    latency-hiding on TPU)."""
+    if prefetch > 0:
+        yield from prefetch_iterator(
+            batch_iterator(dataset, batch_size, collate_fn, shuffle=shuffle,
+                           seed=seed, drop_last=drop_last, epochs=epochs),
+            depth=prefetch)
+        return
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

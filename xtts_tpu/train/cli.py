@@ -290,7 +290,8 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
         ss, {"text": 0, "refer_mel16": 0},
         {"text": (64, 128, 304), "refer_mel16": (100, 200, 300)})
     it = batch_iterator(dataset, cfg.train.batch_size, collate,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed,
+                        prefetch=getattr(args, "prefetch", 0))
     rng = jax.random.PRNGKey(cfg.train.seed)
     step = 0
     for batch in it:
@@ -352,6 +353,9 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--steps", type=int, default=None,
                     help="override train.train_steps")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="background-thread batch prefetch depth (0 = off;"
+                         " the reference's DataLoader num_workers analogue)")
     args = ap.parse_args(argv)
 
     cfg = XTTSConfig.from_json(args.config) if args.config else XTTSConfig()
@@ -386,7 +390,8 @@ def main(argv: Optional[list] = None):
     timer = StepTimer()
     collate = build_collate(args.model)
     it = batch_iterator(dataset, cfg.train.batch_size, collate,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed,
+                        prefetch=getattr(args, "prefetch", 0))
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     eval_fn = None
