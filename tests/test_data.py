@@ -421,3 +421,28 @@ class TestPrefetchIterator:
         assert len(sync) == len(pre)
         for a, b in zip(sync, pre):
             np.testing.assert_array_equal(a["x"], b["x"])
+
+
+class TestEvalMetrics:
+    def test_mel_l1_and_mcd_zero_for_identical(self):
+        from xtts_tpu.dsp.mel import MelFrontend
+        from xtts_tpu.core.config import MelConfig
+        from xtts_tpu.infer.eval_tools import mcd, mel_l1
+        mel_fn = MelFrontend(MelConfig(n_mels=16))
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+        assert mel_l1(mel_fn, wav, wav) == 0.0
+        assert mcd(mel_fn, wav, wav) == 0.0
+
+    def test_metrics_order_distortion(self):
+        """More distortion -> larger metric; length mismatch tolerated."""
+        from xtts_tpu.dsp.mel import MelFrontend
+        from xtts_tpu.core.config import MelConfig
+        from xtts_tpu.infer.eval_tools import mcd, mel_l1
+        mel_fn = MelFrontend(MelConfig(n_mels=16))
+        rng = np.random.default_rng(1)
+        wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+        small = wav + 0.01 * rng.standard_normal(8000).astype(np.float32)
+        big = wav + 0.1 * rng.standard_normal(8000).astype(np.float32)
+        assert 0 < mel_l1(mel_fn, wav, small[:7500]) < mel_l1(mel_fn, wav, big)
+        assert 0 < mcd(mel_fn, wav, small) < mcd(mel_fn, wav, big)

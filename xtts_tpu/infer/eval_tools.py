@@ -73,3 +73,44 @@ def evaluate_dvae(dvae, variables, mel_paths: Sequence[str],
         "codebook_usage": len(seen_codes),
         "n": len(results),
     }
+
+
+# ---------------------------------------------------------------------------
+# objective waveform/mel metrics (for renderer comparisons and the int4
+# quality gate on real weights; the reference has no metric tooling — its
+# evals are perceptual TB spot-checks, ttts/diffusion/train.py:213-247)
+# ---------------------------------------------------------------------------
+
+
+def mel_l1(mel_fn, wav_a: np.ndarray, wav_b: np.ndarray) -> float:
+    """Mean |mel_a - mel_b| between two waveforms (same sample rate),
+    truncated to the shorter one — the BASELINE.md mel-parity metric
+    applied between two renders (e.g. fp vs int4, diffusion vs hifigan)."""
+    n = min(len(np.ravel(wav_a)), len(np.ravel(wav_b)))
+    a = mel_fn(np.asarray(wav_a, np.float32).reshape(-1)[:n])
+    b = mel_fn(np.asarray(wav_b, np.float32).reshape(-1)[:n])
+    t = min(a.shape[-1], b.shape[-1])
+    return float(jnp.abs(a[..., :t] - b[..., :t]).mean())
+
+
+def mcd(mel_fn, wav_a: np.ndarray, wav_b: np.ndarray,
+        n_coeff: int = 13) -> float:
+    """Mel-cepstral-distortion-style distance (dB) between two renders:
+    DCT-II of the log-mel (coefficients 1..n_coeff, c0/energy excluded),
+    frame-mean of the 10/ln10 * sqrt(2 * sum dc^2) norm. Computed from the
+    pipeline's own log-mel frontend rather than WORLD/SPTK (zero-egress
+    image) — comparable across renders of the same text, not against
+    published MCD tables."""
+    n = min(len(np.ravel(wav_a)), len(np.ravel(wav_b)))
+    a = np.asarray(mel_fn(np.asarray(wav_a, np.float32).reshape(-1)[:n]))
+    b = np.asarray(mel_fn(np.asarray(wav_b, np.float32).reshape(-1)[:n]))
+    a, b = a[0].T, b[0].T                       # (T, bins) log-mels
+    t = min(a.shape[0], b.shape[0])
+    a, b = a[:t], b[:t]
+    bins = a.shape[1]
+    k = np.arange(1, n_coeff + 1)[None, :]      # skip c0
+    basis = np.cos(np.pi * k * (2 * np.arange(bins)[:, None] + 1)
+                   / (2 * bins))                # (bins, n_coeff) DCT-II
+    ca, cb = a @ basis, b @ basis
+    d = np.sqrt(2.0 * np.sum((ca - cb) ** 2, axis=1))
+    return float((10.0 / np.log(10.0)) * d.mean())
