@@ -119,12 +119,13 @@ def main():
                 res = generate_speech_quantized(
                     tts.gpt, tts.vars["gpt"], tts._qtree, cond_mel,
                     jnp.asarray(text_tokens), key, max_gen=max_gen,
-                    do_sample=False, use_fused=fused)
+                    do_sample=False, use_fused=fused,
+                    cache_ladder=cache_ladder)
             else:
                 res = generate_speech(
                     tts.gpt, tts.vars["gpt"], cond_mel,
                     jnp.asarray(text_tokens), key, max_gen=max_gen,
-                    do_sample=False)
+                    do_sample=False, cache_ladder=cache_ladder)
             jax.block_until_ready(res.codes)
             return int(res.steps)
 

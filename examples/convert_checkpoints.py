@@ -35,7 +35,6 @@ def main():
     cfg = (XTTSConfig.from_json(args.config) if args.config
            else XTTSConfig())
     os.makedirs(args.dst, exist_ok=True)
-    cfg.to_json(os.path.join(args.dst, "xtts_config.json"))
 
     alias = {"vqvae": ("vqvae", "dvae")}
     converted = []
@@ -56,8 +55,11 @@ def main():
         converted.append(name)
 
     if not converted:
+        # no config either: a failed run must not leave a loadable-looking
+        # model dir behind (from_pretrained would random-init silently)
         print("nothing converted", file=sys.stderr)
         sys.exit(1)
+    cfg.to_json(os.path.join(args.dst, "xtts_config.json"))
     print(f"done: {', '.join(converted)} -> {args.dst} "
           f"(load with TextToSpeech.from_pretrained)")
 

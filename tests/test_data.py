@@ -446,3 +446,27 @@ class TestEvalMetrics:
         big = wav + 0.1 * rng.standard_normal(8000).astype(np.float32)
         assert 0 < mel_l1(mel_fn, wav, small[:7500]) < mel_l1(mel_fn, wav, big)
         assert 0 < mcd(mel_fn, wav, small) < mcd(mel_fn, wav, big)
+
+
+    def test_abandoned_generator_releases_fill_thread(self):
+        """Training loops exit via `break`; closing the generator must
+        unblock and release the fill thread (no leak per run)."""
+        import threading
+        import time
+        from xtts_tpu.data.datasets import prefetch_iterator
+
+        def src():
+            for i in range(1000):
+                yield {"x": np.zeros(4)}
+
+        it = prefetch_iterator(src(), depth=2)
+        next(it)
+        it.close()                      # GeneratorExit -> stop + drain
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if not any(t.name == "prefetch-fill" and t.is_alive()
+                       for t in threading.enumerate()):
+                break
+            time.sleep(0.05)
+        assert not any(t.name == "prefetch-fill" and t.is_alive()
+                       for t in threading.enumerate())

@@ -380,26 +380,54 @@ def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
     import queue
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     sentinel = object()
     err: List[BaseException] = []
 
     def fill():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # re-raised on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            # the sentinel MUST reach the consumer on normal completion (a
+            # dropped sentinel deadlocks its q.get()); stop-aware loop so
+            # an abandoned consumer still lets the thread exit
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
-    threading.Thread(target=fill, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    threading.Thread(target=fill, daemon=True,
+                     name="prefetch-fill").start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer abandoned the generator (training loops exit via
+        # `break`): unblock the fill thread so it and its queued batches
+        # are released instead of leaking for the process lifetime
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def batch_iterator(dataset, batch_size: int, collate_fn: Callable,

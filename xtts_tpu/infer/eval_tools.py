@@ -82,15 +82,26 @@ def evaluate_dvae(dvae, variables, mel_paths: Sequence[str],
 # ---------------------------------------------------------------------------
 
 
+def _bucketed_mel_pair(mel_fn, wav_a: np.ndarray, wav_b: np.ndarray):
+    """Common-length mels of two renders: pad both to a 8192-sample bucket
+    (device-facing lengths must snap to ladders — CLAUDE.md; one jitted
+    STFT compile per bucket, not per clip pair), then trim to the frames
+    fully covered by the true shared length."""
+    n = min(len(np.ravel(wav_a)), len(np.ravel(wav_b)))
+    nb = max(-(-n // 8192) * 8192, 8192)
+    pad = lambda w: np.pad(np.asarray(w, np.float32).reshape(-1)[:n],
+                           (0, nb - n))
+    a, b = mel_fn(pad(wav_a)), mel_fn(pad(wav_b))
+    frames = max(n // mel_fn.cfg.hop_length, 1)
+    return a[..., :frames], b[..., :frames]
+
+
 def mel_l1(mel_fn, wav_a: np.ndarray, wav_b: np.ndarray) -> float:
     """Mean |mel_a - mel_b| between two waveforms (same sample rate),
-    truncated to the shorter one — the BASELINE.md mel-parity metric
-    applied between two renders (e.g. fp vs int4, diffusion vs hifigan)."""
-    n = min(len(np.ravel(wav_a)), len(np.ravel(wav_b)))
-    a = mel_fn(np.asarray(wav_a, np.float32).reshape(-1)[:n])
-    b = mel_fn(np.asarray(wav_b, np.float32).reshape(-1)[:n])
-    t = min(a.shape[-1], b.shape[-1])
-    return float(jnp.abs(a[..., :t] - b[..., :t]).mean())
+    over their shared length — the BASELINE.md mel-parity metric applied
+    between two renders (e.g. fp vs int4, diffusion vs hifigan)."""
+    a, b = _bucketed_mel_pair(mel_fn, wav_a, wav_b)
+    return float(jnp.abs(a - b).mean())
 
 
 def mcd(mel_fn, wav_a: np.ndarray, wav_b: np.ndarray,
@@ -101,12 +112,8 @@ def mcd(mel_fn, wav_a: np.ndarray, wav_b: np.ndarray,
     pipeline's own log-mel frontend rather than WORLD/SPTK (zero-egress
     image) — comparable across renders of the same text, not against
     published MCD tables."""
-    n = min(len(np.ravel(wav_a)), len(np.ravel(wav_b)))
-    a = np.asarray(mel_fn(np.asarray(wav_a, np.float32).reshape(-1)[:n]))
-    b = np.asarray(mel_fn(np.asarray(wav_b, np.float32).reshape(-1)[:n]))
-    a, b = a[0].T, b[0].T                       # (T, bins) log-mels
-    t = min(a.shape[0], b.shape[0])
-    a, b = a[:t], b[:t]
+    a, b = _bucketed_mel_pair(mel_fn, wav_a, wav_b)
+    a, b = np.asarray(a)[0].T, np.asarray(b)[0].T   # (T, bins) log-mels
     bins = a.shape[1]
     k = np.arange(1, n_coeff + 1)[None, :]      # skip c0
     basis = np.cos(np.pi * k * (2 * np.arange(bins)[:, None] + 1)
