@@ -276,3 +276,19 @@ def test_batch_server_groups_mismatched_cond_shapes(tts, cond_mel):
     w1, w2 = f1.result(timeout=600), f2.result(timeout=600)
     srv.close()
     assert np.isfinite(w1).all() and np.isfinite(w2).all()
+
+
+def test_batch_server_close_cancels_queued(tts, cond_mel):
+    """close() cancels futures that never made it into a device program
+    instead of leaving them pending forever."""
+    from concurrent.futures import Future
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=4),
+                      max_batch=1, window_ms=1)
+    f_live = srv.submit(np.array([1, 3, 2], np.int32))
+    f_live.result(timeout=600)          # worker drains the first request
+    srv._stop.set()                     # stop the worker loop...
+    srv._thread.join(timeout=10)
+    f_stale: Future = Future()          # ...then strand a queued request
+    srv._q.put((np.array([1, 4, 2], np.int32), None, None, f_stale))
+    srv.close()
+    assert f_stale.cancelled()

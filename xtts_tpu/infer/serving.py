@@ -255,8 +255,17 @@ class BatchServer:
         return fut
 
     def close(self):
+        """Stop the worker; requests still queued (submitted but never
+        packed into a device program) get their futures CANCELLED rather
+        than left pending forever."""
         self._stop.set()
         self._thread.join(timeout=5)
+        try:
+            while True:
+                *_, fut = self._q.get_nowait()
+                fut.cancel()
+        except queue.Empty:
+            pass
 
     # ------------------------------------------------------------------
 
