@@ -33,6 +33,17 @@ Knobs (env):
   BENCH_CACHE_LADDER  comma-separated cache-capacity rungs for the serving
                     AR decode (e.g. "128,256"); empty/unset = monolithic
                     cache (see TTSSettings.cache_ladder)
+  BENCH_PATH=train  training-step throughput for one family (the pjit
+                    Trainer program: fwd + bwd + AdamW + clip, bf16 compute
+                    / f32 params, synthetic reference-scale batches):
+    BENCH_TRAIN_FAMILY  gpt (default, bs 8 — ttts/gpt/config.json) |
+                        vqvae (bs 64, 200-frame crops) |
+                        diffusion (bs 16; reference runs 64 — the frozen
+                        15-layer GPT latent pass at bs 64 compiles >30 min
+                        on this 1-core host, see scripts/remat_hbm.py)
+    BENCH_TRAIN_BS      override the family batch size
+    BENCH_TRAIN_STEPS   timed optimizer steps (default 10)
+    BENCH_REMAT         remat policy for the trained blocks (default none)
 """
 import json
 import os
@@ -45,6 +56,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_xtts"))
 
 import jax
+
+# honor an explicit JAX_PLATFORMS=cpu request (CPU smoke runs of the train
+# path): on this image env vars alone don't override the sitecustomize
+# platform pin — the config update must land before any backend touch.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,6 +85,88 @@ def synthetic_inputs(tts, cfg, text_len: int = 50, return_wav: bool = False):
     return cond_mel, text_tokens
 
 
+def bench_train():
+    """Training-step throughput (samples/s) for one trainer family.
+
+    Measures the REAL production program — xtts_tpu.train.cli's build_loss
+    (frozen aux models included) under the generic pjit Trainer (grad +
+    AdamW + global-norm clip, ttts/gpt/train_ms.py:221-237 semantics) — on
+    synthetic batches at reference dataset shapes (gpt/dataset.py:72-74,
+    diffusion/dataset.py:64-69, vqvae/dataset.py pad crop). Steps are
+    dispatched back-to-back (throughput, not latency): only the final loss
+    is fetched to the host, so the tunnel RTT is off the measured path.
+    """
+    import types
+
+    from xtts_tpu.core.config import XTTSConfig
+    from xtts_tpu.train.cli import build_loss
+    from xtts_tpu.train.trainer import Trainer
+
+    family = os.environ.get("BENCH_TRAIN_FAMILY", "gpt")
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", 10))
+    remat = os.environ.get("BENCH_REMAT", "none")
+    defaults = {"gpt": 8, "vqvae": 64, "diffusion": 16, "clvp": 64,
+                "classifier": 64}
+    bs = int(os.environ.get("BENCH_TRAIN_BS", defaults[family]))
+
+    # BENCH_CONFIG: XTTSConfig JSON override (tiny configs for CPU smoke)
+    cfg_path = os.environ.get("BENCH_CONFIG", "")
+    cfg = XTTSConfig.from_json(cfg_path) if cfg_path else XTTSConfig()
+    cfg = cfg.replace(train=cfg.train.replace(
+        accum_grad=1, batch_size=bs, remat=remat, warmup_steps=10))
+    args = types.SimpleNamespace(dvae_weights=None, gpt_weights=None)
+    loss_fn, params, cols, _ = build_loss(family, cfg, args)
+
+    rng = np.random.default_rng(0)
+    bins = cfg.mel.n_mels
+
+    def mel(frames):
+        return jnp.asarray(
+            rng.standard_normal((bs, bins, frames)).astype(np.float32) * 0.1)
+
+    text = jnp.asarray(rng.integers(3, 250, (bs, 150)).astype(np.int32))
+    text_lens = jnp.full((bs,), 150, jnp.int32)
+    if family == "gpt":
+        # 800-frame target mels -> 200 VQ codes; cond clip 400 frames
+        batch = {"cond_mel": mel(400), "text": text,
+                 "text_lengths": text_lens, "mel": mel(800),
+                 "wav_lengths": jnp.full((bs,), 800 * cfg.mel.hop_length,
+                                         jnp.int32)}
+    elif family == "vqvae":
+        batch = {"mel": mel(200)}
+    elif family == "diffusion":
+        batch = {"mel": mel(400), "refer_mel": mel(304), "text": text,
+                 "text_lengths": text_lens,
+                 "wav_lengths": jnp.full((bs,), 400 * cfg.mel.hop_length,
+                                         jnp.int32)}
+    elif family == "clvp":
+        batch = {"text": text[:, :120],
+                 "codes": jnp.asarray(
+                     rng.integers(0, 8192, (bs, 250)).astype(np.int32))}
+    else:  # classifier
+        batch = {"mel": jnp.swapaxes(mel(400), 1, 2),
+                 "label": jnp.asarray(
+                     rng.integers(0, 2, (bs,)).astype(np.int32))}
+
+    trainer = Trainer(loss_fn, cfg.train)
+    state = trainer.init_state(params, cols or None)
+
+    key = jax.random.PRNGKey(0)
+    state, metrics = trainer.step(state, batch, key)   # compile
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = trainer.step(state, batch, jax.random.fold_in(key, i))
+    loss = float(metrics["loss"])                       # one host sync at end
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"train_{family}_samples_per_sec",
+        "value": round(steps * bs / dt, 2), "unit": "samples/s",
+        "vs_baseline": None,               # reference publishes no train perf
+        "steps_per_sec": round(steps / dt, 3), "batch": bs, "steps": steps,
+        "remat": remat, "final_loss": round(loss, 4)}))
+
+
 def main():
     from xtts_tpu.core.config import XTTSConfig
     from xtts_tpu.infer.api import TTSSettings, TextToSpeech
@@ -76,6 +176,10 @@ def main():
     diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 50))
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
     path = os.environ.get("BENCH_PATH", "e2e")
+
+    if path == "train":
+        bench_train()
+        return
 
     cfg = XTTSConfig()
     quant = os.environ.get("BENCH_QUANT", "1") == "1"

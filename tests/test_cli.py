@@ -66,3 +66,36 @@ def test_cli_diffusion_train_eval_render(corpus, tmp_path):
           "--filelist", corpus["filelist"],
           "--val-filelist", corpus["filelist"], "--steps", "1"])
     assert _events_with_media(os.path.join(exp, "logs"))
+
+
+def test_build_loss_respects_train_dtype(corpus):
+    """TrainConfig.dtype must reach the TRAINED model (bf16 compute, f32
+    params — the reference's autocast, ttts/gpt/train_ms.py:218) while
+    frozen aux models stay f32 (codes/latents are computed OUTSIDE autocast
+    in the reference, :216-217)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from xtts_tpu.core.config import XTTSConfig
+    from xtts_tpu.train.cli import build_loss
+
+    cfg = XTTSConfig.from_json(corpus["cfg"])
+    assert cfg.train.dtype == "bfloat16"  # default
+    args = types.SimpleNamespace(dvae_weights=None, gpt_weights=None)
+
+    _, params, _, ctx = build_loss("vqvae", cfg, args)
+    assert ctx["dvae"].dtype == jnp.bfloat16
+    # params stay f32 regardless of compute dtype
+    leaf = next(iter(jax.tree_util.tree_leaves(params)))
+    assert leaf.dtype == jnp.float32
+
+    _, _, _, ctx = build_loss("diffusion", cfg, args)
+    assert ctx["diff"].dtype == jnp.bfloat16       # trained
+    assert ctx["gpt"].dtype == jnp.float32         # frozen
+    assert ctx["dvae"].dtype == jnp.float32        # frozen
+
+    f32 = cfg.replace(train=cfg.train.replace(dtype="float32"))
+    _, _, _, ctx = build_loss("vqvae", f32, args)
+    assert ctx["dvae"].dtype == jnp.float32

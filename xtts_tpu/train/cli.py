@@ -104,13 +104,24 @@ def adapt_batch(model: str, batch):
     return batch
 
 
+def train_dtype(cfg: XTTSConfig):
+    """Compute dtype for the TRAINED model (TrainConfig.dtype; params stay
+    f32 via flax param_dtype). Frozen aux models (DVAE codes, GPT latents)
+    stay f32: the reference calls them under no_grad OUTSIDE the autocast
+    context (ttts/gpt/train_ms.py:216-218, ttts/diffusion/train_ms.py:311),
+    and VQ argmin / latent extraction feed targets whose precision matters."""
+    import jax.numpy as jnp
+    return jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+
+
 def build_loss(model: str, cfg: XTTSConfig, args):
     """Returns (loss_fn, params, state_cols, ctx) — ctx holds the frozen
     aux models so eval rendering can reuse them."""
     from xtts_tpu.utils.registry import load_model
+    dt = train_dtype(cfg)
     if model == "vqvae":
         from xtts_tpu.train.steps import make_dvae_loss
-        m, variables = load_model("vqvae", cfg)
+        m, variables = load_model("vqvae", cfg, dtype=dt)
         cols = {"codebook": dict(variables["codebook"])}
         return (make_dvae_loss(m, ema_decay=cfg.vqvae.ema_decay),
                 variables["params"], cols, {"dvae": m})
@@ -118,7 +129,7 @@ def build_loss(model: str, cfg: XTTSConfig, args):
         from xtts_tpu.train.steps import make_gpt_loss
         if cfg.train.remat != "none":
             cfg = cfg.replace(gpt=cfg.gpt.replace(remat=cfg.train.remat))
-        gpt, gv = load_model("gpt", cfg)
+        gpt, gv = load_model("gpt", cfg, dtype=dt)
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
         return (make_gpt_loss(gpt, dvae, dv, cfg.train.text_weight,
                               cfg.train.mel_weight), gv["params"], {}, {})
@@ -129,7 +140,7 @@ def build_loss(model: str, cfg: XTTSConfig, args):
         if cfg.train.remat != "none":
             cfg = cfg.replace(
                 diffusion=cfg.diffusion.replace(remat=cfg.train.remat))
-        diff, fv = load_model("diffusion", cfg)
+        diff, fv = load_model("diffusion", cfg, dtype=dt)
         gpt, gv = load_model("gpt", cfg, weights_path=args.gpt_weights)
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
         gd = GaussianDiffusion(betas=get_named_beta_schedule(
@@ -141,11 +152,11 @@ def build_loss(model: str, cfg: XTTSConfig, args):
             cfg.diffusion.unconditioned_percentage), fv["params"], {}, ctx)
     if model == "clvp":
         from xtts_tpu.models.clvp import make_clvp_loss
-        m, variables = load_model("clvp", cfg)
+        m, variables = load_model("clvp", cfg, dtype=dt)
         return make_clvp_loss(m), variables["params"], {}, {}
     if model == "classifier":
         from xtts_tpu.models.classifier import make_classifier_loss
-        m, variables = load_model("classifier", cfg)
+        m, variables = load_model("classifier", cfg, dtype=dt)
         return make_classifier_loss(m), variables["params"], {}, {}
     raise ValueError(model)
 
@@ -252,7 +263,7 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
                              seed=cfg.train.seed)
     logger.info("hifigan dataset: %d samples", len(dataset))
 
-    decoder, dvars = load_model("hifigan", cfg)
+    decoder, dvars = load_model("hifigan", cfg, dtype=train_dtype(cfg))
     # decoder init via registry only covers the g= path; re-init with a ref
     # mel so the speaker encoder gets params too
     dummy_lat = jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim))
