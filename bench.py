@@ -85,6 +85,60 @@ def synthetic_inputs(tts, cfg, text_len: int = 50, return_wav: bool = False):
     return cond_mel, text_tokens
 
 
+def _bench_train_gan(cfg, args, bs, steps, rng):
+    """HiFi-GAN family: the two-optimizer GAN step (generator + MPD/MSD +
+    multi-scale STFT losses, frozen GPT latents online —
+    ttts/hifigan/train_ms.py:62-121) on 2 s crops."""
+    from xtts_tpu.models.hifigan_discriminator import HifiganDiscriminator
+    from xtts_tpu.train.gan import GANTrainer, make_hifigan_generator_fn
+    from xtts_tpu.utils.registry import load_model
+
+    from xtts_tpu.train.cli import train_dtype
+    decoder, _ = load_model("hifigan", cfg, dtype=train_dtype(cfg))
+    dvars = jax.jit(decoder.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim)),
+        ref_mel16k=jnp.zeros((1, 16, 64)))
+    disc = HifiganDiscriminator()
+    disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(1),
+                                   jnp.zeros((1, 2048)))
+    gpt, gv = load_model("gpt", cfg, weights_path=args.gpt_weights)
+    dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
+    gan = GANTrainer(make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv),
+                     lambda p, wav: disc.apply({"params": p}, wav),
+                     g_lr=cfg.train.lr, d_lr=cfg.train.lr,
+                     grad_clip=cfg.train.grad_clip)
+    state = gan.init_state(dvars["params"], disc_vars["params"])
+
+    # crop length in seconds (BENCH_TRAIN_SECONDS; tiny CPU smoke uses <1)
+    secs = float(os.environ.get("BENCH_TRAIN_SECONDS", 2.0))
+    wav_len = int(secs * cfg.mel.sample_rate) // 256 * 256
+    frames = wav_len // cfg.mel.hop_length
+    batch = {
+        "wav": jnp.asarray(
+            rng.standard_normal((bs, wav_len)).astype(np.float32) * 0.1),
+        "mel": jnp.asarray(rng.standard_normal(
+            (bs, cfg.mel.n_mels, frames)).astype(np.float32) * 0.1),
+        "refer_mel16": jnp.asarray(
+            rng.standard_normal((bs, 300, 64)).astype(np.float32) * 0.1),
+        "wav_length": jnp.full((bs,), wav_len, jnp.int32)}
+
+    key = jax.random.PRNGKey(0)
+    state, metrics = gan.step(state, batch, key)        # compile
+    float(metrics["g_loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = gan.step(state, batch, jax.random.fold_in(key, i))
+    g_loss = float(metrics["g_loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "train_hifigan_samples_per_sec",
+        "value": round(steps * bs / dt, 2), "unit": "samples/s",
+        "vs_baseline": None,
+        "steps_per_sec": round(steps / dt, 3), "batch": bs, "steps": steps,
+        "final_g_loss": round(g_loss, 4),
+        "final_d_loss": round(float(metrics["d_loss"]), 4)}))
+
+
 def bench_train():
     """Training-step throughput (samples/s) for one trainer family.
 
@@ -106,7 +160,7 @@ def bench_train():
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", 10))
     remat = os.environ.get("BENCH_REMAT", "none")
     defaults = {"gpt": 8, "vqvae": 64, "diffusion": 16, "clvp": 64,
-                "classifier": 64}
+                "classifier": 64, "hifigan": 8}
     bs = int(os.environ.get("BENCH_TRAIN_BS", defaults[family]))
 
     # BENCH_CONFIG: XTTSConfig JSON override (tiny configs for CPU smoke)
@@ -115,10 +169,14 @@ def bench_train():
     cfg = cfg.replace(train=cfg.train.replace(
         accum_grad=1, batch_size=bs, remat=remat, warmup_steps=10))
     args = types.SimpleNamespace(dvae_weights=None, gpt_weights=None)
-    loss_fn, params, cols, _ = build_loss(family, cfg, args)
 
     rng = np.random.default_rng(0)
     bins = cfg.mel.n_mels
+
+    if family == "hifigan":
+        return _bench_train_gan(cfg, args, bs, steps, rng)
+
+    loss_fn, params, cols, _ = build_loss(family, cfg, args)
 
     def mel(frames):
         return jnp.asarray(

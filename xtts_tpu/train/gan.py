@@ -137,7 +137,9 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
             wav_hat = wav_hat[:, :t]
         else:
             wav_hat = jnp.pad(wav_hat, ((0, 0), (0, t - wav_hat.shape[1])))
-        return wav_hat
+        # losses (multi-scale STFT rfft, L1) and discriminators run f32 even
+        # when the generator computes in bf16 (f32-losses convention)
+        return wav_hat.astype(jnp.float32)
 
     return gen_fn
 
