@@ -505,7 +505,9 @@ class GaussianDiffusion:
         if noise is None:
             noise = jax.random.normal(key, x_start.shape)
         x_t = self.q_sample(x_start, t, noise)
-        model_output = model_fn(x_t, self.map_t(t))
+        # loss math runs f32 even for bf16-compute models (the vb term's
+        # log-variance/KL chain is precision-sensitive)
+        model_output = model_fn(x_t, self.map_t(t)).astype(jnp.float32)
         eps, var_frac = jnp.split(model_output, 2, axis=1)
 
         frozen = jnp.concatenate([jax.lax.stop_gradient(eps), var_frac], axis=1)
