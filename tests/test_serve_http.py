@@ -1,0 +1,114 @@
+"""HTTP serving front-end tests (examples/serve_http.py) on the tiny config.
+
+Covers the deployable layer above BatchServer: JSON request parsing, WAV
+response framing, sentence splitting into the shared microbatch window,
+per-request voice caching, and error paths.
+"""
+import importlib.util
+import io
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from test_api_e2e import MEL_BINS, TINY
+from xtts_tpu.infer.api import TTSSettings, TextToSpeech
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "serve_http", os.path.join(ROOT, "examples", "serve_http.py"))
+serve_http = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(serve_http)
+
+
+@pytest.fixture(scope="module")
+def svc():
+    tts = TextToSpeech(TINY, rng=jax.random.PRNGKey(0))
+    cond = np.zeros(4000, np.float32)
+    s = serve_http.SynthesisService(
+        tts, cond, settings=TTSSettings(max_mel_tokens=8), max_batch=4,
+        window_ms=5.0)
+    yield s
+    s.close()
+
+
+@pytest.fixture(scope="module")
+def url(svc):
+    httpd = serve_http.serve(svc, "127.0.0.1", 0)
+    host, port = httpd.server_address[:2]
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/tts", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=600)
+
+
+def test_healthz(url):
+    with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+        assert r.status == 200
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_tts_returns_wav(url, svc):
+    with _post(url, {"text": "你好。世界！"}) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == svc.sample_rate
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        assert w.getnframes() > 0
+
+
+def test_concurrent_requests_microbatch(url):
+    """Two handler threads submit into one BatchServer window; both succeed."""
+    out = {}
+
+    def hit(k):
+        with _post(url, {"text": "你好。"}) as r:
+            out[k] = (r.status, len(r.read()))
+
+    ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert all(v[0] == 200 and v[1] > 44 for v in out.values())  # >WAV header
+
+
+def test_per_request_voice_path(url, svc, tmp_path_factory):
+    from xtts_tpu.data.audio import save_wav
+    p = str(tmp_path_factory.mktemp("voice") / "ref.wav")
+    rng = np.random.default_rng(1)
+    save_wav(p, (rng.standard_normal(6000) * 0.1).astype(np.float32), 24000)
+    with _post(url, {"text": "你好。", "voice_path": p}) as r:
+        assert r.status == 200 and len(r.read()) > 44
+    assert p in svc._voice_cache          # cached after first use
+    with _post(url, {"text": "你好。", "voice_path": p}) as r:
+        assert r.status == 200
+
+
+def test_bad_request_and_unknown_path(url):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(url, {"lang": "ZH"})        # missing "text"
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(url + "/nope", timeout=60)
+    assert ei.value.code == 404
+
+
+def test_wav_bytes_roundtrip():
+    wav = np.sin(np.linspace(0, 40, 2400)).astype(np.float32) * 0.5
+    data = serve_http.wav_bytes(wav, 24000)
+    with wave.open(io.BytesIO(data)) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    np.testing.assert_allclose(pcm / 32767.0, wav, atol=1e-4)
