@@ -124,3 +124,61 @@ class TestMelNorm:
         x = jnp.asarray(rng.standard_normal((1, 5, 3)).astype(np.float32))
         y = nearest_resize_time(x, 20)
         np.testing.assert_allclose(np.asarray(y), np.repeat(np.asarray(x), 4, 1))
+
+
+class TestPatchDropout:
+    """CLIP PatchDropout (cldm/transformer.py:49-83, applied at :513;
+    config.yaml clip.patch_dropout=0.4 — training only)."""
+
+    def test_eval_path_unchanged(self, model_and_vars, rng):
+        """train=False (default) must be the exact pre-dropout behavior."""
+        model, variables = model_and_vars
+        x, t, hint, refer = _inputs(rng)
+        o1 = model.apply(variables, x, t, hint, refer)
+        o2 = model.apply(variables, x, t, hint, refer, train=False)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_train_drops_patches(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        x, t, hint, refer = _inputs(rng, tr=40)      # 10 patches at size 4
+        o_eval = model.apply(variables, x, t, hint, refer)
+        o_tr = model.apply(variables, x, t, hint, refer, train=True,
+                           rngs={"patch_drop": jax.random.PRNGKey(7)})
+        assert o_tr.shape == o_eval.shape            # output length unchanged
+        assert np.isfinite(np.asarray(o_tr)).all()
+        # the full random-init forward is zero (zero-init out_conv), so
+        # assert the dropout effect at the context-encoder stage: fewer
+        # tokens AND a different cls representation
+        c_eval = model.apply(variables, refer,
+                             method=model.encode_reference)
+        c_tr = model.apply(variables, refer, train=True,
+                           method=model.encode_reference,
+                           rngs={"patch_drop": jax.random.PRNGKey(7)})
+        assert c_tr.shape[1] == 1 + 6 and c_eval.shape[1] == 1 + 10
+        assert not np.allclose(np.asarray(c_tr[:, 0]), np.asarray(c_eval[:, 0]))
+        # deterministic given the rng
+        o_tr2 = model.apply(variables, x, t, hint, refer, train=True,
+                            rngs={"patch_drop": jax.random.PRNGKey(7)})
+        np.testing.assert_array_equal(np.asarray(o_tr), np.asarray(o_tr2))
+
+    def test_zero_prob_train_equals_eval(self, rng):
+        cfg = CFG.replace(clip=CFG.clip.replace(patch_dropout=0.0))
+        model = AADiffusion(cfg)
+        x, t, hint, refer = _inputs(rng)
+        variables = model.init(jax.random.PRNGKey(0), x, t, hint, refer)
+        o_eval = model.apply(variables, x, t, hint, refer)
+        o_tr = model.apply(variables, x, t, hint, refer, train=True,
+                           rngs={"patch_drop": jax.random.PRNGKey(1)})
+        np.testing.assert_array_equal(np.asarray(o_eval), np.asarray(o_tr))
+
+    def test_keep_count_semantics(self, rng):
+        """Kept patch count == max(1, int(n*(1-p))) like the reference."""
+        from xtts_tpu.models.aa_diffusion import CLIPRefEncoder
+        cfg = CFG.clip.replace(patch_dropout=0.4)
+        enc = CLIPRefEncoder(cfg)
+        mel = jnp.asarray(rng.standard_normal((2, 40, 8)).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), mel)
+        out = enc.apply(variables, mel, train=True,
+                        rngs={"patch_drop": jax.random.PRNGKey(2)})
+        # 10 patches -> keep 6, +1 cls token
+        assert out.shape == (2, 7, cfg.width)

@@ -123,3 +123,88 @@ class TestInterpolationParity:
                 mode="linear", align_corners=False
             ).numpy().transpose(0, 2, 1)
             np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+class TestTransposedConvParity:
+    """DVAE use_transposed_convs path: flax Conv(input_dilation=s) must
+    reproduce torch ConvTranspose1d(k, s, p=(k-1)//2) exactly
+    (xtts_dvae.py:241,273 — the reference class default; the shipped config
+    uses UpsampledConv instead)."""
+
+    def test_conv_transpose1d_math(self):
+        import torch
+
+        torch.manual_seed(0)
+        b, cin, cout, L, k, s, p = 2, 6, 5, 9, 3, 2, 1
+        tconv = torch.nn.ConvTranspose1d(cin, cout, k, stride=s, padding=p)
+        x = torch.randn(b, cin, L)
+        with torch.no_grad():
+            ref = tconv(x).numpy()                       # (B, cout, 2L-1)
+        assert ref.shape == (b, cout, s * L - 1)
+
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        # correlation kernel = torch weight flipped in k, (in,out) -> (k,i,o)
+        w = tconv.weight.detach().numpy()                # (cin, cout, k)
+        kernel = jnp.asarray(w[:, :, ::-1].transpose(2, 0, 1).copy())
+        bias = jnp.asarray(tconv.bias.detach().numpy())
+        conv = nn.Conv(cout, (k,), input_dilation=(s,), padding=((p, p),))
+        variables = {"params": {"kernel": kernel, "bias": bias}}
+        out = conv.apply(variables,
+                         jnp.asarray(x.numpy().transpose(0, 2, 1)))
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref,
+                                   atol=2e-6)
+
+    def test_dvae_transposed_silu_config(self):
+        """The config fields select real architecture: transposed decoder
+        lengths (s*L-1 per layer, so 4N-3 after two layers — same as the
+        reference's torch path, whose training loss shape-errors identically)
+        and silu-vs-relu divergence. Module-level because the full training
+        forward requires matching recon length (UpsampledConv only)."""
+        import jax
+        import jax.numpy as jnp
+
+        from xtts_tpu.core.config import DVAEConfig
+        from xtts_tpu.models.dvae import DVAEDecoder, DVAEEncoder
+
+        base = DVAEConfig(channels=8, num_tokens=32, hidden_dim=16,
+                          num_resnet_blocks=1, codebook_dim=16, num_layers=2)
+        n = 8
+        lat = jnp.asarray(np.random.default_rng(0)
+                          .standard_normal((1, n, 16)).astype(np.float32))
+        outs = {}
+        for name, cfg in [
+                ("up_relu", base),
+                ("tr_relu", base.replace(use_transposed_convs=True)),
+                ("up_silu", base.replace(activation="silu"))]:
+            dec = DVAEDecoder(cfg)
+            v = dec.init(jax.random.PRNGKey(0), lat)
+            outs[name] = np.asarray(dec.apply(v, lat))   # (B, T, mel)
+        assert outs["up_relu"].shape[1] == 4 * n
+        # two k3/s2/p1 transposed layers: 2(2N-1)-1 = 4N-3 (torch parity)
+        assert outs["tr_relu"].shape[1] == 4 * n - 3
+        assert outs["up_silu"].shape == outs["up_relu"].shape
+        assert not np.allclose(outs["up_silu"], outs["up_relu"])
+
+        mel = jnp.asarray(np.random.default_rng(1)
+                          .standard_normal((1, 32, 8)).astype(np.float32))
+        enc_r = DVAEEncoder(base)
+        enc_s = DVAEEncoder(base.replace(activation="silu"))
+        v = enc_r.init(jax.random.PRNGKey(0), mel)
+        assert not np.allclose(np.asarray(enc_r.apply(v, mel)),
+                               np.asarray(enc_s.apply(v, mel)))
+
+    def test_unknown_activation_raises(self):
+        import jax
+        import jax.numpy as jnp
+
+        from xtts_tpu.core.config import DVAEConfig
+        from xtts_tpu.models.dvae import DVAE
+
+        cfg = DVAEConfig(channels=8, num_tokens=32, hidden_dim=16,
+                         num_resnet_blocks=1, codebook_dim=16, num_layers=2,
+                         activation="tanh")
+        with pytest.raises(NotImplementedError):
+            DVAE(cfg).init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32)))

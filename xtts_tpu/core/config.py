@@ -175,6 +175,10 @@ class CLIPRefConfig(ConfigBase):
     """CLIP-style reference-mel encoder (ttts/diffusion/config.yaml "clip",
     ttts/diffusion/cldm/cond_emb.py:144-186)."""
 
+    # pooled-path output projection dim (cond_emb.py:106). The LIVE path —
+    # encode_image's full-sequence early return (transformer.py:503-520),
+    # what AA_diffusion consumes — never applies that projection, so this
+    # field only documents the reference config (context_dim == width)
     embed_dim: int = 512
     width: int = 512
     layers: int = 6
@@ -220,14 +224,28 @@ class DiffusionProcessConfig(ConfigBase):
 
     timesteps: int = 1000
     schedule: str = "linear"
+    # the next three document the only combination the live reference uses
+    # (epsilon + learned_range + mse, train_ms.py:132-137); GaussianDiffusion
+    # hardcodes that math, so any other value is rejected at construction
     model_mean_type: str = "epsilon"
     model_var_type: str = "learned_range"
     loss_type: str = "mse"
+    # inference default step count (test.py:84); runtime knob is
+    # TTSSettings.diffusion_steps
     sampling_timesteps: int = 50
     sampler: str = "dpm++2m"
     conditioning_free: bool = True
     conditioning_free_k: float = 2.0
     ramp_conditioning_free: bool = True
+
+    def __post_init__(self):
+        fixed = {"model_mean_type": "epsilon",
+                 "model_var_type": "learned_range", "loss_type": "mse"}
+        for k, want in fixed.items():
+            if getattr(self, k) != want:
+                raise NotImplementedError(
+                    f"{k}={getattr(self, k)!r}: only {want!r} is implemented "
+                    f"(the only mode the reference's live path uses)")
 
 
 @dataclass(frozen=True)
@@ -260,6 +278,9 @@ class CLVPConfig(ConfigBase):
     num_speech_tokens: int = 8192
     speech_enc_depth: int = 20
     speech_heads: int = 16
+    # reference xtransformers max_seq_len (absolute-pos fallback table);
+    # the rotary encoders here are length-free, so this only documents the
+    # reference config (clvp/config.json)
     speech_seq_len: int = 250
     use_xformers: bool = False
 
@@ -301,6 +322,8 @@ class HiFiGANConfig(ConfigBase):
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
     d_vector_dim: int = 512
     cond_d_vector_in_each_upsampling_layer: bool = True
+    # mirrors dsp.mel.SPEAKER_ENCODER_MEL_CONFIG.sample_rate (the actual
+    # source of truth for speaker_mel_from_wav) — hifigan/config.json parity
     speaker_encoder_audio_config_sr: int = 16000
     # "layer" for our own training; "affine" = folded eval-mode BatchNorm,
     # the layout produced by hifigan_from_reference checkpoint conversion

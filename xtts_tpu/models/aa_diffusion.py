@@ -295,7 +295,7 @@ class CLIPRefEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, mel_btc):
+    def __call__(self, mel_btc, train: bool = False):
         c = self.cfg
         b = mel_btc.shape[0]
         scale = c.width ** -0.5
@@ -312,6 +312,18 @@ class CLIPRefEncoder(nn.Module):
                          nn.initializers.normal(scale),
                          (c.max_patches + 1, c.width))
         x = x + pos[: x.shape[1]].astype(x.dtype)
+        if train and c.patch_dropout > 0.0:
+            # PatchDropout (transformer.py:49-83, applied after pos-embed at
+            # :513; config.yaml clip.patch_dropout=0.4 during training):
+            # keep a random max(1, int(n*(1-p))) patch subset per row, cls
+            # token always kept. Static keep-count -> static shapes.
+            cls_tok, patches = x[:, :1], x[:, 1:]
+            n = patches.shape[1]
+            keep = max(1, int(n * (1.0 - c.patch_dropout)))
+            rand = jax.random.normal(self.make_rng("patch_drop"), (b, n))
+            _, idx = jax.lax.top_k(rand, keep)                  # (B, keep)
+            patches = jnp.take_along_axis(patches, idx[..., None], axis=1)
+            x = jnp.concatenate([cls_tok, patches], axis=1)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(x.dtype)
         heads = c.width // c.head_width
         for i in range(c.layers):
@@ -360,9 +372,11 @@ class AADiffusion(nn.Module):
 
     # --- stages (so inference can hoist/batch) ---
 
-    def encode_reference(self, refer_bct: jnp.ndarray) -> jnp.ndarray:
-        """CLIP context tokens — timestep-independent."""
-        return self.refer_enc(jnp.swapaxes(refer_bct, 1, 2))
+    def encode_reference(self, refer_bct: jnp.ndarray,
+                         train: bool = False) -> jnp.ndarray:
+        """CLIP context tokens — timestep-independent. train=True enables
+        the reference's PatchDropout regularizer (needs a 'patch_drop' rng)."""
+        return self.refer_enc(jnp.swapaxes(refer_bct, 1, 2), train=train)
 
     def reference_features(self, refer_bct, t, refer_cross):
         """ReferenceNet control features for timestep t (list of (B,Tr,C))."""
@@ -393,11 +407,14 @@ class AADiffusion(nn.Module):
 
     def __call__(self, x_bct, t, hint_bct, refer_bct,
                  conditioning_free: bool = False,
-                 uncond_mask: Optional[jnp.ndarray] = None):
+                 uncond_mask: Optional[jnp.ndarray] = None,
+                 train: bool = False):
         """Reference-facsimile forward (aa_model.py:329-339).
 
         uncond_mask: optional (B,) bool — training CFG dropout already drawn
-        by the caller (get_uncond_batch semantics)."""
+        by the caller (get_uncond_batch semantics).
+        train: enable CLIP PatchDropout (training only; pass a 'patch_drop'
+        rng via apply(..., rngs={'patch_drop': key}))."""
         b, _, t_x = x_bct.shape
         if conditioning_free:
             hint_bct = self.uncond_hint(b, t_x)
@@ -407,7 +424,7 @@ class AADiffusion(nn.Module):
                 hint_bct = jnp.where(uncond_mask[:, None, None], uc, hint_bct)
             hint_bct = jnp.swapaxes(
                 nearest_resize_time(jnp.swapaxes(hint_bct, 1, 2), t_x), 1, 2)
-        refer_cross = self.encode_reference(refer_bct)
+        refer_cross = self.encode_reference(refer_bct, train=train)
         control = self.reference_features(refer_bct, t, refer_cross)
         return self.denoise(x_bct, t, hint_bct, refer_cross, control)
 

@@ -34,18 +34,28 @@ from xtts_tpu.ops.vq import vq_nearest
 Dtype = Any
 
 
+def _activation(name: str):
+    """relu | silu, like the reference ctor (xtts_dvae.py:246-251)."""
+    if name == "relu":
+        return nn.relu
+    if name == "silu":
+        return nn.silu
+    raise NotImplementedError(f"DVAE activation {name!r} (relu|silu)")
+
+
 class ResBlock(nn.Module):
     """conv3-act-conv3-act-conv1 + x (ttts/vqvae/xtts_dvae.py:172-184)."""
 
     chan: int
     dtype: Dtype = jnp.float32
+    act: Any = nn.relu
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.chan, (3,), padding=1, dtype=self.dtype)(x)
-        h = nn.relu(h)
+        h = self.act(h)
         h = nn.Conv(self.chan, (3,), padding=1, dtype=self.dtype)(h)
-        h = nn.relu(h)
+        h = self.act(h)
         h = nn.Conv(self.chan, (1,), dtype=self.dtype)(h)
         return h + x
 
@@ -58,15 +68,16 @@ class DVAEEncoder(nn.Module):
     def __call__(self, x):
         """(B, T, mel) -> (B, T/4, codebook_dim) pre-VQ logits."""
         c = self.cfg
+        act = _activation(c.activation)
         chans = [c.hidden_dim * 2 ** i for i in range(c.num_layers)]
         pad = (c.kernel_size - 1) // 2
         for out_ch in chans:
             x = nn.Conv(out_ch, (c.kernel_size,), strides=(c.stride,),
                         padding=pad, dtype=self.dtype)(x)
-            x = nn.relu(x)
+            x = act(x)
         inner = chans[-1]
         for i in range(c.num_resnet_blocks):
-            x = ResBlock(inner, dtype=self.dtype, name=f"res{i}")(x)
+            x = ResBlock(inner, dtype=self.dtype, act=act, name=f"res{i}")(x)
         return nn.Conv(c.codebook_dim, (1,), dtype=self.dtype, name="to_codes")(x)
 
 
@@ -78,6 +89,7 @@ class DVAEDecoder(nn.Module):
     def __call__(self, x, return_penult: bool = False):
         """(B, N, codebook_dim) -> (B, 4N, mel)."""
         c = self.cfg
+        act = _activation(c.activation)
         enc_chans = [c.hidden_dim * 2 ** i for i in range(c.num_layers)]
         dec_chans = list(reversed(enc_chans))           # [1024, 512]
         inner = dec_chans[0]
@@ -85,14 +97,24 @@ class DVAEDecoder(nn.Module):
 
         x = nn.Conv(inner, (1,), dtype=self.dtype, name="from_codes")(x)
         for i in range(c.num_resnet_blocks):
-            x = ResBlock(inner, dtype=self.dtype, name=f"res{i}")(x)
+            x = ResBlock(inner, dtype=self.dtype, act=act, name=f"res{i}")(x)
         io = list(zip([inner] + dec_chans, dec_chans))   # [(1024,1024),(1024,512)]
         for i, (_, out_ch) in enumerate(io[: c.num_layers]):
-            # UpsampledConv: nearest x stride then conv (xtts_dvae.py:187-197)
-            x = jnp.repeat(x, c.stride, axis=1)
-            x = nn.Conv(out_ch, (c.kernel_size,), padding=pad, dtype=self.dtype,
-                        name=f"up{i}")(x)
-            x = nn.relu(x)
+            if c.use_transposed_convs:
+                # torch ConvTranspose1d(k, s, p=(k-1)//2) == zero-dilated
+                # correlation: out length = s*L - 1 for k=3/s=2/p=1
+                # (xtts_dvae.py:241,273; the reference class default — the
+                # shipped config uses UpsampledConv instead)
+                x = nn.Conv(out_ch, (c.kernel_size,),
+                            input_dilation=(c.stride,),
+                            padding=((pad, pad),), dtype=self.dtype,
+                            name=f"up{i}")(x)
+            else:
+                # UpsampledConv: nearest x stride then conv (xtts_dvae.py:187-197)
+                x = jnp.repeat(x, c.stride, axis=1)
+                x = nn.Conv(out_ch, (c.kernel_size,), padding=pad,
+                            dtype=self.dtype, name=f"up{i}")(x)
+            x = act(x)
         penult = x
         out = nn.Conv(c.channels, (1,), dtype=self.dtype, name="to_mel")(x)
         if return_penult:

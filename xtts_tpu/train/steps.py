@@ -35,7 +35,8 @@ def make_dvae_loss(model: DVAE, commitment_weight: float = 0.25,
                               for k in ("embed", "cluster_size", "embed_avg")})
         # under jit+GSPMD the sums over the data-sharded batch already
         # all-reduce; in shard_map contexts pass axis_name instead
-        new_cb = ema_codebook_update(cb, osum, esum, decay=ema_decay)
+        new_cb = ema_codebook_update(cb, osum, esum, decay=ema_decay,
+                                     eps=model.cfg.ema_eps)
         new_cols = {"codebook": {"embed": new_cb.embed,
                                  "cluster_size": new_cb.cluster_size,
                                  "embed_avg": new_cb.embed_avg}}
@@ -97,7 +98,7 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
         resampler = LossSecondMomentResampler(gd.num_timesteps)
 
     def loss_fn(params, state_cols, batch, rng):
-        r_t, r_noise, r_uc = jax.random.split(rng, 3)
+        r_t, r_noise, r_uc, r_pd = jax.random.split(rng, 4)
         mel = batch["mel"]
         b = mel.shape[0]
 
@@ -126,9 +127,12 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
         uncond = jax.random.uniform(r_uc, (b,)) < unconditioned_percentage
 
         def model_fn(x_t_batch, t_orig):
+            # train=True enables the CLIP PatchDropout regularizer the
+            # reference trains with (config.yaml clip.patch_dropout=0.4)
             return diff.apply({"params": params}, x_t_batch, t_orig, latent,
                               normalize_tacotron_mel(batch["refer_mel"]),
-                              uncond_mask=uncond)
+                              uncond_mask=uncond, train=True,
+                              rngs={"patch_drop": r_pd})
 
         terms = gd.training_losses(model_fn, x_start, t, r_noise)
         loss = (terms["loss"] * w).mean()
