@@ -222,8 +222,8 @@ def decode_attention_dma(q: jnp.ndarray, k_cache: jnp.ndarray,
             # q is tiny: keep the whole (B, D) block in VMEM (a (1, D) block
             # would violate the 8-sublane tiling rule)
             pl.BlockSpec((bsz, d), lambda b, idx: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # k cache stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # v cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # k cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # v cache stays in HBM
         ],
         out_specs=pl.BlockSpec((bsz, d), lambda b, idx: (0, 0)),
         scratch_shapes=[
@@ -332,8 +332,8 @@ def decode_attention_batched(q: jnp.ndarray, k_cache: jnp.ndarray,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((bsz, d), lambda i, idx: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bsz, d), lambda i, idx: (0, 0)),
         scratch_shapes=[
