@@ -89,25 +89,10 @@ def _bench_train_gan(cfg, args, bs, steps, rng):
     """HiFi-GAN family: the two-optimizer GAN step (generator + MPD/MSD +
     multi-scale STFT losses, frozen GPT latents online —
     ttts/hifigan/train_ms.py:62-121) on 2 s crops."""
-    from xtts_tpu.models.hifigan_discriminator import HifiganDiscriminator
-    from xtts_tpu.train.gan import GANTrainer, make_hifigan_generator_fn
-    from xtts_tpu.utils.registry import load_model
+    from xtts_tpu.train.cli import build_gan_trainer
 
-    from xtts_tpu.train.cli import train_dtype
-    decoder, _ = load_model("hifigan", cfg, dtype=train_dtype(cfg))
-    dvars = jax.jit(decoder.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim)),
-        ref_mel16k=jnp.zeros((1, 16, 64)))
-    disc = HifiganDiscriminator()
-    disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(1),
-                                   jnp.zeros((1, 2048)))
-    gpt, gv = load_model("gpt", cfg, weights_path=args.gpt_weights)
-    dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
-    gan = GANTrainer(make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv),
-                     lambda p, wav: disc.apply({"params": p}, wav),
-                     g_lr=cfg.train.lr, d_lr=cfg.train.lr,
-                     grad_clip=cfg.train.grad_clip)
-    state = gan.init_state(dvars["params"], disc_vars["params"])
+    gan, state, _ = build_gan_trainer(cfg, gpt_weights=args.gpt_weights,
+                                      dvae_weights=args.dvae_weights)
 
     # crop length in seconds (BENCH_TRAIN_SECONDS; tiny CPU smoke uses <1)
     secs = float(os.environ.get("BENCH_TRAIN_SECONDS", 2.0))
@@ -161,7 +146,10 @@ def bench_train():
     remat = os.environ.get("BENCH_REMAT", "none")
     defaults = {"gpt": 8, "vqvae": 64, "diffusion": 16, "clvp": 64,
                 "classifier": 64, "hifigan": 8}
-    bs = int(os.environ.get("BENCH_TRAIN_BS", defaults[family]))
+    if family not in defaults:
+        raise SystemExit(f"BENCH_TRAIN_FAMILY={family!r}: "
+                         f"use one of {sorted(defaults)}")
+    bs = int(os.environ.get("BENCH_TRAIN_BS") or defaults[family])
 
     # BENCH_CONFIG: XTTSConfig JSON override (tiny configs for CPU smoke)
     cfg_path = os.environ.get("BENCH_CONFIG", "")

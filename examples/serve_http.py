@@ -68,15 +68,25 @@ class SynthesisService:
         self._voice_cache: dict = {}
         self._voice_lock = threading.Lock()
 
+    MAX_VOICES = 64   # bound the per-path conditioning-mel cache
+
     def _voice(self, path):
         if path is None:
             return None
         with self._voice_lock:
-            if path not in self._voice_cache:
-                from xtts_tpu.data.audio import load_wav
-                wav, _ = load_wav(path, self.tts.cfg.mel.sample_rate)
-                self._voice_cache[path] = self.tts.cond_mel_bucketed(wav)
-            return self._voice_cache[path]
+            if path in self._voice_cache:
+                return self._voice_cache[path]
+        # compute OUTSIDE the lock: the first-use mel program may compile
+        # for minutes over the tunnel and must not block cached requests
+        # (a rare duplicate compute for racing same-path requests is fine)
+        from xtts_tpu.data.audio import load_wav
+        wav, _ = load_wav(path, self.tts.cfg.mel.sample_rate)
+        mel = self.tts.cond_mel_bucketed(wav)
+        with self._voice_lock:
+            if len(self._voice_cache) >= self.MAX_VOICES:
+                self._voice_cache.pop(next(iter(self._voice_cache)))
+            self._voice_cache[path] = mel
+        return mel
 
     def synthesize(self, text: str, lang: str = "ZH",
                    voice_path=None) -> np.ndarray:
@@ -108,7 +118,7 @@ def make_handler(svc: SynthesisService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True,
-                                 "pending": svc.server._q.qsize()})
+                                 "pending": svc.server.pending()})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -119,8 +129,10 @@ def make_handler(svc: SynthesisService):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise TypeError("body must be a JSON object")
                 text = req["text"]
-            except (KeyError, ValueError) as e:
+            except (KeyError, ValueError, TypeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             try:

@@ -126,7 +126,11 @@ def main():
 
     print(f"profile_serving: B={B} K={K} steps={STEPS} max_gen={MAX_GEN} "
           f"ladder={LADDER}", flush=True)
-    stages(jax.random.PRNGKey(99))                    # compile
+    # compile pass: run every timed key once untimed so all code-length
+    # buckets are compiled before measurement (a different key can land in
+    # a different bucket -> full-model recompile inside a timed stage)
+    for i in range(REPS):
+        stages(jax.random.PRNGKey(i))
     rows = []
     for i in range(REPS):
         out, audio_s = stages(jax.random.PRNGKey(i))

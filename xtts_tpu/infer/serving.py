@@ -254,6 +254,11 @@ class BatchServer:
                      fut))
         return fut
 
+    def pending(self) -> int:
+        """Requests submitted but not yet packed into a device program
+        (health/observability surface for serving fronts)."""
+        return self._q.qsize()
+
     def close(self):
         """Stop the worker; requests still queued (submitted but never
         packed into a device program) get their futures CANCELLED rather

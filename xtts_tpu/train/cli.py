@@ -111,7 +111,11 @@ def train_dtype(cfg: XTTSConfig):
     context (ttts/gpt/train_ms.py:216-218, ttts/diffusion/train_ms.py:311),
     and VQ argmin / latent extraction feed targets whose precision matters."""
     import jax.numpy as jnp
-    return jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    table = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+    if cfg.train.dtype not in table:
+        raise ValueError(f"TrainConfig.dtype={cfg.train.dtype!r}: "
+                         f"use one of {sorted(table)}")
+    return table[cfg.train.dtype]
 
 
 def build_loss(model: str, cfg: XTTSConfig, args):
@@ -240,6 +244,38 @@ def build_eval_render(model: str, cfg: XTTSConfig, args, ctx):
     return None
 
 
+def build_gan_trainer(cfg: XTTSConfig, gpt_weights=None, dvae_weights=None):
+    """HiFi-GAN GANTrainer + init state + jittable generator fn
+    (ttts/hifigan/train_ms.py:62-121 setup). Shared by the CLI trainer and
+    the BENCH_PATH=train hifigan family so the bench measures the exact
+    production program."""
+    from xtts_tpu.models.hifigan_discriminator import HifiganDiscriminator
+    from xtts_tpu.train.gan import GANTrainer, make_hifigan_generator_fn
+    from xtts_tpu.utils.registry import load_model
+
+    import jax.numpy as jnp
+
+    decoder, _ = load_model("hifigan", cfg, dtype=train_dtype(cfg))
+    # decoder init via registry only covers the g= path; re-init with a ref
+    # mel so the speaker encoder gets params too
+    dummy_lat = jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim))
+    dummy_ref = jnp.zeros((1, 16, 64))
+    dvars = jax.jit(decoder.init)(jax.random.PRNGKey(cfg.train.seed),
+                                  dummy_lat, ref_mel16k=dummy_ref)
+    disc = HifiganDiscriminator()
+    disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(cfg.train.seed + 1),
+                                   jnp.zeros((1, 2048)))
+    gpt, gv = load_model("gpt", cfg, weights_path=gpt_weights)
+    dvae, dv = load_model("vqvae", cfg, weights_path=dvae_weights)
+
+    gen_fn = make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv)
+    disc_fn = lambda p, wav: disc.apply({"params": p}, wav)
+    trainer = GANTrainer(gen_fn, disc_fn, g_lr=cfg.train.lr,
+                         d_lr=cfg.train.lr, grad_clip=cfg.train.grad_clip)
+    state = trainer.init_state(dvars["params"], disc_vars["params"])
+    return trainer, state, gen_fn
+
+
 def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
     """GAN loop: HifiDecoder generator vs MPD+MSD (ttts/hifigan/train_ms.py),
     latents from frozen GPT+DVAE each step."""
@@ -247,11 +283,6 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
     from xtts_tpu.data.datasets import (HifiGANDataset, batch_iterator,
                                         collate_bucketed, read_filelist)
     from xtts_tpu.dsp.mel import MelFrontend
-    from xtts_tpu.models.hifigan_discriminator import HifiganDiscriminator
-    from xtts_tpu.train.gan import GANTrainer, make_hifigan_generator_fn
-    from xtts_tpu.utils.registry import load_model
-
-    import jax.numpy as jnp
 
     from xtts_tpu.dsp.mel import SPEAKER_ENCODER_MEL_CONFIG
     mel_fn = MelFrontend(cfg.mel)
@@ -263,25 +294,9 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
                              seed=cfg.train.seed)
     logger.info("hifigan dataset: %d samples", len(dataset))
 
-    decoder, dvars = load_model("hifigan", cfg, dtype=train_dtype(cfg))
-    # decoder init via registry only covers the g= path; re-init with a ref
-    # mel so the speaker encoder gets params too
-    dummy_lat = jnp.zeros((1, 8, cfg.hifigan.decoder_input_dim))
-    dummy_ref = jnp.zeros((1, 16, 64))
-    dvars = jax.jit(decoder.init)(jax.random.PRNGKey(cfg.train.seed),
-                                  dummy_lat, ref_mel16k=dummy_ref)
-    disc = HifiganDiscriminator()
-    disc_vars = jax.jit(disc.init)(jax.random.PRNGKey(cfg.train.seed + 1),
-                                   jnp.zeros((1, 2048)))
-    gpt, gv = load_model("gpt", cfg, weights_path=args.gpt_weights)
-    dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
-
-    gen_fn = make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv)
+    trainer, state, gen_fn = build_gan_trainer(
+        cfg, gpt_weights=args.gpt_weights, dvae_weights=args.dvae_weights)
     render_gen = jax.jit(gen_fn)
-    disc_fn = lambda p, wav: disc.apply({"params": p}, wav)
-    trainer = GANTrainer(gen_fn, disc_fn, g_lr=cfg.train.lr,
-                         d_lr=cfg.train.lr, grad_clip=cfg.train.grad_clip)
-    state = trainer.init_state(dvars["params"], disc_vars["params"])
 
     from xtts_tpu.core.checkpoint import CheckpointManager
     ckpt = CheckpointManager(os.path.join(args.model_dir, "ckpt"),
