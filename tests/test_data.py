@@ -470,3 +470,53 @@ class TestEvalMetrics:
             time.sleep(0.05)
         assert not any(t.name == "prefetch-fill" and t.is_alive()
                        for t in threading.enumerate())
+
+
+class TestEvaluateCLI:
+    """examples/evaluate.py — the reference's offline eval tool
+    (ttts/vqvae/inference.py:31-115) as a runnable CLI."""
+
+    def test_end_to_end(self, tmp_path, capsys):
+        import importlib.util
+        import json as _json
+
+        import jax
+
+        from xtts_tpu.core.config import (DVAEConfig, MelConfig, VocosConfig,
+                                          XTTSConfig)
+        from xtts_tpu.data.audio import save_wav
+
+        cfg = XTTSConfig(
+            mel=MelConfig(n_mels=16),
+            vqvae=DVAEConfig(channels=16, num_tokens=32, hidden_dim=8,
+                             num_resnet_blocks=1, codebook_dim=8,
+                             num_layers=2),
+            vocos=VocosConfig(input_channels=16, dim=16, intermediate_dim=32,
+                              num_layers=1, n_fft=64, hop_length=16))
+        cfg_p = str(tmp_path / "cfg.json")
+        cfg.to_json(cfg_p)
+        rng = np.random.default_rng(0)
+        lines = []
+        for i in range(2):
+            p = str(tmp_path / f"c{i}.wav")
+            save_wav(p, (rng.standard_normal(8000) * 0.1).astype(np.float32),
+                     24000)
+            # both filelist formats: bare path and 6-field
+            lines.append(p if i == 0 else f"k|{p}|s|ZH|x|y")
+        fl = str(tmp_path / "fl.txt")
+        with open(fl, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "evaluate_cli", os.path.join(root, "examples", "evaluate.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out_jsonl = str(tmp_path / "per.jsonl")
+        wav_dir = str(tmp_path / "renders")
+        mod.main(["--filelist", fl, "--config", cfg_p,
+                  "--out-jsonl", out_jsonl, "--wav-dir", wav_dir])
+        summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["n"] == 2 and np.isfinite(summary["mel_l1_mean"])
+        recs = [_json.loads(l) for l in open(out_jsonl)]
+        assert len(recs) == 2 and all("mel_l1" in r for r in recs)

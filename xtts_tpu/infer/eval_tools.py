@@ -34,15 +34,17 @@ def dvae_roundtrip(dvae, variables, mel: np.ndarray):
 def evaluate_dvae(dvae, variables, mel_paths: Sequence[str],
                   out_jsonl: Optional[str] = None,
                   vocos=None, vocos_vars=None, wav_dir: Optional[str] = None,
-                  sample_rate: int = 24000):
+                  sample_rate: int = 24000, mel_fn=None):
     """Filelist-scale DVAE eval (ttts/vqvae/inference.py semantics):
     per-clip mel-L1 + codebook usage; optional wav renders via Vocos.
 
+    mel_fn: optional frontend for raw-wav paths; without it only
+    pre-cached `.mel.npy` entries are scored.
     Returns summary dict {mel_l1_mean, codebook_usage, n}.
     """
     from xtts_tpu.data.datasets import MelCache
     from xtts_tpu.data.audio import save_wav
-    cache = MelCache()
+    cache = MelCache(mel_fn, sample_rate=sample_rate)
     results = []
     seen_codes: set = set()
     writer = open(out_jsonl, "w") if out_jsonl else None
