@@ -1,4 +1,4 @@
-"""HTTP serving front-end tests (examples/serve_http.py) on the tiny config.
+"""HTTP serving front-end tests (xtts_tpu.infer.http) on the tiny config.
 
 Covers the deployable layer above BatchServer: JSON request parsing, WAV
 response framing, sentence splitting into the shared microbatch window,
@@ -22,10 +22,7 @@ from xtts_tpu.infer.api import TTSSettings, TextToSpeech
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-spec = importlib.util.spec_from_file_location(
-    "serve_http", os.path.join(ROOT, "examples", "serve_http.py"))
-serve_http = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(serve_http)
+from xtts_tpu.infer import http as serve_http
 
 
 @pytest.fixture(scope="module")
