@@ -249,9 +249,12 @@ def main():
     spec = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
     _lad = os.environ.get("BENCH_CACHE_LADDER", "")
     cache_ladder = tuple(int(x) for x in _lad.split(",") if x) or None
+    # BENCH_KV_QUANT=1: int8 KV cache (scales folded into scores/probs) —
+    # halves the serving-batch cache stream; needs BENCH_QUANT=1
+    kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
     settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps,
                            speculative_render=spec,
-                           cache_ladder=cache_ladder)
+                           cache_ladder=cache_ladder, kv_quant=kv_quant)
 
     hop = cfg.mel.hop_length
 
@@ -350,7 +353,7 @@ def main():
         quality = TTSSettings(max_mel_tokens=max_gen,
                               diffusion_steps=diff_steps,
                               num_candidates=k_cand,
-                              cache_ladder=cache_ladder)
+                              cache_ladder=cache_ladder, kv_quant=kv_quant)
 
         def run_srv(key, use_diffusion, s):
             wavs = synthesize_batch(tts, reqs, cond_mel, s,

@@ -328,3 +328,27 @@ def test_from_pretrained_missing_falls_back(tmp_path, caplog):
         tts2 = TextToSpeech.from_pretrained(str(tmp_path), cfg=TINY)
     assert "no weights" in caplog.text
     assert "gpt" in tts2.vars       # random init present
+
+
+def test_kv_quant_setting(rng):
+    """TTSSettings.kv_quant routes the int8 KV cache through the API path
+    (near-lossless; exact pairing asserted in tests/test_qdecode.py) and is
+    rejected without the quantized engine."""
+    tts_q = TextToSpeech(TINY, rng=jax.random.PRNGKey(0),
+                         quantized_decode=True)
+    cond = jnp.asarray(rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    text = np.array([[1, 5, 6, 2]], np.int32)
+    s = TTSSettings(max_mel_tokens=8, temperature=1e-4, kv_quant=True)
+    out = tts_q.tts_tokens(text, cond, jax.random.PRNGKey(1), s,
+                           use_diffusion=False)
+    assert out["wav"].shape[1] > 0 and np.isfinite(out["wav"]).all()
+    base = tts_q.tts_tokens(text, cond, jax.random.PRNGKey(1),
+                            TTSSettings(max_mel_tokens=8, temperature=1e-4),
+                            use_diffusion=False)
+    # near-greedy + tiny model: int8 KV should not change the token path
+    assert out["wav"].shape == base["wav"].shape
+
+    tts_f = TextToSpeech(TINY, rng=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="kv_quant"):
+        tts_f.tts_tokens(text, cond, jax.random.PRNGKey(1), s,
+                         use_diffusion=False)

@@ -83,6 +83,11 @@ class TTSSettings:
     # reads dominate — large-B serving; None = monolithic cache. Ignored by
     # the fused B=1 engine.
     cache_ladder: Optional[tuple] = None
+    # int8 KV cache (quantized_decode engines only): per-(position, head)
+    # symmetric int8 K/V with scales folded into the attention scores/probs
+    # — halves the dominant serving-batch cache stream; near-lossless
+    # (tests/test_qdecode.py). Composes with cache_ladder.
+    kv_quant: bool = False
 
     @classmethod
     def preset(cls, name: str) -> "TTSSettings":
@@ -160,13 +165,17 @@ class TextToSpeech:
             ov = os.environ.get("XTTS_FUSED_DECODE")
             fused = (ov == "1" if ov is not None
                      else (cond.shape[0] == 1
-                           and jax.default_backend() == "tpu"))
+                           and jax.default_backend() == "tpu"
+                           and not settings.kv_quant))
             if fused and "fused" not in self._qtree:
                 from xtts_tpu.infer.qdecode import attach_fused_stack
                 attach_fused_stack(self._qtree, self.cfg.gpt)
             return generate_speech_quantized(
                 self.gpt, self.vars["gpt"], self._qtree, cond, text, key,
-                use_fused=fused, **kw)
+                use_fused=fused, quantize_kv_cache=settings.kv_quant, **kw)
+        if settings.kv_quant:
+            raise ValueError("TTSSettings.kv_quant needs "
+                             "TextToSpeech(quantized_decode=True)")
         return generate_speech(self.gpt, self.vars["gpt"], cond, text, key,
                                **kw)
 

@@ -239,16 +239,22 @@ def _decode_step_qkv(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
                                            (li, 0, index, 0))
         vsc = jax.lax.dynamic_update_slice(vsc, vs[None, :, None],
                                            (li, 0, index, 0))
-        k_all = kc[li].astype(jnp.bfloat16) * ksc[li][..., None].astype(jnp.bfloat16)
-        v_all = vc[li].astype(jnp.bfloat16) * vsc[li][..., None].astype(jnp.bfloat16)
+        # dequant FOLDED OUT of the cache operands: the dot consumes the
+        # int8 cache through a bare convert (operand-fusible — no (B,S,H,hd)
+        # bf16 cache copy materializes, the round-2 regression cause) and
+        # the per-(position, head) scales apply to the (B,H,S) scores/probs
+        # instead — mathematically the same row scaling, and MORE accurate
+        # (int8 values stay exact inside the f32-accumulating dot)
         logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
-                            k_all) * scale
-        pos = jnp.arange(k_all.shape[1])
+                            kc[li].astype(jnp.bfloat16))
+        logits = logits * jnp.swapaxes(ksc[li], 1, 2) * scale
+        pos = jnp.arange(kc[li].shape[1])
         valid = (pos <= index)[None, None, :]
         logits = jnp.where(valid, logits, NEG_INF)
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
-                           ).astype(jnp.bfloat16)
-        a = jnp.einsum("bhs,bshd->bhd", w, v_all).reshape(b, d)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        w = (w * jnp.swapaxes(vsc[li], 1, 2)).astype(jnp.bfloat16)
+        a = jnp.einsum("bhs,bshd->bhd", w,
+                       vc[li].astype(jnp.bfloat16)).reshape(b, d)
         x = x + qdot(a, lp["proj"], lp["proj_b"]).astype(x.dtype)
         h2 = _layer_norm(x, lp["ln_2"]).astype(jnp.bfloat16)
         m = gelu_new(qdot(h2, lp["fc"], lp["fc_b"])).astype(jnp.bfloat16)
