@@ -167,12 +167,20 @@ class TextToSpeech:
                      else (cond.shape[0] == 1
                            and jax.default_backend() == "tpu"
                            and not settings.kv_quant))
-            if fused and "fused" not in self._qtree:
+            # experimental fused batched serving step (ops/serving_step.py):
+            # whole B-row step in one pallas_call over an int8 row-quantized
+            # KV cache; opt-in via XTTS_FUSED_SERVING=1 until the on-chip
+            # A/B (scripts/ab_fused_serving.py) proves it in-program
+            fserv = (os.environ.get("XTTS_FUSED_SERVING") == "1"
+                     and not fused and cond.shape[0] in (8, 16)
+                     and not settings.kv_quant)
+            if (fused or fserv) and "fused" not in self._qtree:
                 from xtts_tpu.infer.qdecode import attach_fused_stack
                 attach_fused_stack(self._qtree, self.cfg.gpt)
             return generate_speech_quantized(
                 self.gpt, self.vars["gpt"], self._qtree, cond, text, key,
-                use_fused=fused, quantize_kv_cache=settings.kv_quant, **kw)
+                use_fused=fused, use_fused_serving=fserv,
+                quantize_kv_cache=settings.kv_quant, **kw)
         if settings.kv_quant:
             raise ValueError("TTSSettings.kv_quant needs "
                              "TextToSpeech(quantized_decode=True)")

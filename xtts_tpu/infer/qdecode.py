@@ -388,7 +388,8 @@ def _grow_cache_axis2(cache, new_s: int):
     jax.jit,
     static_argnames=("model", "max_gen", "do_sample", "top_p", "temperature",
                      "repetition_penalty", "cache_dtype",
-                     "quantize_kv_cache", "use_fused", "cache_ladder"),
+                     "quantize_kv_cache", "use_fused", "use_fused_serving",
+                     "cache_ladder"),
 )
 def generate_speech_quantized(
     model: UnifiedVoice,
@@ -405,6 +406,7 @@ def generate_speech_quantized(
     cache_dtype=jnp.bfloat16,
     quantize_kv_cache: bool = False,
     use_fused: bool = False,
+    use_fused_serving: bool = False,
     cache_ladder: Optional[tuple] = None,
 ) -> GenerateResult:
     """generate_speech with the int8 per-token engine. Prefill (one big
@@ -433,15 +435,26 @@ def generate_speech_quantized(
     b, p_len, _ = prefix.shape
     fused = (use_fused and b == 1 and not quantize_kv_cache
              and cache_dtype == jnp.bfloat16)
+    # fused batched serving step (ops/serving_step.py): whole step in one
+    # pallas_call over an int8 row-quantized KV cache; experimental
+    # (XTTS_FUSED_SERVING=1), B in {8, 16} only
+    fserv = (use_fused_serving and not fused and b in (8, 16)
+             and cache_dtype == jnp.bfloat16)
     from xtts_tpu.models.gpt_infer import ladder_caps
     caps = ladder_caps(cache_ladder, max_gen)
+    if fserv:
+        from xtts_tpu.ops.serving_step import _pick_chunk
+        s_cap = p_len + caps[-1]
+        chunk = _pick_chunk(b, d, s_cap)
 
     def seg_len(cap: int) -> int:
         # Mosaic DMA slices need 8-aligned sublane extents (CLAUDE.md):
-        # the fused kernel's per-layer cache DMA copies (s, D), so pad the
-        # cache length up; decode never reads past `index` so padding is
-        # inert
+        # the fused kernels' cache DMAs copy (s, D) / (B, Sc, D) blocks, so
+        # pad the cache length up (to a chunk multiple for the batched
+        # kernel); decode never reads past `index` so padding is inert
         s = p_len + cap
+        if fserv:
+            return -(-s // chunk) * chunk
         return -(-s // 8) * 8 if fused else s
 
     s_max = seg_len(caps[0])
@@ -453,10 +466,17 @@ def generate_speech_quantized(
             "use_fused=True but the qtree has no fused tile stack — build "
             "it with quantize_gpt_decode(..., include_fused=True) or "
             "attach_fused_stack(qtree, cfg)")
+    if fserv and "fused" not in qtree:
+        raise ValueError(
+            "use_fused_serving=True but the qtree has no fused tile stack — "
+            "build it with attach_fused_stack(qtree, cfg)")
     cache = KVCache.zeros(cfg.layers, b, s_max, cfg.heads,
                           cfg.model_dim // cfg.heads, dtype=cache_dtype)
     logits0, cache = model.apply(variables, prefix, cache, method=model.prefill)
-    if quantize_kv_cache:
+    if fserv:
+        from xtts_tpu.ops.serving_step import quantize_kv_rowwise
+        cache = quantize_kv_rowwise(cache, s_max)   # (kc, vc, ks, vs)
+    elif quantize_kv_cache:
         cache = quantize_kv(cache)
 
     if fused:
@@ -502,7 +522,21 @@ def generate_speech_quantized(
             # same mel-position convention as gpt_infer (reference quirk at
             # ttts/gpt/model.py:147-149 embeds code t at position n_cond+1+t)
             mel_pos = step + 1 + (n_cond if cfg.decode_position_quirk else 0)
-            if fused:
+            if fserv:
+                from xtts_tpu.ops import serving_step as _ss
+                kc, vc, ks, vs = cache
+                x = (qtree["mel_embedding"][tok]
+                     + qtree["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+                logits, kc, vc, ks, vs = _ss._fused_serving_logits(
+                    {k2: v2 for k2, v2 in qtree["fused"].items()
+                     if k2 != "pmat"},
+                    x, kc, vc, ks, vs, p_len + step,
+                    layers=cfg.layers, heads=cfg.heads,
+                    head_tiles=-(-vocab // d),
+                    interpret=jax.default_backend() != "tpu")
+                logits = logits[:, :vocab].astype(jnp.float32)
+                cache = (kc, vc, ks, vs)
+            elif fused:
                 kc, vc = cache
                 x = (qtree["mel_embedding"][tok]
                      + qtree["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
@@ -526,7 +560,13 @@ def generate_speech_quantized(
         new_s = seg_len(cap)
         if i:  # grow the cache into the next rung (zero-pad is exact)
             st = list(state)
-            if fused:
+            if fserv:
+                kc, vc, ks, vs = st[2]
+                dp = new_s - kc.shape[2]
+                pad4 = ((0, 0), (0, 0), (0, dp), (0, 0))
+                st[2] = (jnp.pad(kc, pad4), jnp.pad(vc, pad4),
+                         jnp.pad(ks, pad4[:-1]), jnp.pad(vs, pad4[:-1]))
+            elif fused:
                 # fused-path cache is a pair of (L, S, D) buffers; the
                 # kernel's per-layer DMA copies the WHOLE (S, D) cache, so
                 # smaller early rungs cut cache traffic directly
