@@ -49,12 +49,27 @@ NEG_INF = -1e9
 
 
 def _pick_chunk(b: int, d: int, s_max: int) -> int:
-    """Cache-chunk length: (B, Sc, D) int8 buffer ~<= 2 MB, 8-aligned,
-    and no longer than the (8-aligned) cache itself.
-    XTTS_SERVING_CHUNK overrides (tests/perf sweeps)."""
+    """Cache-chunk length: (B, Sc, D) int8 buffer ~<= 1 MB, 8-aligned,
+    and no longer than the (8-aligned) cache itself. 1 MB keeps the 4
+    double-buffered chunk slots at ~4 MB so the weight ring fits the
+    scoped-VMEM budget (see _pick_group). XTTS_SERVING_CHUNK overrides
+    (tests/perf sweeps)."""
     ov = os.environ.get("XTTS_SERVING_CHUNK")
-    sc = int(ov) if ov else max(8, (2 * (1 << 20)) // (b * d) // 8 * 8)
+    sc = int(ov) if ov else max(8, (1 << 20) // (b * d) // 8 * 8)
     return min(sc, -(-s_max // 8) * 8)
+
+
+def _pick_group(b: int, d: int, s_chunk: int, ring: int, group: int) -> int:
+    """Shrink the weight-DMA group until ring*group (D, D)-int8 tiles + the
+    4 chunk slots fit a ~12 MB scoped-VMEM budget (~2.5 MB aux on top of
+    the 16 MB limit) — same discipline as the B=1 path's fused_group
+    (infer/qdecode.py)."""
+    chunk_mb = 4 * b * s_chunk * d / (1 << 20)
+    tile_mb = d * d / (1 << 20)
+    g = group
+    while g > 1 and ring * g * tile_mb + chunk_mb > 12.0:
+        g //= 2
+    return g
 
 
 def _make_serving_kernel(layers: int, d: int, heads: int, s_max: int,
@@ -283,6 +298,7 @@ def _fused_serving_logits(stacked, x, kc, vc, ks, vs, index, layers, heads,
     s_max = kc.shape[2]
     s_chunk = _pick_chunk(b, d, s_max)
     assert s_max % s_chunk == 0, (s_max, s_chunk)
+    group = _pick_group(b, d, s_chunk, ring, group)
     kern = _make_serving_kernel(layers, d, heads, s_max, b, head_tiles,
                                 group, ring, s_chunk)
     idx = jnp.asarray(index, jnp.int32).reshape(1)
