@@ -75,6 +75,21 @@ def test_single_step_matches_xla_engine(index):
                                   np.asarray(kq0[:, :, mask]))
 
 
+def test_vmem_budget_invariant():
+    """Weight ring + the 4 chunk slots must stay under the ~12 MB scoped
+    budget (16 MB VMEM minus ~2.5 MB aux) at every supported shape."""
+    d = 1024
+    for b in (8, 16):
+        for s_max in (256, 512, 1024, 2048, 4096):
+            sc = serving_step._pick_chunk(b, d, s_max)
+            g = serving_step._pick_group(b, d, sc, decode_step.RING,
+                                         decode_step.GROUP)
+            total_mb = (decode_step.RING * g * d * d
+                        + 4 * b * sc * d) / (1 << 20)
+            assert total_mb <= 12.0, (b, s_max, sc, g, total_mb)
+            assert g >= 1 and sc % 8 == 0 and s_max % sc == 0
+
+
 def test_chunked_matches_single_chunk():
     """XTTS_SERVING_CHUNK=32 (4 chunks over S=128) must agree with the
     single-chunk kernel to online-softmax re-association tolerance."""
