@@ -292,3 +292,41 @@ def test_batch_server_close_cancels_queued(tts, cond_mel):
     srv._q.put((np.array([1, 4, 2], np.int32), None, None, f_stale))
     srv.close()
     assert f_stale.cancelled()
+
+
+def test_batch_buckets_match_unbucketed(tts, cond_mel):
+    """Dummy-row padding to a batch bucket must not change real rows
+    (row math is independent; near-greedy so draws don't matter)."""
+    tok = np.array([1, 3, 4, 2], np.int32)
+    reqs = [SynthesisRequest(tok) for _ in range(3)]
+    s = TTSSettings(max_mel_tokens=8, temperature=1e-4)
+    a = synthesize_batch(tts, reqs, cond_mel, s, use_diffusion=False,
+                         key=jax.random.PRNGKey(3))
+    b = synthesize_batch(tts, reqs, cond_mel, s, use_diffusion=False,
+                         key=jax.random.PRNGKey(3), batch_buckets=(4, 8))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+def test_batch_buckets_overflow_runs_unbucketed(tts, cond_mel):
+    """Counts above the largest bucket run as-is (no negative pad)."""
+    reqs = [SynthesisRequest(np.array([1, 3, 2], np.int32))] * 3
+    wavs = synthesize_batch(tts, reqs, cond_mel,
+                            TTSSettings(max_mel_tokens=6),
+                            use_diffusion=False, batch_buckets=(2,))
+    assert len(wavs) == 3 and all(np.isfinite(w).all() for w in wavs)
+
+
+def test_server_warmup_and_bucketed_submit(tts, cond_mel):
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6),
+                      max_batch=4, batch_buckets=(2, 4))
+    try:
+        assert srv.batch_buckets == (2, 4)
+        assert srv.warmup(text_lens=(4,), batch_sizes=(2,)) == 1
+        f = srv.submit(np.array([1, 3, 2], np.int32))
+        w = f.result(timeout=120)
+        assert w.size > 0 and np.isfinite(np.asarray(w)).all()
+    finally:
+        srv.close()

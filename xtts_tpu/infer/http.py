@@ -53,7 +53,8 @@ class SynthesisService:
 
     def __init__(self, tts, cond_wav: np.ndarray, settings=None,
                  max_batch: int = 8, window_ms: float = 20.0,
-                 use_diffusion: bool = False, use_hifigan: bool = False):
+                 use_diffusion: bool = False, use_hifigan: bool = False,
+                 batch_buckets=None):
         from xtts_tpu.infer.api import TTSSettings
         from xtts_tpu.infer.serving import BatchServer
 
@@ -65,9 +66,15 @@ class SynthesisService:
         self.server = BatchServer(tts, cond_mel, self.settings,
                                   max_batch=max_batch, window_ms=window_ms,
                                   use_diffusion=use_diffusion,
-                                  use_hifigan=use_hifigan, spk_mel16=spk)
+                                  use_hifigan=use_hifigan, spk_mel16=spk,
+                                  batch_buckets=batch_buckets)
         self._voice_cache: dict = {}
         self._voice_lock = threading.Lock()
+
+    def warmup(self, **kw) -> int:
+        """Precompile the (batch bucket x text bucket) serving grid —
+        see BatchServer.warmup."""
+        return self.server.warmup(**kw)
 
     MAX_VOICES = 64   # bound the per-path conditioning-mel cache
 
@@ -174,6 +181,15 @@ def main():
                          "DVAE-decode shortcut)")
     ap.add_argument("--hifigan", action="store_true",
                     help="HifiDecoder latent->wav render")
+    ap.add_argument("--batch-buckets", default="1,2,4,8",
+                    help="comma-separated row-count buckets (bounds the "
+                         "number of compiled programs; '' = one program "
+                         "per distinct arrival count)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the (batch bucket x text bucket) "
+                         "grid before accepting traffic (minutes over a "
+                         "tunneled chip, cached across restarts via "
+                         "JAX_COMPILATION_CACHE_DIR)")
     args = ap.parse_args()
 
     import jax
@@ -188,10 +204,16 @@ def main():
         tts = TextToSpeech(rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                            quantized_decode=True, with_hifigan=args.hifigan)
     cond, _ = load_wav(args.ref_wav, tts.cfg.mel.sample_rate)
+    buckets = tuple(int(x) for x in args.batch_buckets.split(",") if x) or None
     svc = SynthesisService(tts, cond, max_batch=args.max_batch,
                            window_ms=args.window_ms,
                            use_diffusion=args.diffusion,
-                           use_hifigan=args.hifigan)
+                           use_hifigan=args.hifigan,
+                           batch_buckets=buckets)
+    if args.warmup:
+        print("warming up the serving program grid ...", flush=True)
+        n = svc.warmup()
+        print(f"warmup done ({n} programs)", flush=True)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(svc))
     print(f"serving on http://{args.host}:{args.port}  "
           f"(POST /tts, GET /healthz)")

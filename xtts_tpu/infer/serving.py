@@ -69,7 +69,9 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
                      use_diffusion: bool = False,
                      key: Optional[jax.Array] = None,
                      use_hifigan: bool = False,
-                     spk_mel16: Optional[jnp.ndarray] = None) -> List[np.ndarray]:
+                     spk_mel16: Optional[jnp.ndarray] = None,
+                     batch_buckets: Optional[Sequence[int]] = None
+                     ) -> List[np.ndarray]:
     """Synthesize B utterances sharing one reference voice in one pass.
 
     Returns per-request waveforms trimmed to their true lengths.
@@ -77,6 +79,16 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     use_hifigan: render the B rows' GPT latents directly to waveform via
     the HifiDecoder (one batched program; needs with_hifigan=True and
     spk_mel16 from tts.speaker_mel_from_wav). Overrides use_diffusion.
+
+    batch_buckets: pad the ROW COUNT up to a bucket (e.g. (1, 2, 4, 8))
+    with dummy rows reusing request 0 (outputs dropped). B is a static
+    shape, so without bucketing every distinct arrival count compiles a
+    new multi-minute program over a tunneled chip; with it the program
+    count is bounded and BatchServer.warmup can precompile the whole grid.
+    Row math is independent, so real rows are unaffected up to reduction
+    order; sampled draws can differ from the unbucketed program (the
+    random tensor's shape includes B). Counts above the largest bucket
+    run unbucketed.
 
     Multi-chip: after tts.place_on_mesh(mesh), the request rows are padded
     to a multiple of the mesh's 'data' size, sharded over it, and GSPMD
@@ -88,6 +100,10 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     n_real = len(requests)
     if n_real == 0:
         return []
+    if batch_buckets:
+        bb = bucket_len(n_real, tuple(batch_buckets))
+        if bb > n_real:
+            requests = list(requests) + [requests[0]] * (bb - n_real)
     mesh = getattr(tts, "mesh", None)
     if mesh is not None:
         n_data = mesh.shape["data"]     # place_on_mesh guarantees the axis
@@ -222,7 +238,12 @@ class BatchServer:
                  max_batch: int = 8, window_ms: float = 20.0,
                  use_diffusion: bool = False,
                  use_hifigan: bool = False,
-                 spk_mel16: Optional[jnp.ndarray] = None):
+                 spk_mel16: Optional[jnp.ndarray] = None,
+                 batch_buckets: Optional[Sequence[int]] = None):
+        """batch_buckets: row-count buckets (see synthesize_batch) — bounds
+        the number of compiled programs to len(batch_buckets) per text
+        bucket instead of one per distinct arrival count, and makes
+        warmup() able to precompile the whole grid up front."""
         self.tts = tts
         self.cond_mel = cond_mel
         self.settings = settings
@@ -231,6 +252,9 @@ class BatchServer:
         self.use_diffusion = use_diffusion
         self.use_hifigan = use_hifigan
         self.spk_mel16 = spk_mel16
+        self.batch_buckets = (tuple(b for b in batch_buckets
+                                    if b <= max_batch)
+                              if batch_buckets else None)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._seq = 0
@@ -258,6 +282,39 @@ class BatchServer:
         """Requests submitted but not yet packed into a device program
         (health/observability surface for serving fronts)."""
         return self._q.qsize()
+
+    def warmup(self, text_lens: Optional[Sequence[int]] = None,
+               batch_sizes: Optional[Sequence[int]] = None) -> int:
+        """Precompile the serving programs for the expected shape grid.
+
+        Drives synthesize_batch synchronously (same jit caches as the
+        worker thread — one process, one chip) for every (batch bucket,
+        text bucket) pair, so the first real requests hit warm executables
+        instead of paying multi-minute tunnel compiles. Defaults: this
+        server's batch_buckets (or max_batch when unbucketed) x all text
+        buckets. The render compiles at whatever code bucket the warmup
+        generation lands in — near the max_mel_tokens cap with random or
+        peaked weights, which is also the bucket speculative_render uses.
+        Returns the number of programs driven. Call before serving
+        traffic; running it concurrently with traffic is safe but the
+        device serializes the programs."""
+        cfg = self.tts.cfg
+        if text_lens is None:
+            text_lens = (16, 32, 64, 128, 256, cfg.gpt.max_text_tokens)
+        bs = tuple(batch_sizes or self.batch_buckets or (self.max_batch,))
+        n = 0
+        for b in bs:
+            for t in text_lens:
+                toks = np.ones((min(t, cfg.gpt.max_text_tokens),), np.int32)
+                reqs = [SynthesisRequest(toks)] * b
+                synthesize_batch(self.tts, reqs, self.cond_mel,
+                                 self.settings,
+                                 use_diffusion=self.use_diffusion,
+                                 use_hifigan=self.use_hifigan,
+                                 spk_mel16=self.spk_mel16,
+                                 key=jax.random.PRNGKey(0))
+                n += 1
+        return n
 
     def close(self):
         """Stop the worker; requests still queued (submitted but never
@@ -316,6 +373,7 @@ class BatchServer:
                         use_diffusion=self.use_diffusion,
                         use_hifigan=self.use_hifigan,
                         spk_mel16=self.spk_mel16,
+                        batch_buckets=self.batch_buckets,
                         key=jax.random.PRNGKey(self._seq))
                     for f, w in zip(futs, wavs):
                         f.set_result(w)
