@@ -352,3 +352,32 @@ def test_kv_quant_setting(rng):
     with pytest.raises(ValueError, match="kv_quant"):
         tts_f.tts_tokens(text, cond, jax.random.PRNGKey(1), s,
                          use_diffusion=False)
+
+
+def test_fix_autoregressive_output():
+    """ttts/api.py:82-109 semantics: silence-fill from the first stop
+    token, calm tail (45, 45, 248), no-stop passthrough, quirky
+    always-true tail guard."""
+    from xtts_tpu.infer.api import fix_autoregressive_output
+
+    stop = 8193
+    codes = np.array([10, 20, stop, 30, stop, 40, 50, 60], np.int64)
+    fixed = fix_autoregressive_output(codes.copy(), stop)
+    # from the first stop onward -> 83, then the last 3 pinned
+    np.testing.assert_array_equal(fixed,
+                                  [10, 20, 83, 83, 83, 45, 45, 248])
+    # input not mutated (we pass a copy above; check fn copies too)
+    orig = np.array([1, stop, 2, 3, 4], np.int64)
+    out = fix_autoregressive_output(orig, stop)
+    assert orig[1] == stop
+    np.testing.assert_array_equal(out, [1, 83, 45, 45, 248])
+
+    # stop within 3 of the end: tail still written (reference quirk)
+    out2 = fix_autoregressive_output(
+        np.array([1, 2, 3, 4, stop], np.int64), stop)
+    np.testing.assert_array_equal(out2, [1, 2, 45, 45, 248])
+
+    # no stop token: unchanged (complain path)
+    plain = np.array([1, 2, 3], np.int64)
+    np.testing.assert_array_equal(
+        fix_autoregressive_output(plain, stop, complain=False), plain)

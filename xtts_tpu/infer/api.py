@@ -48,6 +48,46 @@ def bucket_len(n: int, buckets=(32, 64, 128, 256, 402)) -> int:
     return buckets[-1]
 
 
+def fix_autoregressive_output(codes: np.ndarray, stop_token: int,
+                              complain: bool = True) -> np.ndarray:
+    """Tortoise calm-token tail fix (ttts/api.py:82-109), host-side.
+
+    The tortoise DVAE was trained on zero-padded audio, so raw AR codes
+    (which end at the stop token with no padding) decode with a harsh
+    "BLAH" tail; the fix overwrites everything from the first stop token
+    with the DVAE's silence code (83) and pins the final three codes to
+    the codes that zero-padded audio actually ends with (45, 45, 248).
+    These constants are specific to the tortoise English DVAE — the live
+    Mandarin path (test.py:150) instead strips the last 2 codes and pads
+    with the GPT stop token, which is what tts()/tts_tokens() do. This
+    helper exists for users porting tortoise-path (ttts/api.py) code.
+
+    Quirk kept: the reference guards the tail write with
+    `stm - 3 < codes.shape[0]`, which is always true — so the tail is
+    always written whenever a stop token exists, even overwriting real
+    codes when the stop arrives fewer than 3 positions from the end.
+    Returns a copy; 1-D int codes in, same shape out.
+    """
+    codes = np.array(codes)
+    (idx,) = np.nonzero(codes == stop_token)
+    if idx.size == 0:
+        if complain:
+            print("No stop tokens found in one of the generated voice "
+                  "clips. This typically means the spoken audio is too "
+                  "long. In some cases, the output will still be good, "
+                  "though. Listen to it and if it is missing words, try "
+                  "breaking up your input text.")
+        return codes
+    stm = int(idx.min())
+    codes[idx] = 83
+    codes[stm:] = 83
+    if stm - 3 < codes.shape[0]:  # reference quirk: always true
+        codes[-3] = 45
+        codes[-2] = 45
+        codes[-1] = 248
+    return codes
+
+
 @dataclass
 class TTSSettings:
     """test.py:113-118 knobs."""
