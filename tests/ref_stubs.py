@@ -389,6 +389,12 @@ def install_reference_stubs() -> None:
     if "librosa" not in sys.modules:
         _build_librosa()
     _build_misc_stubs()
+    # scipy >= 1.13 moved signal.cosine to signal.windows.cosine; the
+    # reference MDCT/IMDCT ctors (ttts/vocoder/spectral_ops.py:95,151)
+    # use the old name.
+    import scipy.signal
+    if not hasattr(scipy.signal, "cosine"):
+        scipy.signal.cosine = scipy.signal.windows.cosine
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _installed = True

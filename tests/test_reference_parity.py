@@ -755,6 +755,73 @@ class TestVocosParity:
         np.testing.assert_allclose(got[:, :n], want[:, :n],
                                    rtol=1e-3, atol=1e-4)
 
+    def test_mdct_imdct_primitives(self):
+        """Matmul MDCT/IMDCT vs the reference FFT-twiddle modules
+        (ttts/vocoder/spectral_ops.py:78-191), both paddings."""
+        from ttts.vocoder.spectral_ops import IMDCT as RefIMDCT
+        from ttts.vocoder.spectral_ops import MDCT as RefMDCT
+        from xtts_tpu.dsp.spectral import imdct, mdct
+
+        rng = np.random.default_rng(5)
+        for n, pad in [(64, "same"), (64, "center"), (32, "same")]:
+            x = rng.standard_normal((2, 512)).astype(np.float32)
+            with torch.no_grad():
+                want_c = RefMDCT(frame_len=n, padding=pad)(
+                    torch.from_numpy(x)).numpy()
+            got_c = np.asarray(mdct(jnp.asarray(x), n, pad))
+            np.testing.assert_allclose(got_c, want_c, atol=1e-4)
+            c = rng.standard_normal(want_c.shape).astype(np.float32)
+            with torch.no_grad():
+                want_y = RefIMDCT(frame_len=n, padding=pad)(
+                    torch.from_numpy(c)).numpy()
+            got_y = np.asarray(imdct(jnp.asarray(c), n, pad))
+            np.testing.assert_allclose(got_y, want_y, atol=1e-4)
+
+    def test_imdct_heads_parity(self):
+        """IMDCTSymExpHead / IMDCTCosHead vs the reference heads
+        (ttts/vocoder/heads.py:70-157) on converted weights."""
+        from ttts.vocoder.heads import IMDCTCosHead as RefCos
+        from ttts.vocoder.heads import IMDCTSymExpHead as RefSym
+        from xtts_tpu.core.config import VocosConfig
+        from xtts_tpu.models.vocos import IMDCTCosHead, IMDCTSymExpHead
+        from xtts_tpu.utils.convert import linear, to_jax
+
+        torch.manual_seed(7)
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 12, 32)).astype(np.float32)  # (B, L, H)
+        for RefCls, Cls, head in [(RefSym, IMDCTSymExpHead, "imdct_symexp"),
+                                  (RefCos, IMDCTCosHead, "imdct_cos")]:
+            ref = RefCls(dim=32, mdct_frame_len=64, padding="same").eval()
+            with torch.no_grad():
+                want = ref(torch.from_numpy(x)).numpy()
+            cfg = VocosConfig(dim=32, mdct_frame_len=64, padding="same",
+                              head=head)
+            params = to_jax({"out": linear(ref.state_dict(), "out")})
+            got = np.asarray(Cls(cfg).apply({"params": params},
+                                            jnp.asarray(x)))
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_imdct_symexp_mel_init_scale(self):
+        """sample_rate-conditioned init: our kernel columns carry the same
+        1 - f/f_max mel-grid scale the reference multiplies into the torch
+        weight rows (ttts/vocoder/heads.py:94-101)."""
+        from xtts_tpu.core.config import VocosConfig
+        from xtts_tpu.models.vocos import (IMDCTSymExpHead,
+                                           _mel_perceptual_scale)
+
+        cfg = VocosConfig(dim=16, mdct_frame_len=32, head="imdct_symexp",
+                          head_sample_rate=24000)
+        v = IMDCTSymExpHead(cfg).init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 4, 16)))
+        k = np.asarray(v["params"]["out"]["kernel"])     # (in, out)
+        scale = _mel_perceptual_scale(24000, 16)
+        # column norms must follow the scale profile: zero where scale is 0
+        norms = np.linalg.norm(k, axis=0)
+        assert norms[-1] == 0.0 and norms[0] > 0
+        ratio = norms[1:-1] / scale[1:-1]
+        assert ratio.std() / ratio.mean() < 0.5  # same profile, noisy init
+
 
 # ---------------------------------------------------------------------------
 # CLVP (live use_xformers=False tower)

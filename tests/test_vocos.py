@@ -123,3 +123,40 @@ class TestEncodecVariant:
         want = want * torch.from_numpy(scale[2]) + torch.from_numpy(shift[2])
         np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-5,
                                    atol=2e-5)
+
+
+class TestFourierHeads:
+    def test_imdct_head_facade(self):
+        """Vocos with the IMDCT heads (ttts/vocoder/heads.py:70-157):
+        same decode surface, samples = frames * mdct_frame_len//2."""
+        from xtts_tpu.core.config import VocosConfig
+
+        for head in ("imdct_symexp", "imdct_cos"):
+            cfg = VocosConfig(input_channels=12, dim=16, intermediate_dim=32,
+                              num_layers=1, head=head, mdct_frame_len=32,
+                              head_sample_rate=(24000 if "sym" in head
+                                                else None))
+            m = Vocos(cfg)
+            mel = jnp.asarray(np.random.default_rng(0)
+                              .standard_normal((2, 12, 10), ).astype(np.float32))
+            v = m.init(jax.random.PRNGKey(0), mel)
+            wav = m.apply(v, mel)
+            assert wav.shape == (2, 10 * 16)
+            assert np.isfinite(np.asarray(wav)).all()
+
+    def test_unknown_head_rejected(self):
+        from xtts_tpu.core.config import VocosConfig
+        with pytest.raises(ValueError, match="unknown Vocos head"):
+            Vocos(VocosConfig(head="dct")).init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 100, 4)))
+
+    def test_clip_audio(self):
+        from xtts_tpu.core.config import VocosConfig
+        cfg = VocosConfig(input_channels=8, dim=16, intermediate_dim=32,
+                          num_layers=1, head="imdct_cos", mdct_frame_len=32,
+                          clip_audio=True)
+        m = Vocos(cfg)
+        mel = jnp.asarray(np.random.default_rng(1)
+                          .standard_normal((1, 8, 6)).astype(np.float32) * 5)
+        wav = m.apply(m.init(jax.random.PRNGKey(0), mel), mel)
+        assert float(jnp.abs(wav).max()) <= 1.0

@@ -259,6 +259,12 @@ class VocosConfig(ConfigBase):
     n_fft: int = 1024
     hop_length: int = 256
     padding: str = "same"
+    # Fourier head (ttts/vocoder/heads.py): "istft" (the live
+    # charactr/vocos-mel-24khz checkpoint), "imdct_symexp", "imdct_cos"
+    head: str = "istft"
+    mdct_frame_len: int = 1024          # IMDCT heads only
+    head_sample_rate: Optional[int] = None  # imdct_symexp mel-scale init
+    clip_audio: bool = False
 
 
 @dataclass(frozen=True)

@@ -101,31 +101,52 @@ def _mdct_basis(n: int) -> jnp.ndarray:
     return jnp.cos(jnp.pi / half * (k + 0.5 + half / 2) * (m + 0.5))
 
 
-def mdct(x: jnp.ndarray, frame_len: int) -> jnp.ndarray:
+def _mdct_pad(frame_len: int, padding: str) -> int:
+    """Edge zero-pad per side (ttts/vocoder/spectral_ops.py MDCT.forward
+    "same" = frame_len//4, "center" = frame_len//2)."""
+    if padding == "same":
+        return frame_len // 4
+    if padding == "center":
+        return frame_len // 2
+    raise ValueError("Padding must be 'center' or 'same'.")
+
+
+def mdct(x: jnp.ndarray, frame_len: int, padding: str = "same") -> jnp.ndarray:
     """Modified DCT of (B, T) -> (B, frames, frame_len//2) with sine window
-    and 50% overlap (ttts/vocoder/spectral_ops.py:78+ MDCT, "same" padding).
-    Direct matmul against the cosine basis — frame_len is small, so this is
-    one MXU matmul rather than the reference's FFT identity."""
+    and 50% overlap — numerically equal to the reference's FFT-twiddle MDCT
+    (ttts/vocoder/spectral_ops.py:78-131: zero edge pad, scipy cosine
+    window, sqrt(2/N) scaling). Direct matmul against the cosine basis —
+    frame_len is small, so this is one MXU matmul rather than the FFT
+    identity; the twiddle algebra reduces to
+    sqrt(2/N) * sum_n x_n cos(pi/N (n + (N+1)/2)(k + 0.5)), N = frame_len/2,
+    which is exactly `_mdct_basis`."""
     n = frame_len
-    hop = n // 2
-    window = jnp.sin(jnp.pi / n * (jnp.arange(n) + 0.5))  # Princen-Bradley
-    x = jnp.pad(x, ((0, 0), (hop, hop)), mode="reflect")
-    frames = frame_signal(x, n, hop) * window[None, None, :]
-    return frames @ _mdct_basis(n)                         # (B, frames, n/2)
+    half = n // 2
+    pad = _mdct_pad(n, padding)
+    window = jnp.sin(jnp.pi / n * (jnp.arange(n) + 0.5))  # scipy cosine win
+    x = jnp.pad(x, ((0, 0), (pad, pad)))
+    frames = frame_signal(x, n, half) * window[None, None, :]
+    return (frames @ _mdct_basis(n)) * np.sqrt(2.0 / half)
 
 
-def imdct(coeffs: jnp.ndarray, frame_len: int) -> jnp.ndarray:
+def imdct(coeffs: jnp.ndarray, frame_len: int,
+          padding: str = "same") -> jnp.ndarray:
     """Inverse MDCT of (B, frames, frame_len//2) -> (B, T): synthesis matmul,
-    sine window, TDAC overlap-add (perfect reconstruction away from edges)."""
+    sine window, TDAC overlap-add, edge trim — numerically equal to the
+    reference's FFT-twiddle IMDCT (ttts/vocoder/spectral_ops.py:133-191:
+    sqrt(2N)-scaled ifft + fold + trim). Output length is
+    frames*N for "same", (frames-1)*N for "center"; perfect reconstruction
+    away from the padded edges."""
     n = frame_len
     half = n // 2
     b, t, _ = coeffs.shape
     window = jnp.sin(jnp.pi / n * (jnp.arange(n) + 0.5))
-    frames = (2.0 / half) * (coeffs @ _mdct_basis(n).T)    # (B, T, n)
+    frames = np.sqrt(2.0 / half) * (coeffs @ _mdct_basis(n).T)  # (B, T, n)
     frames = frames * window[None, None, :]
-    out_len = (t - 1) * half + n
+    out_len = (t + 1) * half
     y = overlap_add(frames, half, out_len)
-    return y[:, half:out_len - half]
+    pad = _mdct_pad(n, padding)
+    return y[:, pad:out_len - pad]
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "padding"))

@@ -17,10 +17,27 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from xtts_tpu.core.config import VocosConfig
-from xtts_tpu.dsp.spectral import istft
+from xtts_tpu.dsp.spectral import imdct, istft
 
 Dtype = Any
+
+
+def symexp(x: jnp.ndarray) -> jnp.ndarray:
+    """sign(x) * (exp(|x|) - 1) (ttts/vocoder/modules.py:212-213)."""
+    return jnp.sign(x) * (jnp.exp(jnp.abs(x)) - 1.0)
+
+
+def _mel_perceptual_scale(sample_rate: int, out_dim: int) -> np.ndarray:
+    """Per-output-bin 1 - f/f_max scale over an HTK mel grid — the
+    IMDCTSymExpHead last-layer init (ttts/vocoder/heads.py:94-101, via
+    torchaudio _hz_to_mel/_mel_to_hz HTK formulas)."""
+    m_max = 2595.0 * np.log10(1.0 + (sample_rate // 2) / 700.0)
+    m_pts = np.linspace(0.0, m_max, out_dim)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    return (1.0 - f_pts / f_pts.max()).astype(np.float32)
 
 
 class AdaLayerNorm(nn.Module):
@@ -210,6 +227,64 @@ class ISTFTHead(nn.Module):
         return istft(real, imag, c.n_fft, c.hop_length, padding=c.padding)
 
 
+class IMDCTSymExpHead(nn.Module):
+    """Dense -> symexp -> clip -> IMDCT (ttts/vocoder/heads.py:70-121).
+
+    When cfg.head_sample_rate is set, the dense kernel init is scaled per
+    output bin by a 1 - f/f_max mel-grid factor (perceptual init,
+    heads.py:94-101). Divergence: the reference's `clip_audio` branch clips
+    the pre-IMDCT COEFFICIENTS and returns them (heads.py:117-118 uses `x`,
+    not `audio` — a bug, wrong tensor and wrong shape); we clip the audio,
+    which is the documented intent. clip_audio defaults False in both."""
+
+    cfg: VocosConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H) -> (B, samples)
+        c = self.cfg
+        out_dim = c.mdct_frame_len // 2
+        kernel_init = nn.initializers.lecun_normal()
+        if c.head_sample_rate is not None:
+            scale = _mel_perceptual_scale(c.head_sample_rate, out_dim)
+            base = kernel_init
+
+            def kernel_init(key, shape, dtype=jnp.float32):
+                return base(key, shape, dtype) * jnp.asarray(scale)[None, :]
+
+        coeffs = nn.Dense(out_dim, dtype=self.dtype, name="out",
+                          kernel_init=kernel_init)(x)
+        coeffs = jnp.clip(symexp(coeffs.astype(jnp.float32)), -1e2, 1e2)
+        audio = imdct(coeffs, c.mdct_frame_len, c.padding)
+        if c.clip_audio:
+            audio = jnp.clip(audio, -1.0, 1.0)
+        return audio
+
+
+class IMDCTCosHead(nn.Module):
+    """Dense -> exp(m)·cos(p) -> IMDCT (ttts/vocoder/heads.py:123-157).
+    Same clip_audio divergence note as IMDCTSymExpHead."""
+
+    cfg: VocosConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H) -> (B, samples)
+        c = self.cfg
+        out = nn.Dense(c.mdct_frame_len, dtype=self.dtype, name="out")(x)
+        out = out.astype(jnp.float32)
+        m, p = jnp.split(out, 2, axis=-1)
+        m = jnp.clip(jnp.exp(m), max=1e2)
+        audio = imdct(m * jnp.cos(p), c.mdct_frame_len, c.padding)
+        if c.clip_audio:
+            audio = jnp.clip(audio, -1.0, 1.0)
+        return audio
+
+
+_HEADS = {"istft": ISTFTHead, "imdct_symexp": IMDCTSymExpHead,
+          "imdct_cos": IMDCTCosHead}
+
+
 class Vocos(nn.Module):
     """decode: mel (B, n_mels, T) -> wav (B, samples)
     (facade semantics of ttts/vocoder/vocos.py:30-140)."""
@@ -219,7 +294,10 @@ class Vocos(nn.Module):
 
     def setup(self):
         self.backbone = VocosBackbone(self.cfg, dtype=self.dtype)
-        self.head = ISTFTHead(self.cfg, dtype=self.dtype)
+        if self.cfg.head not in _HEADS:
+            raise ValueError(f"unknown Vocos head {self.cfg.head!r}; "
+                             f"have {sorted(_HEADS)}")
+        self.head = _HEADS[self.cfg.head](self.cfg, dtype=self.dtype)
 
     def __call__(self, mel_bct: jnp.ndarray) -> jnp.ndarray:
         x = jnp.swapaxes(mel_bct, 1, 2)
