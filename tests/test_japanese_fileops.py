@@ -65,3 +65,24 @@ class TestDoToFiles:
     def test_raise_mode(self):
         with pytest.raises(ZeroDivisionError):
             do_to_files([1], lambda x: 1 / 0, on_error="raise")
+
+
+class TestCorpusDuration:
+    def test_sums_and_formats(self, tmp_path):
+        """duration_calc.sh semantics: per-file durations summed,
+        HH:MM:SS.cc pretty string; unreadable files collected."""
+        import numpy as np
+        from xtts_tpu.data.audio import save_wav
+        from xtts_tpu.data.fileops import corpus_duration
+
+        p1 = str(tmp_path / "a.wav")
+        p2 = str(tmp_path / "b.wav")
+        save_wav(p1, np.zeros(24000, np.float32), 24000)   # 1.0 s
+        save_wav(p2, np.zeros(36000, np.float32), 24000)   # 1.5 s
+        bad = str(tmp_path / "c.wav")
+        open(bad, "wb").write(b"not a wav")
+
+        total, pretty, fails = corpus_duration([p1, p2, bad])
+        assert abs(total - 2.5) < 1e-6
+        assert pretty == "00:00:02.50"
+        assert len(fails) == 1 and fails[0][0] == bad
