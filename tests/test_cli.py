@@ -25,7 +25,9 @@ def corpus(tmp_path_factory):
     rng = np.random.default_rng(0)
     lines = []
     for i in range(3):
-        wav = (rng.standard_normal(30000) * 0.1).astype(np.float32)
+        # 79 mel frames — inside the 4*max_mel_tokens=96 cap build_dataset
+        # now derives from TINY's gpt config
+        wav = (rng.standard_normal(20000) * 0.1).astype(np.float32)
         p = str(root / f"clip{i}.wav")
         save_wav(p, wav, 24000)
         lines.append(f"k{i}|{p}|spk0|ZH|你好|ni2 hao3")
@@ -99,3 +101,20 @@ def test_build_loss_respects_train_dtype(corpus):
     f32 = cfg.replace(train=cfg.train.replace(dtype="float32"))
     _, _, _, ctx = build_loss("vqvae", f32, args)
     assert ctx["dvae"].dtype == jnp.float32
+
+
+def test_oversized_tokenizer_rejected(corpus, tmp_path):
+    """A tokenizer whose vocab exceeds the GPT id range (e.g. the
+    vocab-2048 retrain target, voice_tokenizer.py:97, against
+    number_text_tokens=256) must be refused up front — OOB ids gather
+    silent NaNs under jit."""
+    from xtts_tpu.core.config import XTTSConfig
+    from xtts_tpu.train.cli import build_dataset
+
+    class BigTok:
+        def vocab_size(self):
+            return 2048
+
+    cfg = XTTSConfig.from_json(corpus["cfg"])
+    with pytest.raises(ValueError, match="vocab"):
+        build_dataset("gpt", cfg, corpus["filelist"], BigTok(), 0)

@@ -211,3 +211,34 @@ class TestClassifierReferenceParity:
                           {"mel": jnp.swapaxes(jnp.asarray(mel), 1, 2),
                            "label": jnp.asarray(labels)}, None)
         np.testing.assert_allclose(float(loss), want, rtol=2e-4, atol=2e-4)
+
+
+class TestCLVPCapacityGuards:
+    """The live tower's learned position tables bound sequence lengths:
+    text by text_seq_len, speech by the num_speech_tokens-sized pos table
+    (reference quirk, ttts/clvp/model.py:98). Over-capacity indexing is a
+    silent NaN fill under jit, so the model raises at trace time."""
+
+    def test_speech_pos_table_guard(self):
+        cfg = CLVPConfig(dim_text=32, dim_speech=32, dim_latent=16,
+                         text_enc_depth=1, speech_enc_depth=1,
+                         text_heads=2, speech_heads=2, num_speech_tokens=16)
+        model = CLVP(cfg)
+        text = jnp.zeros((2, 8), jnp.int32)
+        ok = jnp.zeros((2, 16), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), text, ok)["params"]
+        too_long = jnp.zeros((2, 17), jnp.int32)
+        with pytest.raises(ValueError, match="num_speech_tokens"):
+            model.apply({"params": params}, text, too_long)
+
+    def test_text_seq_len_guard(self):
+        cfg = CLVPConfig(dim_text=32, dim_speech=32, dim_latent=16,
+                         text_enc_depth=1, speech_enc_depth=1,
+                         text_heads=2, speech_heads=2, text_seq_len=12)
+        model = CLVP(cfg)
+        codes = jnp.zeros((2, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 12), jnp.int32), codes)["params"]
+        with pytest.raises(ValueError, match="text_seq_len"):
+            model.apply({"params": params},
+                        jnp.zeros((2, 13), jnp.int32), codes)

@@ -249,3 +249,29 @@ class TestCacheLadder:
         from xtts_tpu.models.gpt_infer import ladder_caps
         assert ladder_caps(None, 10) == (10,)
         assert ladder_caps((4, 4, 20, 0, 7), 10) == (4, 7, 10)
+
+
+class TestCapacityGuards:
+    """OOB position-table gathers are silent NaN fills under jit (no
+    torch-style IndexError); the forward must refuse over-capacity shapes
+    at trace time instead (position tables sized max_*_tokens+2,
+    ttts/gpt/model.py:345-348)."""
+
+    def test_text_over_capacity_raises(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond, text, tl, mel, wl = _rand_inputs(rng, tt=CFG.max_text_tokens + 1)
+        with pytest.raises(ValueError, match="max_text_tokens"):
+            model.apply(variables, cond, text, tl, mel, wl)
+
+    def test_codes_over_capacity_raises(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond, text, tl, mel, wl = _rand_inputs(rng, tm=CFG.max_mel_tokens + 1)
+        with pytest.raises(ValueError, match="max_mel_tokens"):
+            model.apply(variables, cond, text, tl, mel, wl)
+
+    def test_at_capacity_ok(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        cond, text, tl, mel, wl = _rand_inputs(rng, tt=CFG.max_text_tokens,
+                                               tm=CFG.max_mel_tokens)
+        lt, lm = model.apply(variables, cond, text, tl, mel, wl)
+        assert np.isfinite(float(lt)) and np.isfinite(float(lm))

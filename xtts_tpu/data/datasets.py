@@ -450,10 +450,21 @@ def batch_iterator(dataset, batch_size: int, collate_fn: Callable,
         order = np.arange(len(dataset))
         if shuffle:
             rng.shuffle(order)
+        yielded = 0
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
                        batch_size):
             batch = collate_fn([dataset[int(j)]
                                 for j in order[i:i + batch_size]])
             if batch is not None:
+                yielded += 1
                 yield batch
+        if yielded == 0 and epochs is None:
+            # every sample was rejected (length caps, bad files) — the
+            # endless epochs=None loop would otherwise spin silently
+            # forever; bounded-epoch callers (eval sweeps) may legitimately
+            # get an empty pass instead
+            raise RuntimeError(
+                "batch_iterator: a full epoch produced no usable batches — "
+                "all samples were rejected (check dataset length caps vs "
+                "the model config, and the input files)")
         epoch += 1

@@ -152,7 +152,7 @@ class TextToSpeech:
     def __init__(self, cfg: XTTSConfig = XTTSConfig(), variables=None,
                  rng: Optional[jax.Array] = None, dtype=jnp.float32,
                  with_clvp: bool = False, quantized_decode: bool = False,
-                 with_hifigan: bool = False):
+                 with_hifigan: bool = False, tokenizer=None):
         """quantized_decode: int8 weight-only AR decode engine — ~1.5x
         tokens/s on v5e, logits within per-channel-int8 error (~99% greedy
         token agreement); see xtts_tpu/infer/qdecode.py.
@@ -160,8 +160,15 @@ class TextToSpeech:
         with_hifigan: attach the XTTS-v2-style HifiDecoder so
         tts/tts_tokens can render GPT latents DIRECTLY to waveform,
         skipping diffusion+Vocos (the reference's alternative vocoder path,
-        ttts/hifigan/hifigan_vocoder.py:655-771, README.md:46-47)."""
+        ttts/hifigan/hifigan_vocoder.py:655-771, README.md:46-47).
+
+        tokenizer: a VoiceBpeTokenizer for tts()/tts_stream() text framing
+        (the reference loads cfg.dataset.gpt_vocab, test.py:81); None uses
+        the shipped default. from_pretrained picks up a tokenizer.json in
+        the model dir automatically — a tokenizer trained by
+        data.prepare.train_bpe_from_corpus plugs in here."""
         self.cfg = cfg
+        self.tokenizer = tokenizer
         self.mel = MelFrontend(cfg.mel)
         self.gpt = UnifiedVoice(cfg.gpt, dtype=dtype)
         self.dvae = DVAE(cfg.vqvae, dtype=dtype)
@@ -245,6 +252,10 @@ class TextToSpeech:
         if cfg is None:
             cfg = (XTTSConfig.from_json(cfg_path)
                    if os.path.exists(cfg_path) else XTTSConfig())
+        tok_path = os.path.join(model_dir, "tokenizer.json")
+        if "tokenizer" not in kw and os.path.exists(tok_path):
+            from xtts_tpu.text.tokenizer import VoiceBpeTokenizer
+            kw["tokenizer"] = VoiceBpeTokenizer(tok_path)
         tts = cls(cfg, dtype=dtype, **kw)
         from xtts_tpu.utils.registry import load_model
         names = ["gpt", "vqvae", "diffusion", "vocos"]
@@ -732,7 +743,8 @@ class TextToSpeech:
         token_lists = []
         for sent in split_sentences(text):
             tokens = sentence_to_tokens(
-                sent, lang, start_token=self.cfg.gpt.start_text_token,
+                sent, lang, tokenizer=self.tokenizer,
+                start_token=self.cfg.gpt.start_text_token,
                 stop_token=self.cfg.gpt.stop_text_token)
             if settings.pad_text_to_bucket:
                 tb = bucket_len(len(tokens),

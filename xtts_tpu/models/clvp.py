@@ -70,6 +70,11 @@ class CLVP(nn.Module):
                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = self.text_emb(text)
         if not self.cfg.use_xformers:
+            if text.shape[1] > self.cfg.text_seq_len:
+                raise ValueError(
+                    f"text length {text.shape[1]} exceeds CLVP "
+                    f"text_seq_len={self.cfg.text_seq_len} (position table "
+                    f"OOB — silent NaNs under jit)")
             h = h + self.text_pos_emb(jnp.arange(text.shape[1]))
         h = self.text_enc(h, mask)
         lat = self.to_text_latent(masked_mean(h, mask))
@@ -79,6 +84,16 @@ class CLVP(nn.Module):
                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = self.speech_emb(codes)
         if not self.cfg.use_xformers:
+            # reference quirk kept: the speech POSITION table is sized by
+            # num_speech_tokens, not a seq_len (ttts/clvp/model.py:98) —
+            # harmless at the live config (8192 >> 430 codes) but a real
+            # capacity bound for small configs, so guard it loudly.
+            if codes.shape[1] > self.cfg.num_speech_tokens:
+                raise ValueError(
+                    f"code length {codes.shape[1]} exceeds the CLVP speech "
+                    f"position table (sized num_speech_tokens="
+                    f"{self.cfg.num_speech_tokens}, ttts/clvp/model.py:98 "
+                    f"quirk) — OOB gathers are silent NaNs under jit")
             h = h + self.speech_pos_emb(jnp.arange(codes.shape[1]))
         h = self.speech_enc(h, mask)
         lat = self.to_speech_latent(masked_mean(h, mask))

@@ -144,6 +144,23 @@ class UnifiedVoice(nn.Module):
         `return_latent` (the hidden states feeding the diffusion decoder,
         final two positions stripped)."""
         c = self.cfg
+        # Capacity guards (trace-time, static shapes, zero runtime cost):
+        # the learned position tables are sized max_*_tokens+2
+        # (ttts/gpt/model.py:345-348). Longer inputs would gather OOB,
+        # which under jit silently fills NaN instead of raising — turn it
+        # into a loud error here.
+        if text_inputs.shape[1] > c.max_text_tokens:
+            raise ValueError(
+                f"text length {text_inputs.shape[1]} exceeds "
+                f"GPTConfig.max_text_tokens={c.max_text_tokens}; the text "
+                f"position table would index out of bounds (silent NaNs "
+                f"under jit). Cap the dataset/bucket lengths to the config.")
+        if mel_codes.shape[1] > c.max_mel_tokens:
+            raise ValueError(
+                f"mel-code length {mel_codes.shape[1]} exceeds "
+                f"GPTConfig.max_mel_tokens={c.max_mel_tokens}; the mel "
+                f"position table would index out of bounds (silent NaNs "
+                f"under jit). Cap mel frames at 4*max_mel_tokens.")
         conds = self.get_conditioning(cond_mel)
 
         mel_code_lengths = jnp.ceil(

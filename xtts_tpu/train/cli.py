@@ -6,13 +6,19 @@ ttts/gpt/train_ms.py:273-295). Shared machinery: XTTSConfig JSON, bucketed
 datasets, the generic pjit Trainer (grad accum, clip, schedule), orbax
 checkpoints with rotation + exact resume, JSONL/TensorBoard metrics.
 
-Examples:
+At the end of training each family also exports `<expdir>/<family>.npz`
+(final weights + non-gradient collections, e.g. the DVAE codebook), which
+is what the downstream stages and TextToSpeech.from_pretrained consume —
+the ttts/train_step.py:1-6 recipe chains as:
+
   python -m xtts_tpu.train.cli vqvae -c cfg.json -m exp/vqvae \
       --filelist train.txt
   python -m xtts_tpu.train.cli gpt -c cfg.json -m exp/gpt \
-      --filelist train.txt --dvae-weights exp/vqvae/best.npz
+      --filelist train.txt --dvae-weights exp/vqvae/vqvae.npz
   python -m xtts_tpu.train.cli diffusion -c cfg.json -m exp/diff \
-      --filelist train.txt --dvae-weights ... --gpt-weights ...
+      --filelist train.txt --dvae-weights exp/vqvae/vqvae.npz \
+      --gpt-weights exp/gpt/gpt.npz
+  # then collect exp/*/<family>.npz into one model dir for from_pretrained
 """
 from __future__ import annotations
 
@@ -46,18 +52,49 @@ def build_dataset(model: str, cfg: XTTSConfig, filelist: str, tokenizer,
     entries = read_filelist(filelist)
     if model == "vqvae":
         return VQVAEMelDataset(entries, mel_cache, seed=seed)
+    # Token-id range check: a tokenizer whose vocab exceeds the model's
+    # text-embedding size (e.g. a vocab-2048 retrain, voice_tokenizer.py:97,
+    # against the shipped number_text_tokens=256) would gather OOB — silent
+    # NaNs under jit, so refuse up front.
+    # (for GPT the usable range ends at the reserved start_text_token,
+    # matching the shipped vocab-255 / number_text_tokens-256 split)
+    cap = (cfg.clvp.num_text_tokens if model == "clvp"
+           else cfg.gpt.start_text_token)
+    if tokenizer.vocab_size() > cap:
+        raise ValueError(
+            f"tokenizer vocab {tokenizer.vocab_size()} exceeds the "
+            f"{'CLVP text-embedding size' if model == 'clvp' else 'GPT id range (start_text_token)'} "
+            f"{cap} — ids past it would gather OOB (silent NaNs under jit) "
+            f"or collide with reserved specials. Retrain the tokenizer "
+            f"smaller or raise the config.")
+    # Reject limits follow the reference defaults (text>300 / mel>2000,
+    # ttts/gpt/dataset.py:72-74) but never exceed what the MODEL's learned
+    # position tables can hold — a sample past those caps would gather OOB
+    # (silent NaNs under jit; the models also guard this at trace time).
     if model == "gpt":
         return GptTTSDataset(entries, mel_cache, tokenizer,
+                             max_text=min(300, cfg.gpt.max_text_tokens),
+                             max_mel=min(2000, 4 * cfg.gpt.max_mel_tokens),
                              mel_hop=cfg.mel.hop_length, seed=seed)
     if model == "diffusion":
         return DiffusionDataset(entries, mel_cache, tokenizer,
+                                max_mel=min(400, 4 * cfg.gpt.max_mel_tokens),
+                                max_refer=min(300,
+                                              4 * cfg.gpt.max_mel_tokens),
                                 mel_hop=cfg.mel.hop_length, seed=seed)
     if model == "clvp":
-        return CLVPDataset(entries, tokenizer)
+        max_codes = min(430, cfg.clvp.speech_seq_len)
+        if not cfg.clvp.use_xformers:
+            # live-tower quirk: speech pos table sized num_speech_tokens
+            # (ttts/clvp/model.py:98)
+            max_codes = min(max_codes, cfg.clvp.num_speech_tokens)
+        return CLVPDataset(entries, tokenizer,
+                           max_text=min(350, cfg.clvp.text_seq_len),
+                           max_codes=max_codes)
     raise ValueError(model)
 
 
-def build_collate(model: str):
+def build_collate(model: str, cfg: Optional[XTTSConfig] = None):
     from xtts_tpu.data.datasets import (MEL_BUCKETS, TEXT_BUCKETS,
                                         collate_bucketed)
     if model == "classifier":
@@ -68,16 +105,36 @@ def build_collate(model: str):
             return {"mel": np.stack([s["mel"].T for s in samples]),
                     "label": np.stack([s["label"] for s in samples])}
         return collate
+
+    def clamp(buckets, cap):
+        """Bucket ladder never padding past the model's capacity `cap`
+        (padding chooses the next bucket >= the batch max, so a ladder rung
+        above a position-table size would gather OOB -> silent NaNs)."""
+        if cap is None:
+            return buckets
+        kept = tuple(b for b in buckets if b < cap)
+        return kept + (cap,)
+
+    t_cap = cfg.gpt.max_text_tokens if cfg else None
+    m_cap = 4 * cfg.gpt.max_mel_tokens if cfg else None
+    text_b = clamp(TEXT_BUCKETS, t_cap)
+    mel_b = clamp(MEL_BUCKETS, m_cap)
+    if cfg and model == "clvp":
+        c_cap = min(430, cfg.clvp.speech_seq_len)
+        if not cfg.clvp.use_xformers:
+            c_cap = min(c_cap, cfg.clvp.num_speech_tokens)
+        text_b = clamp(TEXT_BUCKETS, cfg.clvp.text_seq_len)
+    else:
+        c_cap = None
     pads = {
         "vqvae": ({}, {}),
         "gpt": ({"text": 0, "mel": 1, "cond_mel": 1},
-                {"text": TEXT_BUCKETS, "mel": MEL_BUCKETS,
-                 "cond_mel": MEL_BUCKETS}),
+                {"text": text_b, "mel": mel_b, "cond_mel": MEL_BUCKETS}),
         "diffusion": ({"text": 0, "mel": 1, "refer_mel": 1},
-                      {"text": TEXT_BUCKETS, "mel": MEL_BUCKETS,
-                       "refer_mel": MEL_BUCKETS}),
+                      {"text": text_b, "mel": mel_b,
+                       "refer_mel": mel_b}),
         "clvp": ({"text": 0, "codes": 0},
-                 {"text": TEXT_BUCKETS, "codes": (128, 256, 430)}),
+                 {"text": text_b, "codes": clamp((128, 256, 430), c_cap)}),
     }[model]
     return lambda samples: collate_bucketed(samples, pads[0], pads[1])
 
@@ -350,8 +407,21 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
                      "g_opt": state.g_opt, "d_opt": state.d_opt,
                      "step": state.step})
     ckpt.wait()
+    _export_weights(args.model_dir, "hifigan", {"params": state.g_params},
+                    logger)
     ml.close()
     logger.info("hifigan done at step %d", step)
+
+
+def _export_weights(model_dir: str, family: str, variables, logger) -> None:
+    """Write <model_dir>/<family>.npz (weights + collections) — the
+    artifact downstream stages (--dvae-weights/--gpt-weights) and
+    TextToSpeech.from_pretrained load; the reference's analogue is the
+    torch.save model state in each train_ms.py save_checkpoint."""
+    from xtts_tpu.utils.registry import save_npz
+    path = os.path.join(model_dir, f"{family}.npz")
+    save_npz(path, jax.device_get(variables))
+    logger.info("exported %s", path)
 
 
 def main(argv: Optional[list] = None):
@@ -414,7 +484,7 @@ def main(argv: Optional[list] = None):
 
     ml = MetricLogger(os.path.join(args.model_dir, "logs"), console_every=10)
     timer = StepTimer()
-    collate = build_collate(args.model)
+    collate = build_collate(args.model, cfg)
     it = batch_iterator(dataset, cfg.train.batch_size, collate,
                         seed=cfg.train.seed,
                         prefetch=getattr(args, "prefetch", 0))
@@ -461,6 +531,9 @@ def main(argv: Optional[list] = None):
         if step >= cfg.train.train_steps:
             break
     trainer.save(state, wait=True)
+    _export_weights(args.model_dir, args.model,
+                    {"params": state.params, **dict(state.state_cols or {})},
+                    logger)
     ml.close()
     logger.info("done at step %d", int(state.step))
 
