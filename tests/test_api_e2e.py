@@ -381,3 +381,20 @@ def test_fix_autoregressive_output():
     plain = np.array([1, 2, 3], np.int64)
     np.testing.assert_array_equal(
         fix_autoregressive_output(plain, stop, complain=False), plain)
+
+
+def test_tts_truncates_unsplittable_long_sentence(tts, caplog):
+    """One un-splittable sentence past max_text_tokens must truncate (with
+    a warning) rather than hit the encode_prefix capacity guard — the
+    reference dataset rejects such samples (ttts/gpt/dataset.py:72-74);
+    at inference we keep serving."""
+    import logging
+    long_text = "好" * (TINY.gpt.max_text_tokens * 4)
+    cond = np.random.default_rng(0).standard_normal(24000).astype(np.float32) * 0.1
+    with caplog.at_level(logging.WARNING):
+        wav = tts.tts(long_text, cond, key=jax.random.PRNGKey(0),
+                      settings=TTSSettings(max_mel_tokens=6,
+                                           temperature=1e-4),
+                      use_diffusion=False)
+    assert wav.size > 0 and np.isfinite(wav).all()
+    assert any("truncating" in r.message for r in caplog.records)

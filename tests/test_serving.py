@@ -330,3 +330,16 @@ def test_server_warmup_and_bucketed_submit(tts, cond_mel):
         assert w.size > 0 and np.isfinite(np.asarray(w)).all()
     finally:
         srv.close()
+
+
+def test_submit_rejects_overlong_text(tts, cond_mel):
+    """Over-capacity text raises at submit() (caller's thread) instead of
+    poisoning a co-batched device program (encode_prefix would refuse it
+    at trace time — position table is max_text_tokens+2)."""
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6))
+    try:
+        too_long = np.ones(tts.cfg.gpt.max_text_tokens + 1, np.int32)
+        with pytest.raises(ValueError, match="max_text_tokens"):
+            srv.submit(too_long)
+    finally:
+        srv.close()

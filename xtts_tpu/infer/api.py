@@ -741,11 +741,25 @@ class TextToSpeech:
         from xtts_tpu.text.frontend import (sentence_to_tokens,
                                             split_sentences)
         token_lists = []
+        import logging
         for sent in split_sentences(text):
             tokens = sentence_to_tokens(
                 sent, lang, tokenizer=self.tokenizer,
                 start_token=self.cfg.gpt.start_text_token,
                 stop_token=self.cfg.gpt.stop_text_token)
+            cap = self.cfg.gpt.max_text_tokens
+            if len(tokens) > cap:
+                # one un-splittable sentence past the position-table
+                # capacity: truncate rather than poison the whole request
+                # (the reference's dataset rejects such samples outright,
+                # ttts/gpt/dataset.py:72-74; at inference torch would crash
+                # on the OOB embedding, jit would silently NaN)
+                logging.getLogger(__name__).warning(
+                    "sentence of %d tokens exceeds max_text_tokens=%d; "
+                    "truncating", len(tokens), cap)
+                tokens = np.concatenate(
+                    [tokens[:cap - 1],
+                     np.array([self.cfg.gpt.stop_text_token], np.int32)])
             if settings.pad_text_to_bucket:
                 tb = bucket_len(len(tokens),
                                 (16, 32, 64, 128, 256,

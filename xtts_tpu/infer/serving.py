@@ -273,9 +273,18 @@ class BatchServer:
         never fails its co-batched neighbors."""
         if self._stop.is_set():
             raise RuntimeError("BatchServer is closed")
+        toks = np.asarray(text_tokens, np.int32)
+        cap = self.tts.cfg.gpt.max_text_tokens
+        if toks.shape[-1] > cap:
+            # reject HERE (caller's thread) — past the queue it would raise
+            # inside the worker's device program and fail every co-batched
+            # request's future along with it
+            raise ValueError(
+                f"text of {toks.shape[-1]} tokens exceeds "
+                f"max_text_tokens={cap}; split the text "
+                f"(TextToSpeech.tts() sentence-splits and truncates)")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((np.asarray(text_tokens, np.int32), cond_mel, spk_mel16,
-                     fut))
+        self._q.put((toks, cond_mel, spk_mel16, fut))
         return fut
 
     def pending(self) -> int:

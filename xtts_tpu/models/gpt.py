@@ -231,6 +231,13 @@ class UnifiedVoice(nn.Module):
         0/1 framing); we add the stop pad + start/stop alignment like :562-563.
         Returns (prefix_emb, n_cond)."""
         c = self.cfg
+        if text_inputs.shape[1] > c.max_text_tokens:
+            raise ValueError(
+                f"text length {text_inputs.shape[1]} exceeds "
+                f"GPTConfig.max_text_tokens={c.max_text_tokens}: the text "
+                f"position table (max_text_tokens+2) would gather OOB — "
+                f"silent NaNs under jit. Split or truncate the sentence "
+                f"(tts() does this automatically).")
         text_inputs = jnp.pad(text_inputs, ((0, 0), (0, 1)),
                               constant_values=c.stop_text_token)
         text_inp, _ = self._build_aligned(text_inputs, c.start_text_token,
