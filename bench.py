@@ -33,6 +33,9 @@ Knobs (env):
   BENCH_CACHE_LADDER  comma-separated cache-capacity rungs for the serving
                     AR decode (e.g. "128,256"); empty/unset = monolithic
                     cache (see TTSSettings.cache_ladder)
+  BENCH_REFNET_INTERVAL  sparse ReferenceNet hoist interval k (default 1 =
+                    exact reference semantics; see
+                    TTSSettings.refnet_interval)
   BENCH_PATH=train  training-step throughput for one family (the pjit
                     Trainer program: fwd + bwd + AdamW + clip, bf16 compute
                     / f32 params, synthetic reference-scale batches):
@@ -252,9 +255,13 @@ def main():
     # BENCH_KV_QUANT=1: int8 KV cache (scales folded into scores/probs) —
     # halves the serving-batch cache stream; needs BENCH_QUANT=1
     kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
+    # BENCH_REFNET_INTERVAL=k: sparse ReferenceNet hoist (cache every k-th
+    # spaced timestep's features; 1 = exact reference semantics)
+    refnet_k = int(os.environ.get("BENCH_REFNET_INTERVAL", "1"))
     settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps,
                            speculative_render=spec,
-                           cache_ladder=cache_ladder, kv_quant=kv_quant)
+                           cache_ladder=cache_ladder, kv_quant=kv_quant,
+                           refnet_interval=refnet_k)
 
     hop = cfg.mel.hop_length
 

@@ -398,3 +398,28 @@ def test_tts_truncates_unsplittable_long_sentence(tts, caplog):
                       use_diffusion=False)
     assert wav.size > 0 and np.isfinite(wav).all()
     assert any("truncating" in r.message for r in caplog.records)
+
+
+def test_refnet_interval(tts, rng):
+    """Sparse ReferenceNet hoist: k=1 must be bitwise the default path
+    (same cached-feature grid); k>1 swaps in floor-nearest cached features
+    — approximate by design, so assert wiring + finiteness and that k >=
+    steps (a single cached set) still renders."""
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, MEL_BINS, 40)).astype(np.float32))
+    tokens = np.array([[1, 3, 4, 5, 2]], np.int32)
+    base = TTSSettings(max_mel_tokens=10, diffusion_steps=4)
+    out1 = tts.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(11), base,
+                          use_diffusion=True)
+    out1b = tts.tts_tokens(tokens, cond_mel, jax.random.PRNGKey(11),
+                           TTSSettings(max_mel_tokens=10, diffusion_steps=4,
+                                       refnet_interval=1),
+                           use_diffusion=True)
+    np.testing.assert_array_equal(out1["wav"], out1b["wav"])
+    for k in (2, 8):
+        outk = tts.tts_tokens(
+            tokens, cond_mel, jax.random.PRNGKey(11),
+            TTSSettings(max_mel_tokens=10, diffusion_steps=4,
+                        refnet_interval=k), use_diffusion=True)
+        assert outk["wav"].shape == out1["wav"].shape
+        assert np.isfinite(outk["wav"]).all()

@@ -128,6 +128,13 @@ class TTSSettings:
     # — halves the dominant serving-batch cache stream; near-lossless
     # (tests/test_qdecode.py). Composes with cache_ladder.
     kv_quant: bool = False
+    # Sparse ReferenceNet hoist interval: k>1 precomputes ReferenceNet
+    # features at every k-th spaced timestep and reuses the nearest cached
+    # set per denoise step (~(k-1)/k of the ReferenceNet cost saved where
+    # the full hoist loses on feature traffic — B>=16 serving). 1 = exact
+    # reference semantics (aa_model.py:337 recomputes every step). Spaced
+    # samplers only; beyond-reference approximation knob.
+    refnet_interval: int = 1
 
     @classmethod
     def preset(cls, name: str) -> "TTSSettings":
@@ -448,14 +455,17 @@ class TextToSpeech:
             ramp_conditioning_free=True)
 
     def _diffusion_mel(self, latent, cond_mel_norm, key, steps=50,
-                       sampler="p", cond_free_k=2.0, temperature=1.0):
+                       sampler="p", cond_free_k=2.0, temperature=1.0,
+                       refnet_interval=1):
         if not hasattr(self, "_diff_jit"):
             self._diff_jit = jax.jit(
                 self._diffusion_mel_impl,
-                static_argnames=("steps", "sampler", "cond_free_k"))
+                static_argnames=("steps", "sampler", "cond_free_k",
+                                 "refnet_interval"))
         return self._diff_jit(self.vars["diffusion"], latent, cond_mel_norm,
                               key, temperature, steps=steps, sampler=sampler,
-                              cond_free_k=cond_free_k)
+                              cond_free_k=cond_free_k,
+                              refnet_interval=refnet_interval)
 
     @functools.cached_property
     def _render_full_jit(self):
@@ -467,16 +477,18 @@ class TextToSpeech:
         Compiles once per (code-bucket, steps, sampler) combination."""
         def impl(gvars, dvars, vvars, cond_mel, diff_cond_norm, text_tokens,
                  text_lens, codes, wav_lens, key, temperature,
-                 steps, sampler, cond_free_k):
+                 steps, sampler, cond_free_k, refnet_interval=1):
             latent = self.gpt.apply(gvars, cond_mel, text_tokens, text_lens,
                                     codes, wav_lens, return_latent=True)
             latent = jnp.swapaxes(latent, 1, 2)        # (B, D, N)
             mel = self._diffusion_mel_impl(
                 dvars, latent, diff_cond_norm, key, temperature,
-                steps=steps, sampler=sampler, cond_free_k=cond_free_k)
+                steps=steps, sampler=sampler, cond_free_k=cond_free_k,
+                refnet_interval=refnet_interval)
             return self.vocos.apply(vvars, mel)
         return jax.jit(impl,
-                       static_argnames=("steps", "sampler", "cond_free_k"))
+                       static_argnames=("steps", "sampler", "cond_free_k",
+                                        "refnet_interval"))
 
     @functools.cached_property
     def _render_shortcut_jit(self):
@@ -509,9 +521,19 @@ class TextToSpeech:
 
     def _diffusion_mel_impl(self, dvars, latent, cond_mel_norm, key,
                             temperature, steps=50, sampler="p",
-                            cond_free_k=2.0):
+                            cond_free_k=2.0, refnet_interval=1):
         """do_spectrogram_diffusion (ttts/diffusion/train.py:36-51), with the
-        CLIP context hoisted and CFG batched."""
+        CLIP context hoisted and CFG batched.
+
+        refnet_interval k>1: SPARSE ReferenceNet hoist — features are
+        precomputed at every k-th spaced timestep and each denoise step
+        reuses the nearest cached set (floor). ReferenceNet features vary
+        smoothly in t (only the timestep embedding differs; the refer mel
+        is fixed), so small k trades a bounded approximation for ~(k-1)/k
+        of the ReferenceNet cost in regimes where the FULL hoist loses on
+        feature-memory traffic (B=16 serving: 800 upfront instances lost
+        to per-step recompute — PERF.md round 3). k=1 is exact reference
+        semantics. Beyond-reference knob; default off."""
         gd = GaussianDiffusion.spaced(
             1000, steps, conditioning_free=True,
             conditioning_free_k=cond_free_k, ramp_conditioning_free=True)
@@ -537,27 +559,32 @@ class TextToSpeech:
         # query arbitrary float t).
         ov = os.environ.get("XTTS_HOIST_REF")
         spaced = sampler in ("p", "ddim", "dpm++2m", "unipc")
+        k_int = max(1, int(refnet_interval)) if spaced else 1
+        n_cached = -(-steps // k_int)        # ceil: cached timestep count
         # the continuous-time solvers query arbitrary float t — hoisting is
         # never valid there, so the env override only flips the gate within
-        # the spaced family
-        hoist = spaced and ((b * steps <= 512) if ov is None else ov == "1")
+        # the spaced family. The memory gate scales with the CACHED count,
+        # so refnet_interval>1 re-enables hoisting at serving batch sizes.
+        hoist = spaced and ((b * n_cached <= 512) if ov is None
+                            else ov == "1")
         tmap = jnp.asarray(gd.timestep_map)
         control_all = None
         if hoist:
-            n = gd.num_timesteps
-            t_all = jnp.repeat(tmap, b)                      # (n*B,)
-            ref_all = jnp.tile(cond_mel_norm, (n, 1, 1))
-            ctx_all = jnp.tile(ctx, (n, 1, 1))
+            sub = jnp.asarray(np.arange(0, gd.num_timesteps, k_int))
+            nc = sub.shape[0]
+            t_all = jnp.repeat(tmap[sub], b)                 # (nc*B,)
+            ref_all = jnp.tile(cond_mel_norm, (nc, 1, 1))
+            ctx_all = jnp.tile(ctx, (nc, 1, 1))
             ca = self.diffusion.apply(
                 dvars, ref_all, t_all, ctx_all,
                 method=self.diffusion.reference_features)
-            control_all = [c.reshape(n, b, *c.shape[1:]) for c in ca]
+            control_all = [c.reshape(nc, b, *c.shape[1:]) for c in ca]
 
         def model_fn(x, t_orig):
             """Paired CFG call: one ReferenceNet pass, one 2B BaseModel pass."""
             if control_all is not None:
                 si = jnp.searchsorted(tmap, t_orig[0])
-                control = [c[si] for c in control_all]
+                control = [c[si // k_int] for c in control_all]
             else:
                 control = self.diffusion.apply(
                     dvars, cond_mel_norm, t_orig, ctx,
@@ -699,7 +726,8 @@ class TextToSpeech:
                 latent, normalize_tacotron_mel(diff_cond), k2,
                 steps=settings.diffusion_steps, sampler=settings.sampler,
                 cond_free_k=settings.cond_free_k,
-                temperature=settings.diffusion_temperature)
+                temperature=settings.diffusion_temperature,
+                refnet_interval=settings.refnet_interval)
             wav = self._vocos_jit(self.vars["vocos"], mel)
             out = {"latent": np.asarray(latent[:, :, :n]),
                    "mel": np.asarray(mel[:, :, :n * comp])}
@@ -712,7 +740,8 @@ class TextToSpeech:
             lens_dev * self.cfg.gpt.mel_length_compression, k2,
             settings.diffusion_temperature,
             steps=settings.diffusion_steps, sampler=settings.sampler,
-            cond_free_k=settings.cond_free_k)
+            cond_free_k=settings.cond_free_k,
+            refnet_interval=settings.refnet_interval)
         return finish({}, wav)
 
     def _code_buckets(self):

@@ -220,7 +220,8 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
             jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32), k2,
             settings.diffusion_temperature,
             steps=settings.diffusion_steps, sampler=settings.sampler,
-            cond_free_k=settings.cond_free_k))
+            cond_free_k=settings.cond_free_k,
+            refnet_interval=settings.refnet_interval))
 
     return [wav[i, :int(ns[i]) * comp * hop] for i in range(n_real)]
 
