@@ -36,6 +36,11 @@ Knobs (env):
   BENCH_REFNET_INTERVAL  sparse ReferenceNet hoist interval k (default 1 =
                     exact reference semantics; see
                     TTSSettings.refnet_interval)
+  BENCH_COMPACT_ROWS  comma-separated row buckets for compacting decode
+                    waves (e.g. "1,2,4,8"); empty/unset = monolithic
+                    batch (see TTSSettings.compact_rows)
+  BENCH_MIXED_TEXT=1  serving rows carry different texts of varied lengths
+                    (the traffic shape where compaction pays off)
   BENCH_PATH=train  training-step throughput for one family (the pjit
                     Trainer program: fwd + bwd + AdamW + clip, bf16 compute
                     / f32 params, synthetic reference-scale batches):
@@ -258,10 +263,17 @@ def main():
     # BENCH_REFNET_INTERVAL=k: sparse ReferenceNet hoist (cache every k-th
     # spaced timestep's features; 1 = exact reference semantics)
     refnet_k = int(os.environ.get("BENCH_REFNET_INTERVAL", "1"))
+    # BENCH_COMPACT_ROWS=1,2,4,8: compacting decode waves — the serving AR
+    # batch shrinks through these row buckets as rows finish
+    # (infer/compact.py; segment boundaries = BENCH_CACHE_LADDER rungs or
+    # the power-of-two default)
+    _cr = os.environ.get("BENCH_COMPACT_ROWS", "")
+    compact_rows = tuple(int(x) for x in _cr.split(",") if x) or None
     settings = TTSSettings(max_mel_tokens=max_gen, diffusion_steps=diff_steps,
                            speculative_render=spec,
                            cache_ladder=cache_ladder, kv_quant=kv_quant,
-                           refnet_interval=refnet_k)
+                           refnet_interval=refnet_k,
+                           compact_rows=compact_rows)
 
     hop = cfg.mel.hop_length
 
@@ -350,7 +362,18 @@ def main():
         from xtts_tpu.infer.serving import SynthesisRequest, synthesize_batch
         b = int(os.environ.get("BENCH_BATCH", 8))
         k_cand = int(os.environ.get("BENCH_RERANK_K", 2))
-        reqs = [SynthesisRequest(text_tokens[0]) for _ in range(b)]
+        if os.environ.get("BENCH_MIXED_TEXT", "0") == "1":
+            # BENCH_MIXED_TEXT=1: rows carry DIFFERENT texts of varied
+            # lengths (20..50 tokens) so generation lengths decorrelate —
+            # the traffic shape where compacting waves pay off (real
+            # serving batches mix short and long utterances)
+            mrng = np.random.default_rng(7)
+            lens = np.linspace(20, text_tokens.shape[1], b).astype(int)
+            reqs = [SynthesisRequest(
+                mrng.integers(3, 250, (int(n),)).astype(np.int32))
+                for n in lens]
+        else:
+            reqs = [SynthesisRequest(text_tokens[0]) for _ in range(b)]
         if k_cand > 1 and tts.clvp is None:
             from xtts_tpu.models.clvp import CLVP
             tts.clvp = CLVP(cfg.clvp, dtype=jnp.bfloat16)
@@ -360,7 +383,9 @@ def main():
         quality = TTSSettings(max_mel_tokens=max_gen,
                               diffusion_steps=diff_steps,
                               num_candidates=k_cand,
-                              cache_ladder=cache_ladder, kv_quant=kv_quant)
+                              cache_ladder=cache_ladder, kv_quant=kv_quant,
+                              refnet_interval=refnet_k,
+                              compact_rows=compact_rows)
 
         def run_srv(key, use_diffusion, s):
             wavs = synthesize_batch(tts, reqs, cond_mel, s,

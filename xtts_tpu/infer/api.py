@@ -135,6 +135,13 @@ class TTSSettings:
     # reference semantics (aa_model.py:337 recomputes every step). Spaced
     # samplers only; beyond-reference approximation knob.
     refnet_interval: int = 1
+    # Compacting decode waves (infer/compact.py): row-count buckets the
+    # batched AR decode may shrink through at cache-ladder rung boundaries,
+    # dropping finished rows so the done tail stops paying cache reads
+    # (e.g. (1, 2, 4, 8, 16)). None = monolithic batch. B>1 serving only;
+    # greedy stays token-exact, sampled draws can differ after a drop (the
+    # categorical's shape includes B). Gates off the fused Pallas engines.
+    compact_rows: Optional[tuple] = None
 
     @classmethod
     def preset(cls, name: str) -> "TTSSettings":
@@ -211,6 +218,16 @@ class TextToSpeech:
                   temperature=settings.temperature,
                   repetition_penalty=settings.repetition_penalty,
                   cache_ladder=ladder)
+        if (settings.compact_rows and text.shape[0] > 1
+                and getattr(self, "mesh", None) is None):
+            # compacting decode waves (infer/compact.py): segment the decode
+            # at the ladder rungs and shrink the batch as rows finish; takes
+            # precedence over the fused Pallas engines (fixed-B programs)
+            from xtts_tpu.infer.compact import generate_speech_compacting
+            return generate_speech_compacting(
+                self.gpt, self.vars["gpt"], self._qtree, cond, text, key,
+                quantize_kv_cache=settings.kv_quant,
+                row_buckets=tuple(settings.compact_rows), **kw)
         if self._qtree is not None:
             from xtts_tpu.infer.qdecode import generate_speech_quantized
             # B=1 on TPU runs each token as one fused pallas_call
