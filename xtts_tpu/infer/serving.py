@@ -165,21 +165,7 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
     else:
         res = tts._generate(cond, jnp.asarray(texts), key, settings)
         codes_dev, lengths_dev = res.codes, res.lengths
-    lengths = np.asarray(lengths_dev)                # tiny sync
-    ns = np.maximum(lengths - 2, 1)
-    n_b = bucket_len(int(ns.max()), tts._code_buckets())
-    codes = tts._pad_codes_jit(codes_dev,
-                               jnp.asarray(np.minimum(ns, n_b), jnp.int32),
-                               n_b=n_b)
-    hop = cfg.vocos.hop_length
-    comp = cfg.vqvae.compression
-
     if use_hifigan:
-        if tts.hifigan is None or "hifigan" not in tts.vars:
-            raise ValueError("use_hifigan needs TextToSpeech(with_hifigan=True)")
-        if spk_mel16 is None:
-            raise ValueError("use_hifigan needs spk_mel16 "
-                             "(tts.speaker_mel_from_wav of the ref clip)")
         if any(r.spk_mel16 is not None for r in requests):
             per = [r.spk_mel16 if r.spk_mel16 is not None else spk_mel16
                    for r in requests]
@@ -188,18 +174,54 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
                 raise ValueError(
                     "per-request spk_mel16s must share one shape (use "
                     f"speaker_mel_from_wav, bucketed); got {sorted(shapes)}")
-            spk = jnp.concatenate(per, axis=0)
-        else:
-            spk = (jnp.tile(spk_mel16, (b, 1, 1))
-                   if spk_mel16.shape[0] == 1 else spk_mel16)
+            spk_mel16 = jnp.concatenate(per, axis=0)
+
+    text_lens = jnp.asarray([len(r.text_tokens) for r in requests], np.int32)
+    wavs = render_rows(tts, jnp.asarray(texts), text_lens, cond, codes_dev,
+                       np.asarray(lengths_dev), settings, use_diffusion, key,
+                       use_hifigan=use_hifigan, spk_mel16=spk_mel16)
+    return wavs[:n_real]
+
+
+def render_rows(tts: TextToSpeech, texts, text_lens, cond, codes_dev,
+                lengths: np.ndarray, settings: TTSSettings,
+                use_diffusion: bool, key,
+                use_hifigan: bool = False, spk_mel16=None
+                ) -> List[np.ndarray]:
+    """Render B generated rows to per-row trimmed waveforms — the batched
+    render stage shared by wave serving (synthesize_batch) and continuous
+    batching (slots.ContinuousBatcher).
+
+    texts (B, Tt) framed tokens; text_lens (B,) true lengths; cond
+    (B, mel, T) conditioning mels; codes_dev (B, S) raw generated codes
+    (device or host); lengths (B,) generated lengths INCL the stop token
+    (GenerateResult.lengths). Strips the trailing 2 codes (test.py:150),
+    buckets, and runs ONE render program for the batch."""
+    cfg = tts.cfg
+    ns = np.maximum(lengths - 2, 1)
+    n_b = bucket_len(int(ns.max()), tts._code_buckets())
+    codes = tts._pad_codes_jit(jnp.asarray(codes_dev),
+                               jnp.asarray(np.minimum(ns, n_b), jnp.int32),
+                               n_b=n_b)
+    hop = cfg.vocos.hop_length
+    comp = cfg.vqvae.compression
+    b = codes.shape[0]
+
+    if use_hifigan:
+        if tts.hifigan is None or "hifigan" not in tts.vars:
+            raise ValueError("use_hifigan needs TextToSpeech(with_hifigan=True)")
+        if spk_mel16 is None:
+            raise ValueError("use_hifigan needs spk_mel16 "
+                             "(tts.speaker_mel_from_wav of the ref clip)")
+        spk = (jnp.tile(spk_mel16, (b, 1, 1))
+               if spk_mel16.shape[0] == 1 else spk_mel16)
         wav = np.asarray(tts._render_hifigan_jit(
-            tts.vars["gpt"], tts.vars["hifigan"], cond, jnp.asarray(texts),
-            jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
+            tts.vars["gpt"], tts.vars["hifigan"], cond, texts, text_lens,
             codes,
             jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32), spk))
         from xtts_tpu.models.hifigan import hifigan_samples
         return [wav[i, :hifigan_samples(cfg.hifigan, int(ns[i]))]
-                for i in range(n_real)]
+                for i in range(b)]
 
     if not use_diffusion:
         wav, _ = tts._render_shortcut_jit(tts.vars["dvae"],
@@ -214,8 +236,7 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
         # (two fewer ~20 ms tunnel dispatches per batch — PERF.md)
         wav = np.asarray(tts._render_full_jit(
             tts.vars["gpt"], tts.vars["diffusion"], tts.vars["vocos"],
-            cond, normalize_tacotron_mel(diff_cond), jnp.asarray(texts),
-            jnp.asarray([len(r.text_tokens) for r in requests], np.int32),
+            cond, normalize_tacotron_mel(diff_cond), texts, text_lens,
             codes,
             jnp.asarray(ns * cfg.gpt.mel_length_compression, jnp.int32), k2,
             settings.diffusion_temperature,
@@ -223,7 +244,7 @@ def synthesize_batch(tts: TextToSpeech, requests: Sequence[SynthesisRequest],
             cond_free_k=settings.cond_free_k,
             refnet_interval=settings.refnet_interval))
 
-    return [wav[i, :int(ns[i]) * comp * hop] for i in range(n_real)]
+    return [wav[i, :int(ns[i]) * comp * hop] for i in range(b)]
 
 
 class BatchServer:

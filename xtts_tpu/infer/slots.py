@@ -1,0 +1,437 @@
+"""Continuous batching (slot serving): per-row decode with mid-stream refill.
+
+Wave serving (serving.synthesize_batch / BatchServer) holds a batch until
+its slowest row finishes, and compacting waves (infer/compact.py) only
+shrink — a finished row's capacity is lost to the wave. This module is the
+full production pattern on TPU terms: a fixed pool of B decode SLOTS over
+one preallocated KV cache, each slot carrying its OWN prefix length and
+position counters, decoded in fixed-length segments; between segments the
+host syncs the tiny (B,) done mask, harvests finished rows, and PREFILLS
+new requests into the freed slots while the other rows keep decoding. The
+chip never waits for a wave barrier: steady-state throughput is set by the
+per-step cost at full B, not by the slowest utterance.
+
+vLLM-style page tables are gather/scatter-shaped memory ops XLA cannot
+tile on TPU; here every shape is static — the cache is (L, B, S_max, H,
+hd), per-row positions are data, and refill is a dynamic_update_slice of a
+freshly prefilled prefix into the slot's row. No reference counterpart
+(the reference generates at fixed batch via HF generate,
+ttts/gpt/model.py:588).
+
+Exactness: greedy decode of every request is TOKEN-EXACT vs the B=1
+monolithic engine on the same padded text (row math is independent;
+masked positions contribute exact zeros — same argument as the cache
+ladder, tests/test_slots.py). Sampled rows draw from a shared per-step
+key, so draws differ from single-request runs (same tolerance class as
+batch bucketing).
+
+Engine: the int8 XLA chain (qdecode tree — the serving default). The
+per-row step mirrors qdecode._decode_step numerics exactly with per-row
+cache writes (one-position scatters) and per-row valid masks.
+"""
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtts_tpu.infer.qdecode import _layer_norm, qdot
+from xtts_tpu.infer.sampling import greedy_token, sample_token
+from xtts_tpu.nn.transformer import KVCache, NEG_INF, gelu_new
+
+
+class SlotState(NamedTuple):
+    """Device-side slot pool. Positions are data, shapes are static."""
+    kc: jnp.ndarray       # (L, B, S_max, H, hd) bf16
+    vc: jnp.ndarray
+    pos: jnp.ndarray      # (B,) int32 — next cache write index (p_len + gen)
+    gen: jnp.ndarray      # (B,) int32 — tokens generated (incl. stop)
+    plen: jnp.ndarray     # (B,) int32 — the slot's prefix length
+    logits: jnp.ndarray   # (B, V) f32 — next-token logits
+    done: jnp.ndarray     # (B,) bool — finished or empty
+    seen: jnp.ndarray     # (B, V) bool — repetition-penalty id set
+    codes: jnp.ndarray    # (B, max_gen) int32, stop-padded
+    key: jax.Array
+
+
+def _decode_step_rows(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
+                      kc: jnp.ndarray, vc: jnp.ndarray, pos: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """qdecode._decode_step with PER-ROW cache positions: x (B, D) bf16,
+    writes each row's K/V at its own `pos`, masks attention per row."""
+    b, d = x.shape
+    hd = d // heads
+    scale = 1.0 / np.sqrt(hd)
+    rows = jnp.arange(b)
+    s = kc.shape[2]
+    grid = jnp.arange(s)[None, None, :]
+    for li, lp in enumerate(qt["layers"]):
+        h = _layer_norm(x, lp["ln_1"]).astype(jnp.bfloat16)
+        qkv = qdot(h, lp["qkv"], lp["qkv_b"])            # (B, 3D) f32
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, heads, hd)
+        kc = kc.at[li, rows, pos].set(
+            k.reshape(b, heads, hd).astype(kc.dtype))
+        vc = vc.at[li, rows, pos].set(
+            v.reshape(b, heads, hd).astype(vc.dtype))
+        k_all, v_all = kc[li], vc[li]                     # (B, S, H, hd)
+        att = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
+                         k_all.astype(jnp.bfloat16)) * scale
+        att = jnp.where(grid <= pos[:, None, None], att, NEG_INF)
+        w = jax.nn.softmax(att.astype(jnp.float32), axis=-1
+                           ).astype(jnp.bfloat16)
+        a = jnp.einsum("bhs,bshd->bhd", w,
+                       v_all.astype(jnp.bfloat16)).reshape(b, d)
+        x = x + qdot(a, lp["proj"], lp["proj_b"]).astype(x.dtype)
+        h2 = _layer_norm(x, lp["ln_2"]).astype(jnp.bfloat16)
+        m = gelu_new(qdot(h2, lp["fc"], lp["fc_b"])).astype(jnp.bfloat16)
+        x = x + qdot(m, lp["out"], lp["out_b"]).astype(x.dtype)
+    normed = _layer_norm(x, qt["ln_f"])
+    return normed, kc, vc
+
+
+def _decode_logits_rows(qt, heads: int, tok: jnp.ndarray, mel_pos: jnp.ndarray,
+                        kc, vc, pos):
+    """Token (B,) at per-row mel positions -> (logits (B, V) f32, kc, vc)."""
+    emb = qt["mel_embedding"][tok] + qt["mel_pos_embedding"][mel_pos]
+    normed, kc, vc = _decode_step_rows(qt, heads, emb.astype(jnp.bfloat16),
+                                       kc, vc, pos)
+    final = _layer_norm(normed.astype(jnp.bfloat16), qt["final_norm"])
+    logits = qdot(final.astype(jnp.bfloat16), qt["mel_head"],
+                  qt["mel_head_b"])
+    return logits, kc, vc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "pos_off", "max_gen", "steps", "stop", "do_sample", "top_p",
+    "temperature", "repetition_penalty", "typical_mass"))
+def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
+                 max_gen: int, steps: int, stop: int, do_sample: bool,
+                 top_p: float, temperature: float, repetition_penalty: float,
+                 typical_mass: Optional[float]) -> SlotState:
+    """Decode `steps` tokens for every live slot (done slots idle: their
+    sampled token is forced to stop, their counters freeze, and their
+    writes land on already-final or masked positions)."""
+    b = state.done.shape[0]
+    rows = jnp.arange(b)
+    s_max = state.kc.shape[2]
+
+    def body(st: SlotState, _):
+        key, sub = jax.random.split(st.key)
+        if do_sample:
+            tok = sample_token(sub, st.logits, temperature=temperature,
+                               top_p=top_p, seen=st.seen,
+                               repetition_penalty=repetition_penalty,
+                               typical_mass=typical_mass)
+        else:
+            tok = greedy_token(st.logits)
+        idle = st.done
+        tok = jnp.where(idle, stop, tok)
+        col = jnp.minimum(st.gen, max_gen - 1)
+        # idle rows must NOT overwrite their final column (a row that hit
+        # the cap holds a real token at max_gen-1)
+        codes = st.codes.at[rows, col].set(
+            jnp.where(idle, st.codes[rows, col], tok))
+        seen = st.seen.at[rows, tok].set(True)
+        now_done = idle | (tok == stop)
+        gen = jnp.where(idle, st.gen, st.gen + 1)
+        now_done = now_done | (gen >= max_gen)
+        # token with gen index g embeds at mel position g+1(+n_cond quirk)
+        # and its K/V land at cache index plen+g — the per-row counters
+        mel_pos = jnp.clip(st.gen + 1 + pos_off, 0, None)
+        wpos = jnp.minimum(st.pos, s_max - 1)   # idle rows clamp in-bounds
+        logits, kc, vc = _decode_logits_rows(qtree, heads, tok, mel_pos,
+                                             st.kc, st.vc, wpos)
+        pos = jnp.where(idle, st.pos, st.pos + 1)
+        return SlotState(kc, vc, pos, gen, st.plen,
+                         logits.astype(jnp.float32), now_done, seen, codes,
+                         key), None
+
+    state, _ = jax.lax.scan(body, state, None, length=steps)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _install(model, variables, state: SlotState, cond_mel, text_tokens,
+             slot) -> SlotState:
+    """Prefill one request (B=1 flax pass — compute-bound, bf16) and write
+    it into `slot`: prefix K/V into the row's cache positions [0, p_len),
+    counters/logits/seen/codes reset. Compiles once per text bucket."""
+    cfg = model.cfg
+    prefix, _ = model.apply(variables, cond_mel, text_tokens,
+                            method=model.encode_prefix)
+    _, p_len, _ = prefix.shape
+    tmp = KVCache.zeros(cfg.layers, 1, p_len, cfg.heads,
+                        cfg.model_dim // cfg.heads, dtype=state.kc.dtype)
+    logits0, tmp = model.apply(variables, prefix, tmp, method=model.prefill)
+    kc = jax.lax.dynamic_update_slice(state.kc, tmp.k, (0, slot, 0, 0, 0))
+    vc = jax.lax.dynamic_update_slice(state.vc, tmp.v, (0, slot, 0, 0, 0))
+    seen = state.seen.at[slot].set(False)
+    seen = seen.at[slot, 1].set(True).at[slot, cfg.start_mel_token].set(True)
+    return SlotState(
+        kc, vc,
+        state.pos.at[slot].set(p_len),
+        state.gen.at[slot].set(0),
+        state.plen.at[slot].set(p_len),
+        state.logits.at[slot].set(logits0[0].astype(jnp.float32)),
+        state.done.at[slot].set(False),
+        seen,
+        state.codes.at[slot].set(model.cfg.stop_mel_token),
+        state.key)
+
+
+class SlotDecoder:
+    """Device-facing half of continuous batching: owns the SlotState and
+    the three programs (install / segment / fetch).
+
+    Requires TextToSpeech(quantized_decode=True) — the per-row engine is
+    built on the int8 qtree (the serving default, BENCH_QUANT=1)."""
+
+    def __init__(self, tts, n_slots: int = 16, max_gen: int = 600,
+                 segment_len: int = 32,
+                 text_buckets: Optional[Sequence[int]] = None,
+                 settings=None):
+        from xtts_tpu.infer.api import TTSSettings
+        if getattr(tts, "_qtree", None) is None:
+            raise ValueError("SlotDecoder needs TextToSpeech("
+                             "quantized_decode=True)")
+        self.tts = tts
+        cfg = tts.cfg.gpt
+        self.cfg = cfg
+        self.settings = settings or TTSSettings(max_mel_tokens=max_gen)
+        self.max_gen = max_gen
+        self.segment_len = segment_len
+        self.n_slots = n_slots
+        self.text_buckets = tuple(text_buckets or (
+            16, 32, 64, 128, 256, cfg.max_text_tokens))
+        self.n_cond = cfg.perceiver_latents if cfg.use_perceiver else 1
+        self.pos_off = self.n_cond if cfg.decode_position_quirk else 0
+        # S_max: prefix at the largest text bucket + the generation cap.
+        # p_len = n_cond + (text+1 framed stop + start/stop alignment) + the
+        # fake-input tail — discovered statically via eval_shape (free).
+        tmax = self.text_buckets[-1]
+        shp = jax.eval_shape(
+            functools.partial(tts.gpt.apply, method=tts.gpt.encode_prefix),
+            tts.vars["gpt"],
+            jax.ShapeDtypeStruct((1, tts.cfg.mel.n_mels, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, tmax), jnp.int32))
+        self.p_len_max = shp[0].shape[1]
+        s_max = self.p_len_max + max_gen
+        b, v = n_slots, cfg.number_mel_codes
+        hd = cfg.model_dim // cfg.heads
+        self.state = SlotState(
+            jnp.zeros((cfg.layers, b, s_max, cfg.heads, hd), jnp.bfloat16),
+            jnp.zeros((cfg.layers, b, s_max, cfg.heads, hd), jnp.bfloat16),
+            jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b, v), float(NEG_INF), jnp.float32),
+            jnp.ones((b,), bool),              # empty slots idle as "done"
+            jnp.zeros((b, v), bool),
+            jnp.full((b, self.max_gen), cfg.stop_mel_token, jnp.int32),
+            jax.random.PRNGKey(0))
+
+    def reseed(self, key: jax.Array) -> None:
+        self.state = self.state._replace(key=key)
+
+    def pad_text(self, text_tokens: np.ndarray) -> np.ndarray:
+        """Pad a (T,) request to its text bucket with stop_text_token (the
+        same framing wave serving uses — serving._pad_texts)."""
+        from xtts_tpu.infer.api import bucket_len
+        t = np.asarray(text_tokens, np.int32)
+        tb = bucket_len(len(t), self.text_buckets)
+        out = np.full((tb,), self.cfg.stop_text_token, np.int32)
+        out[:min(len(t), tb)] = t[:tb]
+        return out
+
+    def install(self, slot: int, text_tokens: np.ndarray,
+                cond_mel: jnp.ndarray) -> None:
+        """Prefill `text_tokens` (pre-padded via pad_text) with `cond_mel`
+        (1, mel, T) into `slot`. Dispatch only — no host sync."""
+        self.state = _install(self.tts.gpt, self.tts.vars["gpt"], self.state,
+                              cond_mel, jnp.asarray(text_tokens)[None],
+                              jnp.int32(slot))
+
+    def run_segment(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode segment_len tokens for all slots; returns (done, gen) —
+        the loop's ONE host sync."""
+        s = self.settings
+        self.state = _run_segment(
+            self.tts._qtree, self.state, heads=self.cfg.heads,
+            pos_off=self.pos_off, max_gen=self.max_gen,
+            steps=self.segment_len, stop=self.cfg.stop_mel_token,
+            do_sample=True, top_p=s.top_p, temperature=s.temperature,
+            repetition_penalty=s.repetition_penalty, typical_mass=None)
+        packed = np.asarray(jnp.concatenate(
+            [self.state.done.astype(jnp.int32), self.state.gen]))
+        return packed[:self.n_slots].astype(bool), packed[self.n_slots:]
+
+    def run_segment_greedy(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Greedy variant (token-exact vs the B=1 monolithic engine)."""
+        self.state = _run_segment(
+            self.tts._qtree, self.state, heads=self.cfg.heads,
+            pos_off=self.pos_off, max_gen=self.max_gen,
+            steps=self.segment_len, stop=self.cfg.stop_mel_token,
+            do_sample=False, top_p=1.0, temperature=1.0,
+            repetition_penalty=1.0, typical_mass=None)
+        packed = np.asarray(jnp.concatenate(
+            [self.state.done.astype(jnp.int32), self.state.gen]))
+        return packed[:self.n_slots].astype(bool), packed[self.n_slots:]
+
+    def fetch_codes(self) -> np.ndarray:
+        """(B, max_gen) codes snapshot (host sync; ~max_gen*B*4 bytes)."""
+        return np.asarray(self.state.codes)
+
+
+@dataclass
+class _Pending:
+    text: np.ndarray                 # bucket-padded tokens
+    raw_len: int
+    cond_mel: Optional[jnp.ndarray]
+    future: "Future"
+
+
+class ContinuousBatcher:
+    """Host half: a scheduler thread that keeps the slot pool full.
+
+    submit() returns a Future resolving to the rendered waveform. Finished
+    rows are harvested between segments, grouped, and rendered through the
+    same batched render programs wave serving uses
+    (serving.render_rows). Candidate rerank is not supported here (use
+    BatchServer for num_candidates > 1)."""
+
+    def __init__(self, tts, cond_mel: jnp.ndarray, settings=None,
+                 n_slots: int = 16, max_gen: Optional[int] = None,
+                 segment_len: int = 32, use_diffusion: bool = False,
+                 render_min: int = 4):
+        from xtts_tpu.infer.api import TTSSettings
+        self.settings = settings or TTSSettings()
+        if self.settings.num_candidates > 1:
+            raise ValueError("ContinuousBatcher does not rerank; use "
+                             "BatchServer for num_candidates > 1")
+        self.tts = tts
+        self.cond_mel = cond_mel
+        self.use_diffusion = use_diffusion
+        self.render_min = render_min
+        self.dec = SlotDecoder(
+            tts, n_slots=n_slots,
+            max_gen=max_gen or self.settings.max_mel_tokens,
+            segment_len=segment_len, settings=self.settings)
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._slot_req: List[Optional[_Pending]] = [None] * n_slots
+        self._finished: List[Tuple[_Pending, np.ndarray, int]] = []
+        self._stop = threading.Event()
+        self._seq = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text_tokens: np.ndarray,
+               cond_mel: Optional[jnp.ndarray] = None) -> "Future[np.ndarray]":
+        if self._stop.is_set():
+            raise RuntimeError("ContinuousBatcher is closed")
+        toks = np.asarray(text_tokens, np.int32)
+        cap = self.tts.cfg.gpt.max_text_tokens
+        if toks.shape[-1] > cap:
+            raise ValueError(f"text of {toks.shape[-1]} tokens exceeds "
+                             f"max_text_tokens={cap}")
+        fut: "Future[np.ndarray]" = Future()
+        self._q.put(_Pending(self.dec.pad_text(toks), len(toks),
+                             cond_mel, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+        try:
+            while True:
+                self._q.get_nowait().future.cancel()
+        except queue.Empty:
+            pass
+        for p in self._slot_req:
+            if p is not None and not p.future.done():
+                p.future.cancel()
+
+    # ------------------------------------------------------------------
+
+    def _refill(self, free: List[int]) -> List[int]:
+        still_free = []
+        for slot in free:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                still_free.append(slot)
+                continue
+            self._seq += 1
+            self._slot_req[slot] = p
+            self.dec.install(slot, p.text,
+                             p.cond_mel if p.cond_mel is not None
+                             else self.cond_mel)
+        return still_free
+
+    def _render(self):
+        """Render the harvested rows through the batched wave-render path,
+        grouped by (text bucket, cond shape)."""
+        from xtts_tpu.infer.serving import render_rows
+        batch, self._finished = self._finished, []
+        groups: Dict[Any, list] = {}
+        for p, codes, gen in batch:
+            ck = (len(p.text),
+                  None if p.cond_mel is None else tuple(p.cond_mel.shape))
+            groups.setdefault(ck, []).append((p, codes, gen))
+        for items in groups.values():
+            texts = np.stack([p.text for p, _, _ in items])
+            lens = np.asarray([p.raw_len for p, _, _ in items], np.int32)
+            codes = np.stack([c for _, c, _ in items])
+            gens = np.asarray([g for _, _, g in items], np.int32)
+            cond = items[0][0].cond_mel
+            conds = (jnp.concatenate([p.cond_mel for p, _, _ in items], 0)
+                     if cond is not None else
+                     jnp.tile(self.cond_mel, (len(items), 1, 1)))
+            try:
+                wavs = render_rows(
+                    self.tts, jnp.asarray(texts), jnp.asarray(lens), conds,
+                    jnp.asarray(codes), gens, self.settings,
+                    self.use_diffusion, jax.random.PRNGKey(self._seq))
+                for (p, _, _), w in zip(items, wavs):
+                    p.future.set_result(w)
+            except Exception as e:   # pragma: no cover - defensive
+                for p, _, _ in items:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+
+    def _loop(self):
+        free = list(range(self.dec.n_slots))
+        while not self._stop.is_set():
+            free = self._refill(free)
+            if len(free) == self.dec.n_slots:
+                # pool empty: render stragglers, then park on the queue
+                if self._finished:
+                    self._render()
+                try:
+                    p = self._q.get(timeout=0.1)
+                    self._q.put(p)        # re-queue; _refill takes it
+                except queue.Empty:
+                    pass
+                continue
+            done, gen = self.dec.run_segment()
+            harvest = [s for s in range(self.dec.n_slots)
+                       if done[s] and self._slot_req[s] is not None]
+            if harvest:
+                codes = self.dec.fetch_codes()
+                for s in harvest:
+                    p = self._slot_req[s]
+                    self._slot_req[s] = None
+                    self._finished.append((p, codes[s], int(gen[s])))
+                    free.append(s)
+            # render when a batch has accumulated, or promptly when no
+            # queued traffic is waiting for the freed slots (low load ->
+            # prioritize latency; high load -> batch renders)
+            if self._finished and (len(self._finished) >= self.render_min
+                                   or self._q.empty()):
+                self._render()
