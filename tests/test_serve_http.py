@@ -109,3 +109,37 @@ def test_wav_bytes_roundtrip():
     with wave.open(io.BytesIO(data)) as w:
         pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     np.testing.assert_allclose(pcm / 32767.0, wav, atol=1e-4)
+
+
+def test_slots_backend_http():
+    """backend='slots': the HTTP layer over ContinuousBatcher — same JSON/
+    WAV contract, health endpoint, multi-sentence concat."""
+    tts = TextToSpeech(TINY, rng=jax.random.PRNGKey(0),
+                       quantized_decode=True)
+    svc = serve_http.SynthesisService(
+        tts, np.zeros(4000, np.float32),
+        settings=TTSSettings(max_mel_tokens=8), max_batch=2,
+        backend="slots")
+    try:
+        assert svc.warmup() == 0       # no wave grid to precompile
+        httpd = serve_http.serve(svc, "127.0.0.1", 0)
+        host, port = httpd.server_address[:2]
+        url = f"http://{host}:{port}"
+        with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+            assert json.loads(r.read())["ok"] is True
+        with _post(url, {"text": "你好。再见。"}) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/wav"
+            with wave.open(io.BytesIO(r.read())) as w:
+                assert w.getnframes() > 0
+        httpd.shutdown()
+    finally:
+        svc.close()
+
+
+def test_slots_backend_rejects_hifigan():
+    tts = TextToSpeech(TINY, rng=jax.random.PRNGKey(0),
+                       quantized_decode=True)
+    with pytest.raises(ValueError, match="slots"):
+        serve_http.SynthesisService(tts, np.zeros(4000, np.float32),
+                                    use_hifigan=True, backend="slots")

@@ -54,7 +54,11 @@ class SynthesisService:
     def __init__(self, tts, cond_wav: np.ndarray, settings=None,
                  max_batch: int = 8, window_ms: float = 20.0,
                  use_diffusion: bool = False, use_hifigan: bool = False,
-                 batch_buckets=None):
+                 batch_buckets=None, backend: str = "waves"):
+        """backend: 'waves' packs arrivals into fixed-batch device programs
+        (BatchServer); 'slots' runs a continuously-refilled slot pool
+        (slots.ContinuousBatcher — no wave barrier; needs
+        quantized_decode=True, no hifigan/rerank)."""
         from xtts_tpu.infer.api import TTSSettings
         from xtts_tpu.infer.serving import BatchServer
 
@@ -63,17 +67,32 @@ class SynthesisService:
         self.sample_rate = tts.cfg.mel.sample_rate
         cond_mel = tts.cond_mel_bucketed(np.asarray(cond_wav, np.float32))
         spk = (tts.speaker_mel_from_wav(cond_wav) if use_hifigan else None)
-        self.server = BatchServer(tts, cond_mel, self.settings,
-                                  max_batch=max_batch, window_ms=window_ms,
-                                  use_diffusion=use_diffusion,
-                                  use_hifigan=use_hifigan, spk_mel16=spk,
-                                  batch_buckets=batch_buckets)
+        if backend == "slots":
+            from xtts_tpu.infer.slots import ContinuousBatcher
+            if use_hifigan:
+                raise ValueError("backend='slots' renders via DVAE/diffusion"
+                                 " only (use waves for hifigan)")
+            self.server = ContinuousBatcher(
+                tts, cond_mel, self.settings, n_slots=max_batch,
+                use_diffusion=use_diffusion)
+        elif backend == "waves":
+            self.server = BatchServer(tts, cond_mel, self.settings,
+                                      max_batch=max_batch,
+                                      window_ms=window_ms,
+                                      use_diffusion=use_diffusion,
+                                      use_hifigan=use_hifigan, spk_mel16=spk,
+                                      batch_buckets=batch_buckets)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
         self._voice_cache: dict = {}
         self._voice_lock = threading.Lock()
 
     def warmup(self, **kw) -> int:
         """Precompile the (batch bucket x text bucket) serving grid —
-        see BatchServer.warmup."""
+        see BatchServer.warmup. No-op (0) for the slots backend: its
+        programs are per-slot-pool and compile on first traffic."""
+        if not hasattr(self.server, "warmup"):
+            return 0
         return self.server.warmup(**kw)
 
     MAX_VOICES = 64   # bound the per-path conditioning-mel cache
@@ -185,6 +204,10 @@ def main():
                     help="comma-separated row-count buckets (bounds the "
                          "number of compiled programs; '' = one program "
                          "per distinct arrival count)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="slot-serving backend (continuous batching): a "
+                         "pool of --max-batch decode slots refilled "
+                         "mid-stream instead of wave batches")
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the (batch bucket x text bucket) "
                          "grid before accepting traffic (minutes over a "
@@ -209,7 +232,8 @@ def main():
                            window_ms=args.window_ms,
                            use_diffusion=args.diffusion,
                            use_hifigan=args.hifigan,
-                           batch_buckets=buckets)
+                           batch_buckets=buckets,
+                           backend="slots" if args.continuous else "waves")
     if args.warmup:
         print("warming up the serving program grid ...", flush=True)
         n = svc.warmup()

@@ -345,6 +345,10 @@ class ContinuousBatcher:
                              cond_mel, fut))
         return fut
 
+    def pending(self) -> int:
+        """Requests not yet installed into a slot (observability)."""
+        return self._q.qsize()
+
     def close(self):
         self._stop.set()
         self._thread.join(timeout=10)
