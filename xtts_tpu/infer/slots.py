@@ -290,11 +290,14 @@ class SlotDecoder:
 
 
 @dataclass
-class _Pending:
+class _Group:
+    """One request: K candidate decodes sharing a text/voice/future."""
     text: np.ndarray                 # bucket-padded tokens
     raw_len: int
     cond_mel: Optional[jnp.ndarray]
     future: "Future"
+    need: int                        # K candidates outstanding
+    cands: list                      # harvested (codes_row, gen) pairs
 
 
 class ContinuousBatcher:
@@ -302,9 +305,12 @@ class ContinuousBatcher:
 
     submit() returns a Future resolving to the rendered waveform. Finished
     rows are harvested between segments, grouped, and rendered through the
-    same batched render programs wave serving uses
-    (serving.render_rows). Candidate rerank is not supported here (use
-    BatchServer for num_candidates > 1)."""
+    same batched render programs wave serving uses (serving.render_rows).
+
+    settings.num_candidates K > 1 decodes K candidate rows per request
+    (they microbatch with everything else in the pool — no wave of K),
+    reranks the harvested candidates with CLVP (rerank_batch, the
+    ttts/api.py:397-412 semantics), and renders only each winner."""
 
     def __init__(self, tts, cond_mel: jnp.ndarray, settings=None,
                  n_slots: int = 16, max_gen: Optional[int] = None,
@@ -312,9 +318,10 @@ class ContinuousBatcher:
                  render_min: int = 4):
         from xtts_tpu.infer.api import TTSSettings
         self.settings = settings or TTSSettings()
-        if self.settings.num_candidates > 1:
-            raise ValueError("ContinuousBatcher does not rerank; use "
-                             "BatchServer for num_candidates > 1")
+        if (self.settings.num_candidates > 1
+                and (tts.clvp is None or "clvp" not in tts.vars)):
+            raise ValueError("settings.num_candidates > 1 needs "
+                             "TextToSpeech(with_clvp=True) for the rerank")
         self.tts = tts
         self.cond_mel = cond_mel
         self.use_diffusion = use_diffusion
@@ -323,9 +330,9 @@ class ContinuousBatcher:
             tts, n_slots=n_slots,
             max_gen=max_gen or self.settings.max_mel_tokens,
             segment_len=segment_len, settings=self.settings)
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
-        self._slot_req: List[Optional[_Pending]] = [None] * n_slots
-        self._finished: List[Tuple[_Pending, np.ndarray, int]] = []
+        self._q: "queue.Queue[_Group]" = queue.Queue()
+        self._slot_req: List[Optional[_Group]] = [None] * n_slots
+        self._finished: List[Tuple[_Group, np.ndarray, int]] = []
         self._stop = threading.Event()
         self._seq = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -341,8 +348,10 @@ class ContinuousBatcher:
             raise ValueError(f"text of {toks.shape[-1]} tokens exceeds "
                              f"max_text_tokens={cap}")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put(_Pending(self.dec.pad_text(toks), len(toks),
-                             cond_mel, fut))
+        k = self.settings.num_candidates
+        g = _Group(self.dec.pad_text(toks), len(toks), cond_mel, fut, k, [])
+        for _ in range(k):           # K candidate rows, independently slotted
+            self._q.put(g)
         return fut
 
     def pending(self) -> int:

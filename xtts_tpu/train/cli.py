@@ -60,9 +60,13 @@ def build_dataset(model: str, cfg: XTTSConfig, filelist: str, tokenizer,
     # matching the shipped vocab-255 / number_text_tokens-256 split)
     cap = (cfg.clvp.num_text_tokens if model == "clvp"
            else cfg.gpt.start_text_token)
-    if tokenizer.vocab_size() > cap:
+    # VoiceBpeTokenizer.vocab_size is a property; duck-typed tokenizers
+    # (HF tokenizers' own Tokenizer) may expose a method — accept both
+    vocab = tokenizer.vocab_size
+    vocab = vocab() if callable(vocab) else vocab
+    if vocab > cap:
         raise ValueError(
-            f"tokenizer vocab {tokenizer.vocab_size()} exceeds the "
+            f"tokenizer vocab {vocab} exceeds the "
             f"{'CLVP text-embedding size' if model == 'clvp' else 'GPT id range (start_text_token)'} "
             f"{cap} — ids past it would gather OOB (silent NaNs under jit) "
             f"or collide with reserved specials. Retrain the tokenizer "
