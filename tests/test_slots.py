@@ -176,14 +176,41 @@ def test_continuous_batcher_e2e():
         assert w.size > 0 and np.isfinite(w).all()
 
 
-def test_continuous_batcher_rejects_rerank():
+def test_continuous_batcher_rerank_needs_clvp():
     from test_api_e2e import TINY
     from xtts_tpu.infer.api import TTSSettings, TextToSpeech
     from xtts_tpu.infer.slots import ContinuousBatcher
     tts = TextToSpeech(TINY, rng=jax.random.PRNGKey(0), quantized_decode=True)
-    with pytest.raises(ValueError, match="rerank"):
+    with pytest.raises(ValueError, match="with_clvp"):
         ContinuousBatcher(tts, jnp.zeros((1, TINY.mel.n_mels, 40)),
                           TTSSettings(num_candidates=2), n_slots=2)
+
+
+def test_continuous_batcher_rerank_e2e():
+    """K=2 candidates per request flow through the slot pool as two
+    independent rows, the harvested pair is CLVP-scored, and only the
+    winner renders (BASELINE #5 semantics without the wave barrier)."""
+    from test_api_e2e import TINY
+    from xtts_tpu.core.config import CLVPConfig
+    from xtts_tpu.infer.api import TTSSettings, TextToSpeech
+    from xtts_tpu.infer.slots import ContinuousBatcher
+    cfg = TINY.replace(clvp=CLVPConfig(
+        dim_text=32, dim_speech=32, dim_latent=16, text_enc_depth=1,
+        speech_enc_depth=1, text_heads=2, speech_heads=2,
+        num_speech_tokens=32))
+    tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(7), with_clvp=True,
+                       quantized_decode=True)
+    rng = np.random.default_rng(0)
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, TINY.mel.n_mels, 40)).astype(np.float32))
+    cb = ContinuousBatcher(tts, cond_mel,
+                           TTSSettings(max_mel_tokens=10, num_candidates=2),
+                           n_slots=2, segment_len=4, render_min=1)
+    futs = [cb.submit(np.array([1, 3, 4, 5, 2], np.int32)),
+            cb.submit(np.array([1, 6, 7, 2], np.int32))]
+    wavs = [f.result(timeout=900) for f in futs]
+    cb.close()
+    assert all(w.size > 0 and np.isfinite(w).all() for w in wavs)
 
 
 def test_slot_decoder_needs_qtree(engine):

@@ -387,6 +387,31 @@ class ContinuousBatcher:
                              else self.cond_mel)
         return still_free
 
+    def _rerank(self, ready: List[_Group]):
+        """CLVP-score each completed group's K candidates (one batched
+        program per text length) and stage the winners for render."""
+        tts = self.tts
+        by_len: Dict[int, List[_Group]] = {}
+        for g in ready:
+            by_len.setdefault(len(g.text), []).append(g)
+        for groups in by_len.values():
+            k = self.settings.num_candidates
+            s = self.dec.max_gen
+            texts = jnp.asarray(np.stack([g.text for g in groups]))
+            codes = np.stack([np.stack([c for c, _ in g.cands])
+                              for g in groups])          # (G, K, S)
+            gens = np.stack([[n for _, n in g.cands] for g in groups])
+            mask = (np.arange(s)[None, None, :]
+                    < gens[:, :, None]).astype(np.int32)
+            scores = np.asarray(tts._clvp_rerank_batch_jit(
+                tts.vars["clvp"], texts,
+                jnp.asarray(np.clip(codes, 0,
+                                    tts.cfg.clvp.num_speech_tokens - 1)),
+                code_mask=jnp.asarray(mask)))
+            best = np.argmax(scores, axis=1)
+            for g, b in zip(groups, best):
+                self._finished.append((g, g.cands[b][0], int(g.cands[b][1])))
+
     def _render(self):
         """Render the harvested rows through the batched wave-render path,
         grouped by (text bucket, cond shape)."""
@@ -437,11 +462,20 @@ class ContinuousBatcher:
                        if done[s] and self._slot_req[s] is not None]
             if harvest:
                 codes = self.dec.fetch_codes()
+                ready = []
                 for s in harvest:
-                    p = self._slot_req[s]
+                    g = self._slot_req[s]
                     self._slot_req[s] = None
-                    self._finished.append((p, codes[s], int(gen[s])))
+                    g.cands.append((codes[s], int(gen[s])))
                     free.append(s)
+                    if len(g.cands) == g.need:
+                        if g.need == 1:
+                            self._finished.append(
+                                (g, g.cands[0][0], g.cands[0][1]))
+                        else:
+                            ready.append(g)
+                if ready:
+                    self._rerank(ready)
             # render when a batch has accumulated, or promptly when no
             # queued traffic is waiting for the freed slots (low load ->
             # prioritize latency; high load -> batch renders)
