@@ -90,7 +90,6 @@ def main():
         dec = SlotDecoder(tts, n_slots=B, max_gen=MAX_GEN,
                           segment_len=SEGMENT,
                           text_buckets=(text.shape[1],))
-        dec.reseed(jax.random.PRNGKey(seed * 977 + 1))
         padded = dec.pad_text(np.asarray(text_tokens[0]))
         total = 0
         pending = N

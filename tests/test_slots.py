@@ -176,6 +176,41 @@ def test_continuous_batcher_e2e():
         assert w.size > 0 and np.isfinite(w).all()
 
 
+def test_sampled_per_request_determinism(engine):
+    """A request's SAMPLED output is a pure function of (text, voice, key):
+    decoded alone in a 2-slot pool vs in a different slot of a 3-slot pool
+    crowded with other traffic, the codes must be identical — the per-row
+    RNG chains make draws independent of pool size, slot index, and
+    neighbors (wave batching cannot offer this)."""
+    from xtts_tpu.infer.slots import SlotDecoder
+    model, variables, qtree = engine
+    texts, conds = _requests(n=3)
+    tts = _FakeTTS(model, variables, qtree, CFG)
+    k0 = jax.random.PRNGKey(42)
+
+    def drive(dec, slot):
+        for _ in range(50):
+            done, gen = dec.run_segment()
+            if done[slot]:
+                return dec.fetch_codes()[slot], int(gen[slot])
+        raise AssertionError("request never finished")
+
+    alone = SlotDecoder(tts, n_slots=2, max_gen=MAX_GEN, segment_len=4,
+                        text_buckets=(5,))
+    alone.install(0, alone.pad_text(texts[0]), conds[0], key=k0)
+    codes_a, gen_a = drive(alone, 0)
+
+    crowd = SlotDecoder(tts, n_slots=3, max_gen=MAX_GEN, segment_len=4,
+                        text_buckets=(5,))
+    crowd.install(0, crowd.pad_text(texts[1]), conds[1])   # busy neighbors
+    crowd.install(1, crowd.pad_text(texts[2]), conds[2])
+    crowd.install(2, crowd.pad_text(texts[0]), conds[0], key=k0)
+    codes_c, gen_c = drive(crowd, 2)
+
+    assert gen_a == gen_c
+    np.testing.assert_array_equal(codes_a, codes_c)
+
+
 def test_continuous_batcher_rerank_needs_clvp():
     from test_api_e2e import TINY
     from xtts_tpu.infer.api import TTSSettings, TextToSpeech

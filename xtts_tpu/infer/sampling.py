@@ -109,3 +109,24 @@ def sample_token(key, logits: jnp.ndarray, temperature: float = 1.0,
 
 def greedy_token(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_token_rows(keys, logits: jnp.ndarray, temperature: float = 1.0,
+                      top_p: float = 1.0, seen: jnp.ndarray | None = None,
+                      repetition_penalty: float = 1.0,
+                      typical_mass: float | None = None) -> jnp.ndarray:
+    """sample_token with an INDEPENDENT key per row: keys (B, 2) uint32,
+    logits (B, V) -> (B,) int32. Each row's draw depends only on its own
+    key chain, so a request's sampled output is reproducible regardless of
+    what else shares the batch (slot serving's per-request determinism —
+    a shared-key batch draw changes with batch shape/composition)."""
+    logits = logits.astype(jnp.float32)
+    if seen is not None:
+        logits = apply_repetition_penalty(logits, seen, repetition_penalty)
+    if typical_mass is not None:
+        logits = typical_filter(logits, typical_mass)
+    if temperature != 1.0:
+        logits = logits / temperature
+    logits = top_p_filter(logits, top_p)
+    draw = jax.vmap(lambda k, l: jax.random.categorical(k, l))
+    return draw(keys, logits).astype(jnp.int32)

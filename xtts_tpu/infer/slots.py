@@ -21,9 +21,11 @@ ttts/gpt/model.py:588).
 Exactness: greedy decode of every request is TOKEN-EXACT vs the B=1
 monolithic engine on the same padded text (row math is independent;
 masked positions contribute exact zeros — same argument as the cache
-ladder, tests/test_slots.py). Sampled rows draw from a shared per-step
-key, so draws differ from single-request runs (same tolerance class as
-batch bucketing).
+ladder, tests/test_slots.py). Sampled rows carry PER-ROW key chains
+(sampling.sample_token_rows), so a request's sampled output is a pure
+function of its own (text, voice, key) — reproducible no matter what
+else shares the pool, a determinism property wave batching cannot offer
+(its batched draw changes with batch shape/composition).
 
 Engine: the int8 XLA chain (qdecode tree — the serving default). The
 per-row step mirrors qdecode._decode_step numerics exactly with per-row
@@ -43,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xtts_tpu.infer.qdecode import _layer_norm, qdot
-from xtts_tpu.infer.sampling import greedy_token, sample_token
+from xtts_tpu.infer.sampling import greedy_token, sample_token_rows
 from xtts_tpu.nn.transformer import KVCache, NEG_INF, gelu_new
 
 
@@ -58,7 +60,11 @@ class SlotState(NamedTuple):
     done: jnp.ndarray     # (B,) bool — finished or empty
     seen: jnp.ndarray     # (B, V) bool — repetition-penalty id set
     codes: jnp.ndarray    # (B, max_gen) int32, stop-padded
-    key: jax.Array
+    keys: jnp.ndarray     # (B, 2) uint32 — PER-ROW RNG chains: a request's
+                          # sampled output is reproducible regardless of
+                          # what else shares the pool (wave batching cannot
+                          # offer this: a shared-key batched draw changes
+                          # with batch shape/composition)
 
 
 def _decode_step_rows(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
@@ -124,12 +130,13 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
     s_max = state.kc.shape[2]
 
     def body(st: SlotState, _):
-        key, sub = jax.random.split(st.key)
+        splits = jax.vmap(jax.random.split)(st.keys)     # (B, 2, 2)
+        keys, subs = splits[:, 0], splits[:, 1]
         if do_sample:
-            tok = sample_token(sub, st.logits, temperature=temperature,
-                               top_p=top_p, seen=st.seen,
-                               repetition_penalty=repetition_penalty,
-                               typical_mass=typical_mass)
+            tok = sample_token_rows(subs, st.logits, temperature=temperature,
+                                    top_p=top_p, seen=st.seen,
+                                    repetition_penalty=repetition_penalty,
+                                    typical_mass=typical_mass)
         else:
             tok = greedy_token(st.logits)
         idle = st.done
@@ -152,7 +159,7 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
         pos = jnp.where(idle, st.pos, st.pos + 1)
         return SlotState(kc, vc, pos, gen, st.plen,
                          logits.astype(jnp.float32), now_done, seen, codes,
-                         key), None
+                         keys), None
 
     state, _ = jax.lax.scan(body, state, None, length=steps)
     return state
@@ -160,10 +167,11 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
 
 @functools.partial(jax.jit, static_argnames=("model",))
 def _install(model, variables, state: SlotState, cond_mel, text_tokens,
-             slot) -> SlotState:
+             slot, key) -> SlotState:
     """Prefill one request (B=1 flax pass — compute-bound, bf16) and write
     it into `slot`: prefix K/V into the row's cache positions [0, p_len),
-    counters/logits/seen/codes reset. Compiles once per text bucket."""
+    counters/logits/seen/codes reset, the row's RNG chain seeded with the
+    request's own `key`. Compiles once per text bucket."""
     cfg = model.cfg
     prefix, _ = model.apply(variables, cond_mel, text_tokens,
                             method=model.encode_prefix)
@@ -184,7 +192,7 @@ def _install(model, variables, state: SlotState, cond_mel, text_tokens,
         state.done.at[slot].set(False),
         seen,
         state.codes.at[slot].set(model.cfg.stop_mel_token),
-        state.key)
+        state.keys.at[slot].set(key))
 
 
 class SlotDecoder:
@@ -235,10 +243,8 @@ class SlotDecoder:
             jnp.ones((b,), bool),              # empty slots idle as "done"
             jnp.zeros((b, v), bool),
             jnp.full((b, self.max_gen), cfg.stop_mel_token, jnp.int32),
-            jax.random.PRNGKey(0))
-
-    def reseed(self, key: jax.Array) -> None:
-        self.state = self.state._replace(key=key)
+            jnp.tile(jax.random.PRNGKey(0)[None], (b, 1)))
+        self._install_seq = 0
 
     def pad_text(self, text_tokens: np.ndarray) -> np.ndarray:
         """Pad a (T,) request to its text bucket with stop_text_token (the
@@ -251,12 +257,19 @@ class SlotDecoder:
         return out
 
     def install(self, slot: int, text_tokens: np.ndarray,
-                cond_mel: jnp.ndarray) -> None:
+                cond_mel: jnp.ndarray,
+                key: Optional[jax.Array] = None) -> None:
         """Prefill `text_tokens` (pre-padded via pad_text) with `cond_mel`
-        (1, mel, T) into `slot`. Dispatch only — no host sync."""
+        (1, mel, T) into `slot`. Dispatch only — no host sync. `key` seeds
+        the slot's OWN RNG chain: the request's sampled output is then a
+        pure function of (text, voice, key), independent of pool traffic
+        (default: a fresh key per install)."""
+        if key is None:
+            self._install_seq += 1
+            key = jax.random.PRNGKey(self._install_seq)
         self.state = _install(self.tts.gpt, self.tts.vars["gpt"], self.state,
                               cond_mel, jnp.asarray(text_tokens)[None],
-                              jnp.int32(slot))
+                              jnp.int32(slot), key)
 
     def run_segment(self) -> Tuple[np.ndarray, np.ndarray]:
         """Decode segment_len tokens for all slots; returns (done, gen) —
@@ -295,9 +308,12 @@ class _Group:
     text: np.ndarray                 # bucket-padded tokens
     raw_len: int
     cond_mel: Optional[jnp.ndarray]
+    key: Optional[jax.Array]         # request RNG seed (candidate i uses
+                                     # fold_in(key, i)); None = fresh keys
     future: "Future"
     need: int                        # K candidates outstanding
     cands: list                      # harvested (codes_row, gen) pairs
+    launched: int = 0                # candidates installed so far
 
 
 class ContinuousBatcher:
@@ -339,7 +355,11 @@ class ContinuousBatcher:
         self._thread.start()
 
     def submit(self, text_tokens: np.ndarray,
-               cond_mel: Optional[jnp.ndarray] = None) -> "Future[np.ndarray]":
+               cond_mel: Optional[jnp.ndarray] = None,
+               key: Optional[jax.Array] = None) -> "Future[np.ndarray]":
+        """key: optional request seed — with it, the sampled output is
+        reproducible regardless of concurrent traffic (per-row RNG
+        chains; candidate i of K draws from fold_in(key, i))."""
         if self._stop.is_set():
             raise RuntimeError("ContinuousBatcher is closed")
         toks = np.asarray(text_tokens, np.int32)
@@ -349,7 +369,8 @@ class ContinuousBatcher:
                              f"max_text_tokens={cap}")
         fut: "Future[np.ndarray]" = Future()
         k = self.settings.num_candidates
-        g = _Group(self.dec.pad_text(toks), len(toks), cond_mel, fut, k, [])
+        g = _Group(self.dec.pad_text(toks), len(toks), cond_mel, key, fut,
+                   k, [])
         for _ in range(k):           # K candidate rows, independently slotted
             self._q.put(g)
         return fut
@@ -381,10 +402,13 @@ class ContinuousBatcher:
                 still_free.append(slot)
                 continue
             self._seq += 1
+            idx, p.launched = p.launched, p.launched + 1
             self._slot_req[slot] = p
             self.dec.install(slot, p.text,
                              p.cond_mel if p.cond_mel is not None
-                             else self.cond_mel)
+                             else self.cond_mel,
+                             key=(None if p.key is None
+                                  else jax.random.fold_in(p.key, idx)))
         return still_free
 
     def _rerank(self, ready: List[_Group]):
