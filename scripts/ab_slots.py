@@ -18,7 +18,8 @@ samples / 24 kHz over wall time).
 Run: python scripts/ab_slots.py    (holds the TPU; run alone)
 Env: AB_N (default 64 requests), AB_B (16 slots / wave rows),
      AB_MAX_GEN (600), AB_SEGMENT (32), AB_STOP_BIAS (probe default),
-     AB_LADDER ("128,256" — wave arm only).
+     AB_LADDER ("128,256" — wave arm only), AB_KV_QUANT=1 (int8 slot
+     cache — halves the full-S_max read that is the slot arm's handicap).
 """
 import os
 import sys
@@ -87,9 +88,13 @@ def main():
 
     # ---- slot arm -------------------------------------------------------
     def drain_slots(seed):
+        from xtts_tpu.infer.api import TTSSettings
+        kvq = os.environ.get("AB_KV_QUANT", "0") == "1"
         dec = SlotDecoder(tts, n_slots=B, max_gen=MAX_GEN,
                           segment_len=SEGMENT,
-                          text_buckets=(text.shape[1],))
+                          text_buckets=(text.shape[1],),
+                          settings=TTSSettings(max_mel_tokens=MAX_GEN,
+                                               kv_quant=kvq))
         padded = dec.pad_text(np.asarray(text_tokens[0]))
         total = 0
         pending = N

@@ -176,6 +176,43 @@ def test_continuous_batcher_e2e():
         assert w.size > 0 and np.isfinite(w).all()
 
 
+def test_slot_kv_quant_greedy_exact(engine):
+    """settings.kv_quant: the int8 row-quantized slot pool (values through
+    a bare convert, scales folded into scores/probs) must match the B=1
+    monolithic int8-KV engine token-for-token under greedy — install-time
+    prefix quantization and per-step quantization mirror quantize_kv /
+    _decode_step_qkv exactly."""
+    from xtts_tpu.infer.api import TTSSettings
+    from xtts_tpu.infer.qdecode import generate_speech_quantized
+    from xtts_tpu.infer.slots import SlotDecoder
+    model, variables, qtree = engine
+    texts, conds = _requests(n=3)
+    ref = []
+    for t, c in zip(texts, conds):
+        r = generate_speech_quantized(model, variables, qtree, c,
+                                      jnp.asarray(t)[None],
+                                      jax.random.PRNGKey(0), max_gen=MAX_GEN,
+                                      do_sample=False, quantize_kv_cache=True)
+        ref.append((np.asarray(r.codes)[0], int(r.lengths[0])))
+
+    tts = _FakeTTS(model, variables, qtree, CFG)
+    dec = SlotDecoder(tts, n_slots=3, max_gen=MAX_GEN, segment_len=8,
+                      text_buckets=(5,),
+                      settings=TTSSettings(max_mel_tokens=MAX_GEN,
+                                           kv_quant=True))
+    assert len(dec.state.cache) == 4 and dec.state.cache[0].dtype == jnp.int8
+    for s in range(3):
+        dec.install(s, dec.pad_text(texts[s]), conds[s])
+    for _ in range(20):
+        done, gen = dec.run_segment_greedy()
+        if done.all():
+            break
+    codes = dec.fetch_codes()
+    for i, (rc, rl) in enumerate(ref):
+        assert int(gen[i]) == rl
+        np.testing.assert_array_equal(codes[i], rc, err_msg=f"req {i}")
+
+
 def test_sampled_per_request_determinism(engine):
     """A request's SAMPLED output is a pure function of (text, voice, key):
     decoded alone in a 2-slot pool vs in a different slot of a 3-slot pool

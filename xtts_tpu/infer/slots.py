@@ -51,8 +51,10 @@ from xtts_tpu.nn.transformer import KVCache, NEG_INF, gelu_new
 
 class SlotState(NamedTuple):
     """Device-side slot pool. Positions are data, shapes are static."""
-    kc: jnp.ndarray       # (L, B, S_max, H, hd) bf16
-    vc: jnp.ndarray
+    # cache: (kc, vc) bf16, or (kc, vc, ks, vs) per-(position, head) int8
+    # row-quantized values + f32 scales (settings.kv_quant — halves the
+    # dominant byte stream: every slot step reads the full S_max cache)
+    cache: tuple
     pos: jnp.ndarray      # (B,) int32 — next cache write index (p_len + gen)
     gen: jnp.ndarray      # (B,) int32 — tokens generated (incl. stop)
     plen: jnp.ndarray     # (B,) int32 — the slot's prefix length
@@ -68,14 +70,20 @@ class SlotState(NamedTuple):
 
 
 def _decode_step_rows(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
-                      kc: jnp.ndarray, vc: jnp.ndarray, pos: jnp.ndarray
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                      cache: tuple, pos: jnp.ndarray):
     """qdecode._decode_step with PER-ROW cache positions: x (B, D) bf16,
-    writes each row's K/V at its own `pos`, masks attention per row."""
+    writes each row's K/V at its own `pos`, masks attention per row.
+    cache (kc, vc) runs bf16; (kc, vc, ks, vs) mirrors
+    qdecode._decode_step_qkv — int8 values consumed through a bare convert
+    (operand-fusible), per-(position, head) scales folded into the
+    scores/probs."""
     b, d = x.shape
     hd = d // heads
     scale = 1.0 / np.sqrt(hd)
     rows = jnp.arange(b)
+    quant = len(cache) == 4
+    kc, vc = cache[0], cache[1]
+    ks, vs = (cache[2], cache[3]) if quant else (None, None)
     s = kc.shape[2]
     grid = jnp.arange(s)[None, None, :]
     for li, lp in enumerate(qt["layers"]):
@@ -83,36 +91,49 @@ def _decode_step_rows(qt: Dict[str, Any], heads: int, x: jnp.ndarray,
         qkv = qdot(h, lp["qkv"], lp["qkv_b"])            # (B, 3D) f32
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, heads, hd)
-        kc = kc.at[li, rows, pos].set(
-            k.reshape(b, heads, hd).astype(kc.dtype))
-        vc = vc.at[li, rows, pos].set(
-            v.reshape(b, heads, hd).astype(vc.dtype))
-        k_all, v_all = kc[li], vc[li]                     # (B, S, H, hd)
+        k = k.reshape(b, heads, hd)
+        v = v.reshape(b, heads, hd)
+        if quant:
+            from xtts_tpu.infer.qdecode import _quant_heads
+            kq, ksc = _quant_heads(k)
+            vq, vsc = _quant_heads(v)
+            kc = kc.at[li, rows, pos].set(kq)
+            vc = vc.at[li, rows, pos].set(vq)
+            ks = ks.at[li, rows, pos].set(ksc)
+            vs = vs.at[li, rows, pos].set(vsc)
+        else:
+            kc = kc.at[li, rows, pos].set(k.astype(kc.dtype))
+            vc = vc.at[li, rows, pos].set(v.astype(vc.dtype))
         att = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
-                         k_all.astype(jnp.bfloat16)) * scale
+                         kc[li].astype(jnp.bfloat16))
+        if quant:
+            att = att * jnp.swapaxes(ks[li], 1, 2)
+        att = att * scale
         att = jnp.where(grid <= pos[:, None, None], att, NEG_INF)
-        w = jax.nn.softmax(att.astype(jnp.float32), axis=-1
-                           ).astype(jnp.bfloat16)
-        a = jnp.einsum("bhs,bshd->bhd", w,
-                       v_all.astype(jnp.bfloat16)).reshape(b, d)
+        w = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
+        if quant:
+            w = w * jnp.swapaxes(vs[li], 1, 2)
+        a = jnp.einsum("bhs,bshd->bhd", w.astype(jnp.bfloat16),
+                       vc[li].astype(jnp.bfloat16)).reshape(b, d)
         x = x + qdot(a, lp["proj"], lp["proj_b"]).astype(x.dtype)
         h2 = _layer_norm(x, lp["ln_2"]).astype(jnp.bfloat16)
         m = gelu_new(qdot(h2, lp["fc"], lp["fc_b"])).astype(jnp.bfloat16)
         x = x + qdot(m, lp["out"], lp["out_b"]).astype(x.dtype)
     normed = _layer_norm(x, qt["ln_f"])
-    return normed, kc, vc
+    cache = (kc, vc, ks, vs) if quant else (kc, vc)
+    return normed, cache
 
 
 def _decode_logits_rows(qt, heads: int, tok: jnp.ndarray, mel_pos: jnp.ndarray,
-                        kc, vc, pos):
-    """Token (B,) at per-row mel positions -> (logits (B, V) f32, kc, vc)."""
+                        cache: tuple, pos):
+    """Token (B,) at per-row mel positions -> (logits (B, V) f32, cache)."""
     emb = qt["mel_embedding"][tok] + qt["mel_pos_embedding"][mel_pos]
-    normed, kc, vc = _decode_step_rows(qt, heads, emb.astype(jnp.bfloat16),
-                                       kc, vc, pos)
+    normed, cache = _decode_step_rows(qt, heads, emb.astype(jnp.bfloat16),
+                                      cache, pos)
     final = _layer_norm(normed.astype(jnp.bfloat16), qt["final_norm"])
     logits = qdot(final.astype(jnp.bfloat16), qt["mel_head"],
                   qt["mel_head_b"])
-    return logits, kc, vc
+    return logits, cache
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -127,7 +148,7 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
     writes land on already-final or masked positions)."""
     b = state.done.shape[0]
     rows = jnp.arange(b)
-    s_max = state.kc.shape[2]
+    s_max = state.cache[0].shape[2]
 
     def body(st: SlotState, _):
         splits = jax.vmap(jax.random.split)(st.keys)     # (B, 2, 2)
@@ -154,10 +175,10 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
         # and its K/V land at cache index plen+g — the per-row counters
         mel_pos = jnp.clip(st.gen + 1 + pos_off, 0, None)
         wpos = jnp.minimum(st.pos, s_max - 1)   # idle rows clamp in-bounds
-        logits, kc, vc = _decode_logits_rows(qtree, heads, tok, mel_pos,
-                                             st.kc, st.vc, wpos)
+        logits, cache = _decode_logits_rows(qtree, heads, tok, mel_pos,
+                                            st.cache, wpos)
         pos = jnp.where(idle, st.pos, st.pos + 1)
-        return SlotState(kc, vc, pos, gen, st.plen,
+        return SlotState(cache, pos, gen, st.plen,
                          logits.astype(jnp.float32), now_done, seen, codes,
                          keys), None
 
@@ -171,20 +192,32 @@ def _install(model, variables, state: SlotState, cond_mel, text_tokens,
     """Prefill one request (B=1 flax pass — compute-bound, bf16) and write
     it into `slot`: prefix K/V into the row's cache positions [0, p_len),
     counters/logits/seen/codes reset, the row's RNG chain seeded with the
-    request's own `key`. Compiles once per text bucket."""
+    request's own `key`. Compiles once per text bucket. A 4-tuple (int8)
+    state cache additionally quantizes the prefix rows at install
+    (qdecode.quantize_kv math)."""
     cfg = model.cfg
     prefix, _ = model.apply(variables, cond_mel, text_tokens,
                             method=model.encode_prefix)
     _, p_len, _ = prefix.shape
     tmp = KVCache.zeros(cfg.layers, 1, p_len, cfg.heads,
-                        cfg.model_dim // cfg.heads, dtype=state.kc.dtype)
+                        cfg.model_dim // cfg.heads, dtype=jnp.bfloat16)
     logits0, tmp = model.apply(variables, prefix, tmp, method=model.prefill)
-    kc = jax.lax.dynamic_update_slice(state.kc, tmp.k, (0, slot, 0, 0, 0))
-    vc = jax.lax.dynamic_update_slice(state.vc, tmp.v, (0, slot, 0, 0, 0))
+    if len(state.cache) == 4:
+        from xtts_tpu.infer.qdecode import quantize_kv
+        qtmp = quantize_kv(tmp)
+        cache = tuple(
+            jax.lax.dynamic_update_slice(dst, new, (0, slot) + (0,) * (dst.ndim - 2))
+            for dst, new in zip(state.cache, qtmp))
+    else:
+        cache = (
+            jax.lax.dynamic_update_slice(state.cache[0], tmp.k,
+                                         (0, slot, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(state.cache[1], tmp.v,
+                                         (0, slot, 0, 0, 0)))
     seen = state.seen.at[slot].set(False)
     seen = seen.at[slot, 1].set(True).at[slot, cfg.start_mel_token].set(True)
     return SlotState(
-        kc, vc,
+        cache,
         state.pos.at[slot].set(p_len),
         state.gen.at[slot].set(0),
         state.plen.at[slot].set(p_len),
@@ -234,9 +267,18 @@ class SlotDecoder:
         s_max = self.p_len_max + max_gen
         b, v = n_slots, cfg.number_mel_codes
         hd = cfg.model_dim // cfg.heads
+        cshape = (cfg.layers, b, s_max, cfg.heads, hd)
+        if self.settings.kv_quant:
+            # int8 row-quantized pool: halves the dominant byte stream
+            # (every slot step reads the full S_max cache)
+            cache = (jnp.zeros(cshape, jnp.int8), jnp.zeros(cshape, jnp.int8),
+                     jnp.zeros(cshape[:-1], jnp.float32),
+                     jnp.zeros(cshape[:-1], jnp.float32))
+        else:
+            cache = (jnp.zeros(cshape, jnp.bfloat16),
+                     jnp.zeros(cshape, jnp.bfloat16))
         self.state = SlotState(
-            jnp.zeros((cfg.layers, b, s_max, cfg.heads, hd), jnp.bfloat16),
-            jnp.zeros((cfg.layers, b, s_max, cfg.heads, hd), jnp.bfloat16),
+            cache,
             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32),
             jnp.full((b, v), float(NEG_INF), jnp.float32),
