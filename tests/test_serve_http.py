@@ -121,7 +121,8 @@ def test_slots_backend_http():
         settings=TTSSettings(max_mel_tokens=8), max_batch=2,
         backend="slots")
     try:
-        assert svc.warmup() == 0       # no wave grid to precompile
+        # slots warmup drives real dummy requests through the pool
+        assert svc.warmup(text_lens=(8,), render_sizes=(1,)) == 1
         httpd = serve_http.serve(svc, "127.0.0.1", 0)
         host, port = httpd.server_address[:2]
         url = f"http://{host}:{port}"

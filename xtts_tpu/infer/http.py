@@ -88,11 +88,9 @@ class SynthesisService:
         self._voice_lock = threading.Lock()
 
     def warmup(self, **kw) -> int:
-        """Precompile the (batch bucket x text bucket) serving grid —
-        see BatchServer.warmup. No-op (0) for the slots backend: its
-        programs are per-slot-pool and compile on first traffic."""
-        if not hasattr(self.server, "warmup"):
-            return 0
+        """Precompile the serving program grid — BatchServer.warmup
+        (batch bucket x text bucket) or ContinuousBatcher.warmup
+        (installs + segment + render rungs), depending on the backend."""
         return self.server.warmup(**kw)
 
     MAX_VOICES = 64   # bound the per-path conditioning-mel cache

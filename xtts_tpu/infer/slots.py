@@ -250,8 +250,10 @@ class SlotDecoder:
         self.max_gen = max_gen
         self.segment_len = segment_len
         self.n_slots = n_slots
-        self.text_buckets = tuple(text_buckets or (
-            16, 32, 64, 128, 256, cfg.max_text_tokens))
+        self.text_buckets = tuple(
+            b for b in (text_buckets or (16, 32, 64, 128, 256,
+                                         cfg.max_text_tokens))
+            if b <= cfg.max_text_tokens) or (cfg.max_text_tokens,)
         self.n_cond = cfg.perceiver_latents if cfg.use_perceiver else 1
         self.pos_off = self.n_cond if cfg.decode_position_quirk else 0
         # S_max: prefix at the largest text bucket + the generation cap.
@@ -373,7 +375,8 @@ class ContinuousBatcher:
     def __init__(self, tts, cond_mel: jnp.ndarray, settings=None,
                  n_slots: int = 16, max_gen: Optional[int] = None,
                  segment_len: int = 32, use_diffusion: bool = False,
-                 render_min: int = 4):
+                 render_min: int = 4,
+                 render_buckets: Sequence[int] = (1, 2, 4, 8, 16)):
         from xtts_tpu.infer.api import TTSSettings
         self.settings = settings or TTSSettings()
         if (self.settings.num_candidates > 1
@@ -384,6 +387,7 @@ class ContinuousBatcher:
         self.cond_mel = cond_mel
         self.use_diffusion = use_diffusion
         self.render_min = render_min
+        self.render_buckets = tuple(sorted(render_buckets))
         self.dec = SlotDecoder(
             tts, n_slots=n_slots,
             max_gen=max_gen or self.settings.max_mel_tokens,
@@ -395,6 +399,31 @@ class ContinuousBatcher:
         self._seq = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def warmup(self, text_lens: Optional[Sequence[int]] = None,
+               render_sizes: Optional[Sequence[int]] = None) -> int:
+        """Precompile the slot-serving programs before traffic: one install
+        per text bucket, the segment program, and one render per (render
+        bucket x text bucket) at the cap code bucket — the analogue of
+        BatchServer.warmup. Drives REAL dummy requests through submit()
+        (the pool is drained between grid points), so call before serving.
+        Render programs compile at whichever render_buckets rungs the
+        bursts exercise; the rung set bounds the total compile count either
+        way. Returns the number of requests driven."""
+        text_lens = tuple(text_lens or self.dec.text_buckets)
+        render_sizes = tuple(render_sizes or self.render_buckets)
+        n = 0
+        for t in text_lens:
+            for rb in render_sizes:
+                if rb > self.dec.n_slots * 2:
+                    continue   # a burst this size can't accumulate anyway
+                toks = np.ones((min(t, self.tts.cfg.gpt.max_text_tokens),),
+                               np.int32)
+                futs = [self.submit(toks) for _ in range(rb)]
+                for f in futs:
+                    f.result()
+                n += rb
+        return n
 
     def submit(self, text_tokens: np.ndarray,
                cond_mel: Optional[jnp.ndarray] = None,
@@ -480,7 +509,11 @@ class ContinuousBatcher:
 
     def _render(self):
         """Render the harvested rows through the batched wave-render path,
-        grouped by (text bucket, cond shape)."""
+        grouped by (text bucket, cond shape); the row count pads up to a
+        render_buckets rung (repeating row 0, extra outputs dropped) so the
+        compiled-program count stays bounded like synthesize_batch's
+        batch_buckets."""
+        from xtts_tpu.infer.api import bucket_len
         from xtts_tpu.infer.serving import render_rows
         batch, self._finished = self._finished, []
         groups: Dict[Any, list] = {}
@@ -489,20 +522,23 @@ class ContinuousBatcher:
                   None if p.cond_mel is None else tuple(p.cond_mel.shape))
             groups.setdefault(ck, []).append((p, codes, gen))
         for items in groups.values():
-            texts = np.stack([p.text for p, _, _ in items])
-            lens = np.asarray([p.raw_len for p, _, _ in items], np.int32)
-            codes = np.stack([c for _, c, _ in items])
-            gens = np.asarray([g for _, _, g in items], np.int32)
+            n_real = len(items)
+            nb = bucket_len(n_real, self.render_buckets)
+            padded = items + [items[0]] * (nb - n_real)
+            texts = np.stack([p.text for p, _, _ in padded])
+            lens = np.asarray([p.raw_len for p, _, _ in padded], np.int32)
+            codes = np.stack([c for _, c, _ in padded])
+            gens = np.asarray([g for _, _, g in padded], np.int32)
             cond = items[0][0].cond_mel
-            conds = (jnp.concatenate([p.cond_mel for p, _, _ in items], 0)
+            conds = (jnp.concatenate([p.cond_mel for p, _, _ in padded], 0)
                      if cond is not None else
-                     jnp.tile(self.cond_mel, (len(items), 1, 1)))
+                     jnp.tile(self.cond_mel, (nb, 1, 1)))
             try:
                 wavs = render_rows(
                     self.tts, jnp.asarray(texts), jnp.asarray(lens), conds,
                     jnp.asarray(codes), gens, self.settings,
                     self.use_diffusion, jax.random.PRNGKey(self._seq))
-                for (p, _, _), w in zip(items, wavs):
+                for (p, _, _), w in zip(items, wavs[:n_real]):
                     p.future.set_result(w)
             except Exception as e:   # pragma: no cover - defensive
                 for p, _, _ in items:
