@@ -182,7 +182,21 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
                          logits.astype(jnp.float32), now_done, seen, codes,
                          keys), None
 
-    state, _ = jax.lax.scan(body, state, None, length=steps)
+    # bounded while_loop rather than scan: an all-done pool (drain phase,
+    # or every live row stopping mid-segment) exits early instead of
+    # burning the rest of the segment on idle writes. Exactness is
+    # unaffected — idle steps only rewrite stop over stop and freeze
+    # counters, and per-row keys are reseeded at install.
+    def cond_fn(st_i):
+        i, st = st_i
+        return (i < steps) & ~jnp.all(st.done)
+
+    def body_i(st_i):
+        i, st = st_i
+        st, _ = body(st, None)
+        return (i + 1, st)
+
+    _, state = jax.lax.while_loop(cond_fn, body_i, (jnp.int32(0), state))
     return state
 
 
