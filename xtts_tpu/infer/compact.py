@@ -78,7 +78,7 @@ def _init_state(model: UnifiedVoice, variables, cond_mel, text_tokens, key,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "cap", "p_len", "n_cond", "do_sample", "top_p", "temperature",
-    "repetition_penalty", "typical_mass"))
+    "repetition_penalty", "typical_mass"), donate_argnames=("state",))
 def _run_segment(model: UnifiedVoice, variables, qtree, state, cap: int,
                  p_len: int, n_cond: int, do_sample: bool, top_p: float,
                  temperature: float, repetition_penalty: float,
@@ -136,7 +136,7 @@ def _run_segment(model: UnifiedVoice, variables, qtree, state, cap: int,
     return jax.lax.while_loop(cond_fn, body_fn, state)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnames=("state",))
 def _take_rows(state, idx):
     """Gather decode-state rows (cache batch axis is 1, the rest 0; step and
     key are shared scalars)."""

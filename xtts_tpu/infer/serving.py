@@ -407,7 +407,8 @@ class BatchServer:
                         batch_buckets=self.batch_buckets,
                         key=jax.random.PRNGKey(self._seq))
                     for f, w in zip(futs, wavs):
-                        f.set_result(w)
+                        if not f.cancelled():  # client gave up mid-batch
+                            f.set_result(w)
                 except Exception as e:  # pragma: no cover - defensive
                     for f in futs:
                         if not f.done():

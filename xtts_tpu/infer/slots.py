@@ -22,10 +22,13 @@ Exactness: greedy decode of every request is TOKEN-EXACT vs the B=1
 monolithic engine on the same padded text (row math is independent;
 masked positions contribute exact zeros — same argument as the cache
 ladder, tests/test_slots.py). Sampled rows carry PER-ROW key chains
-(sampling.sample_token_rows), so a request's sampled output is a pure
+(sampling.sample_token_rows), so a request's sampled AR CODES are a pure
 function of its own (text, voice, key) — reproducible no matter what
 else shares the pool, a determinism property wave batching cannot offer
-(its batched draw changes with batch shape/composition).
+(its batched draw changes with batch shape/composition). Deterministic
+renders (shortcut DVAE+Vocos, hifigan) inherit that; the diffusion
+render's noise key is batch-level, so those waveforms remain
+traffic-dependent.
 
 Engine: the int8 XLA chain (qdecode tree — the serving default). The
 per-row step mirrors qdecode._decode_step numerics exactly with per-row
@@ -138,7 +141,8 @@ def _decode_logits_rows(qt, heads: int, tok: jnp.ndarray, mel_pos: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "heads", "pos_off", "max_gen", "steps", "stop", "do_sample", "top_p",
-    "temperature", "repetition_penalty", "typical_mass"))
+    "temperature", "repetition_penalty", "typical_mass"),
+                   donate_argnames=("state",))
 def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
                  max_gen: int, steps: int, stop: int, do_sample: bool,
                  top_p: float, temperature: float, repetition_penalty: float,
@@ -200,7 +204,8 @@ def _run_segment(qtree, state: SlotState, heads: int, pos_off: int,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
+@functools.partial(jax.jit, static_argnames=("model",),
+                   donate_argnames=("state",))
 def _install(model, variables, state: SlotState, cond_mel, text_tokens,
              slot, key) -> SlotState:
     """Prefill one request (B=1 flax pass — compute-bound, bf16) and write
@@ -280,10 +285,15 @@ class SlotDecoder:
             jax.ShapeDtypeStruct((1, tts.cfg.mel.n_mels, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, tmax), jnp.int32))
         self.p_len_max = shp[0].shape[1]
-        s_max = self.p_len_max + max_gen
-        b, v = n_slots, cfg.number_mel_codes
+        self.s_max = self.p_len_max + max_gen
+        self.state = self._fresh_state()
+        self._install_seq = 0
+
+    def _fresh_state(self) -> SlotState:
+        cfg = self.cfg
+        b, v = self.n_slots, cfg.number_mel_codes
         hd = cfg.model_dim // cfg.heads
-        cshape = (cfg.layers, b, s_max, cfg.heads, hd)
+        cshape = (cfg.layers, b, self.s_max, cfg.heads, hd)
         if self.settings.kv_quant:
             # int8 row-quantized pool: halves the dominant byte stream
             # (every slot step reads the full S_max cache)
@@ -293,7 +303,7 @@ class SlotDecoder:
         else:
             cache = (jnp.zeros(cshape, jnp.bfloat16),
                      jnp.zeros(cshape, jnp.bfloat16))
-        self.state = SlotState(
+        return SlotState(
             cache,
             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32),
@@ -302,7 +312,10 @@ class SlotDecoder:
             jnp.zeros((b, v), bool),
             jnp.full((b, self.max_gen), cfg.stop_mel_token, jnp.int32),
             jnp.tile(jax.random.PRNGKey(0)[None], (b, 1)))
-        self._install_seq = 0
+
+    def reset(self) -> None:
+        """Drop all slot state (e.g. after a poisoned-pool error)."""
+        self.state = self._fresh_state()
 
     def pad_text(self, text_tokens: np.ndarray) -> np.ndarray:
         """Pad a (T,) request to its text bucket with stop_text_token (the
@@ -329,31 +342,27 @@ class SlotDecoder:
                               cond_mel, jnp.asarray(text_tokens)[None],
                               jnp.int32(slot), key)
 
-    def run_segment(self) -> Tuple[np.ndarray, np.ndarray]:
+    def run_segment(self, greedy: bool = False
+                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Decode segment_len tokens for all slots; returns (done, gen) —
-        the loop's ONE host sync."""
+        the loop's ONE host sync. greedy=True is token-exact vs the B=1
+        monolithic engine."""
         s = self.settings
         self.state = _run_segment(
             self.tts._qtree, self.state, heads=self.cfg.heads,
             pos_off=self.pos_off, max_gen=self.max_gen,
             steps=self.segment_len, stop=self.cfg.stop_mel_token,
-            do_sample=True, top_p=s.top_p, temperature=s.temperature,
-            repetition_penalty=s.repetition_penalty, typical_mass=None)
+            do_sample=not greedy,
+            top_p=1.0 if greedy else s.top_p,
+            temperature=1.0 if greedy else s.temperature,
+            repetition_penalty=1.0 if greedy else s.repetition_penalty,
+            typical_mass=None)
         packed = np.asarray(jnp.concatenate(
             [self.state.done.astype(jnp.int32), self.state.gen]))
         return packed[:self.n_slots].astype(bool), packed[self.n_slots:]
 
     def run_segment_greedy(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Greedy variant (token-exact vs the B=1 monolithic engine)."""
-        self.state = _run_segment(
-            self.tts._qtree, self.state, heads=self.cfg.heads,
-            pos_off=self.pos_off, max_gen=self.max_gen,
-            steps=self.segment_len, stop=self.cfg.stop_mel_token,
-            do_sample=False, top_p=1.0, temperature=1.0,
-            repetition_penalty=1.0, typical_mass=None)
-        packed = np.asarray(jnp.concatenate(
-            [self.state.done.astype(jnp.int32), self.state.gen]))
-        return packed[:self.n_slots].astype(bool), packed[self.n_slots:]
+        return self.run_segment(greedy=True)
 
     def fetch_codes(self) -> np.ndarray:
         """(B, max_gen) codes snapshot (host sync; ~max_gen*B*4 bytes)."""
@@ -442,16 +451,23 @@ class ContinuousBatcher:
     def submit(self, text_tokens: np.ndarray,
                cond_mel: Optional[jnp.ndarray] = None,
                key: Optional[jax.Array] = None) -> "Future[np.ndarray]":
-        """key: optional request seed — with it, the sampled output is
-        reproducible regardless of concurrent traffic (per-row RNG
-        chains; candidate i of K draws from fold_in(key, i))."""
+        """key: optional request seed — with it, the request's AR codes
+        (and therefore any deterministic render: shortcut DVAE+Vocos,
+        hifigan) are reproducible regardless of concurrent traffic
+        (per-row RNG chains; candidate i of K draws from fold_in(key, i)).
+        The DIFFUSION render's noise key is batch-level (renders are
+        grouped across requests), so use_diffusion waveforms can vary
+        run-to-run even with a fixed key."""
         if self._stop.is_set():
             raise RuntimeError("ContinuousBatcher is closed")
         toks = np.asarray(text_tokens, np.int32)
-        cap = self.tts.cfg.gpt.max_text_tokens
+        cap = min(self.tts.cfg.gpt.max_text_tokens,
+                  self.dec.text_buckets[-1])
         if toks.shape[-1] > cap:
-            raise ValueError(f"text of {toks.shape[-1]} tokens exceeds "
-                             f"max_text_tokens={cap}")
+            raise ValueError(
+                f"text of {toks.shape[-1]} tokens exceeds this pool's "
+                f"limit {cap} (max_text_tokens / largest text bucket) — "
+                f"pad_text would silently truncate it")
         fut: "Future[np.ndarray]" = Future()
         k = self.settings.num_candidates
         g = _Group(self.dec.pad_text(toks), len(toks), cond_mel, key, fut,
@@ -461,7 +477,8 @@ class ContinuousBatcher:
         return fut
 
     def pending(self) -> int:
-        """Requests not yet installed into a slot (observability)."""
+        """Candidate decodes not yet installed into a slot (observability;
+        a request with num_candidates=K contributes up to K entries)."""
         return self._q.qsize()
 
     def close(self):
@@ -503,13 +520,18 @@ class ContinuousBatcher:
         by_len: Dict[int, List[_Group]] = {}
         for g in ready:
             by_len.setdefault(len(g.text), []).append(g)
+        from xtts_tpu.infer.api import bucket_len
         for groups in by_len.values():
-            k = self.settings.num_candidates
             s = self.dec.max_gen
-            texts = jnp.asarray(np.stack([g.text for g in groups]))
+            # pad the group count to a render_buckets rung (repeat group 0,
+            # extra scores dropped) — an unbucketed G would compile one
+            # CLVP program per distinct harvest size (CLAUDE.md ladder rule)
+            gb = bucket_len(len(groups), self.render_buckets)
+            padded = groups + [groups[0]] * (gb - len(groups))
+            texts = jnp.asarray(np.stack([g.text for g in padded]))
             codes = np.stack([np.stack([c for c, _ in g.cands])
-                              for g in groups])          # (G, K, S)
-            gens = np.stack([[n for _, n in g.cands] for g in groups])
+                              for g in padded])          # (G, K, S)
+            gens = np.stack([[n for _, n in g.cands] for g in padded])
             mask = (np.arange(s)[None, None, :]
                     < gens[:, :, None]).astype(np.int32)
             scores = np.asarray(tts._clvp_rerank_batch_jit(
@@ -518,7 +540,7 @@ class ContinuousBatcher:
                                     tts.cfg.clvp.num_speech_tokens - 1)),
                 code_mask=jnp.asarray(mask)))
             best = np.argmax(scores, axis=1)
-            for g, b in zip(groups, best):
+            for g, b in zip(groups, best[:len(groups)]):
                 self._finished.append((g, g.cands[b][0], int(g.cands[b][1])))
 
     def _render(self):
@@ -546,55 +568,86 @@ class ContinuousBatcher:
             cond = items[0][0].cond_mel
             conds = (jnp.concatenate([p.cond_mel for p, _, _ in padded], 0)
                      if cond is not None else
-                     jnp.tile(self.cond_mel, (nb, 1, 1)))
+                     jnp.tile(self.cond_mel, (len(padded), 1, 1)))
             try:
                 wavs = render_rows(
                     self.tts, jnp.asarray(texts), jnp.asarray(lens), conds,
                     jnp.asarray(codes), gens, self.settings,
                     self.use_diffusion, jax.random.PRNGKey(self._seq))
                 for (p, _, _), w in zip(items, wavs[:n_real]):
-                    p.future.set_result(w)
+                    if not p.future.cancelled():   # client gave up mid-render
+                        p.future.set_result(w)
             except Exception as e:   # pragma: no cover - defensive
                 for p, _, _ in items:
                     if not p.future.done():
                         p.future.set_exception(e)
 
+    def _fail_inflight(self, exc: Exception):
+        """A device/scheduler error poisons the whole pool state: fail every
+        in-flight future (slots, harvested, queued), reset the pool, and
+        keep the scheduler alive for new traffic (BatchServer fails only
+        the offending batch; here the shared SlotState is the batch)."""
+        for s, g in enumerate(self._slot_req):
+            self._slot_req[s] = None
+            if g is not None and not g.future.done():
+                g.future.set_exception(exc)
+        for g, _, _ in self._finished:
+            if not g.future.done():
+                g.future.set_exception(exc)
+        self._finished = []
+        try:
+            while True:
+                g = self._q.get_nowait()
+                if not g.future.done():
+                    g.future.set_exception(exc)
+        except queue.Empty:
+            pass
+        self.dec.reset()
+
     def _loop(self):
         free = list(range(self.dec.n_slots))
         while not self._stop.is_set():
-            free = self._refill(free)
-            if len(free) == self.dec.n_slots:
-                # pool empty: render stragglers, then park on the queue
-                if self._finished:
-                    self._render()
-                try:
-                    p = self._q.get(timeout=0.1)
-                    self._q.put(p)        # re-queue; _refill takes it
-                except queue.Empty:
-                    pass
-                continue
-            done, gen = self.dec.run_segment()
-            harvest = [s for s in range(self.dec.n_slots)
-                       if done[s] and self._slot_req[s] is not None]
-            if harvest:
-                codes = self.dec.fetch_codes()
-                ready = []
-                for s in harvest:
-                    g = self._slot_req[s]
-                    self._slot_req[s] = None
-                    g.cands.append((codes[s], int(gen[s])))
-                    free.append(s)
-                    if len(g.cands) == g.need:
-                        if g.need == 1:
-                            self._finished.append(
-                                (g, g.cands[0][0], g.cands[0][1]))
-                        else:
-                            ready.append(g)
-                if ready:
-                    self._rerank(ready)
-            # render when a batch has accumulated, or promptly when no
-            # queued traffic is waiting for the freed slots (low load ->
-            # prioritize latency; high load -> batch renders)
-            if self._finished and (len(self._finished) >= self.render_min
-                                   or self._q.empty()):
+            try:
+                free = self._step(free)
+            except Exception as e:   # pragma: no cover - defensive
+                self._fail_inflight(e)
+                free = list(range(self.dec.n_slots))
+
+    def _step(self, free: List[int]) -> List[int]:
+        free = self._refill(free)
+        if len(free) == self.dec.n_slots:
+            # pool empty: render stragglers, then park on the queue
+            if self._finished:
                 self._render()
+            try:
+                p = self._q.get(timeout=0.1)
+                self._q.put(p)        # re-queue; _refill takes it
+            except queue.Empty:
+                pass
+            return free
+        done, gen = self.dec.run_segment()
+        harvest = [s for s in range(self.dec.n_slots)
+                   if done[s] and self._slot_req[s] is not None]
+        if harvest:
+            codes = self.dec.fetch_codes()
+            ready = []
+            for s in harvest:
+                g = self._slot_req[s]
+                self._slot_req[s] = None
+                g.cands.append((codes[s], int(gen[s])))
+                free.append(s)
+                if len(g.cands) == g.need:
+                    if g.need == 1:
+                        self._finished.append(
+                            (g, g.cands[0][0], g.cands[0][1]))
+                    else:
+                        ready.append(g)
+            if ready:
+                self._rerank(ready)
+        # render when a batch has accumulated, or promptly when no queued
+        # traffic is waiting for the freed slots (low load -> prioritize
+        # latency; high load -> batch renders)
+        if self._finished and (len(self._finished) >= self.render_min
+                               or self._q.empty()):
+            self._render()
+        return free
