@@ -21,6 +21,10 @@ Knobs (env):
                     | 'serving' (batched synthesis audio-s/s per chip:
                     headline = full-quality 50-step CFG diffusion with
                     CLVP rerank; shortcut render reported alongside)
+                    | 'slots' (continuous batching: BENCH_SLOTS_N
+                    mixed-length requests drained through a
+                    BENCH_BATCH-slot pool with mid-stream refill,
+                    full-diffusion renders)
                     | 'vqvae' (BASELINE config #1: mel -> VQ codes ->
                     decoded mel round-trip, audio-s/s)
                     | 'vocos' (BASELINE config #3: mel -> 24 kHz wav,
@@ -409,6 +413,39 @@ def main():
             "rerank_k": k_cand, "diffusion_steps": diff_steps,
             "batch": b,
             "shortcut_audio_s_per_s": round(thr_shortcut, 2)}))
+        return
+
+    if path == "slots":
+        # continuous batching (infer/slots.py): steady-state drain of N
+        # mixed-length requests through a BENCH_BATCH-slot pool with
+        # mid-stream refill + batched full-diffusion renders. Random-weight
+        # rows mostly run to the cap, so this measures the machinery's
+        # sustained throughput; the refill win over waves on spread stop
+        # times is scripts/ab_slots.py (stop-biased).
+        from xtts_tpu.infer.slots import ContinuousBatcher
+        b = int(os.environ.get("BENCH_BATCH", 8))
+        n_req = int(os.environ.get("BENCH_SLOTS_N", 3 * b))
+        mrng = np.random.default_rng(7)
+        lens = np.linspace(20, text_tokens.shape[1], n_req).astype(int)
+        texts = [mrng.integers(3, 250, (int(n),)).astype(np.int32)
+                 for n in lens]
+        cb = ContinuousBatcher(tts, cond_mel, settings, n_slots=b,
+                               use_diffusion=True, render_min=max(2, b // 2))
+        futs = [cb.submit(t) for t in texts[:b]]      # compile pass
+        for f in futs:
+            f.result()
+        t0 = time.perf_counter()
+        futs = [cb.submit(t) for t in texts]
+        audio = sum(f.result().size for f in futs) / sr
+        dt = time.perf_counter() - t0
+        cb.close()
+        thr = audio / dt
+        print(json.dumps({
+            "metric": "slots_full_quality_audio_s_per_s_per_chip",
+            "value": round(thr, 2), "unit": "audio_s/s",
+            "vs_baseline": round(thr * TARGET_RTF, 4),
+            "n_slots": b, "n_requests": n_req,
+            "diffusion_steps": diff_steps}))
         return
 
     if path == "hifigan":
