@@ -69,3 +69,24 @@ def test_gan_family_contract(tiny_cfg_path, capsys):
     assert out["value"] > 0
     assert np.isfinite(out["final_g_loss"])
     assert np.isfinite(out["final_d_loss"])
+
+
+def test_slots_path_contract(tiny_cfg_path, capsys):
+    """BENCH_PATH=slots JSON contract (continuous-batching steady-state)."""
+    env = {"BENCH_PATH": "slots", "BENCH_BATCH": "2", "BENCH_SLOTS_N": "3",
+           "BENCH_MAX_GEN": "10", "BENCH_DIFF_STEPS": "3",
+           "BENCH_QUANT": "1", "BENCH_CONFIG": tiny_cfg_path}
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        bench_mod.main()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "slots_full_quality_audio_s_per_s_per_chip"
+    assert out["unit"] == "audio_s/s" and out["value"] > 0
+    assert out["n_slots"] == 2 and out["n_requests"] == 3
