@@ -291,3 +291,32 @@ def test_slot_decoder_needs_qtree(engine):
     tts = _FakeTTS(model, variables, None, CFG)
     with pytest.raises(ValueError, match="quantized_decode"):
         SlotDecoder(tts, n_slots=2)
+
+
+def test_pipelined_scheduler_matches_sequential():
+    """pipeline=True overlaps the done-mask sync with the next segment;
+    per-request outputs must be unchanged (per-row state; refills merely
+    lag a segment). Fixed request keys + deterministic shortcut render ->
+    wav equality between the two schedulers."""
+    from test_api_e2e import TINY
+    from xtts_tpu.infer.api import TTSSettings, TextToSpeech
+    from xtts_tpu.infer.slots import ContinuousBatcher
+    tts = TextToSpeech(TINY, rng=jax.random.PRNGKey(0), quantized_decode=True)
+    rng = np.random.default_rng(0)
+    cond_mel = jnp.asarray(
+        rng.standard_normal((1, TINY.mel.n_mels, 40)).astype(np.float32))
+    texts = [np.array([1, 3, 4, 5, 2], np.int32),
+             np.array([1, 6, 7, 2], np.int32),
+             np.array([1, 8, 2], np.int32),
+             np.array([1, 9, 10, 11, 2], np.int32)]
+    outs = []
+    for pipe in (False, True):
+        cb = ContinuousBatcher(tts, cond_mel, TTSSettings(max_mel_tokens=10),
+                               n_slots=2, segment_len=4, render_min=2,
+                               pipeline=pipe)
+        futs = [cb.submit(t, key=jax.random.PRNGKey(100 + i))
+                for i, t in enumerate(texts)]
+        outs.append([np.asarray(f.result(timeout=900)) for f in futs])
+        cb.close()
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)

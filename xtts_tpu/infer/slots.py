@@ -342,11 +342,11 @@ class SlotDecoder:
                               cond_mel, jnp.asarray(text_tokens)[None],
                               jnp.int32(slot), key)
 
-    def run_segment(self, greedy: bool = False
-                    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode segment_len tokens for all slots; returns (done, gen) —
-        the loop's ONE host sync. greedy=True is token-exact vs the B=1
-        monolithic engine."""
+    def dispatch_segment(self, greedy: bool = False) -> jnp.ndarray:
+        """Dispatch one decode segment and return the packed (done|gen)
+        device array WITHOUT syncing — the caller can overlap the ~20 ms
+        tunnel RTT of the host read with further dispatches (the scheduler
+        pipelines segment N+1 behind segment N's sync)."""
         s = self.settings
         self.state = _run_segment(
             self.tts._qtree, self.state, heads=self.cfg.heads,
@@ -357,9 +357,19 @@ class SlotDecoder:
             temperature=1.0 if greedy else s.temperature,
             repetition_penalty=1.0 if greedy else s.repetition_penalty,
             typical_mass=None)
-        packed = np.asarray(jnp.concatenate(
-            [self.state.done.astype(jnp.int32), self.state.gen]))
-        return packed[:self.n_slots].astype(bool), packed[self.n_slots:]
+        return jnp.concatenate(
+            [self.state.done.astype(jnp.int32), self.state.gen])
+
+    def read_packed(self, packed) -> Tuple[np.ndarray, np.ndarray]:
+        p = np.asarray(packed)
+        return p[:self.n_slots].astype(bool), p[self.n_slots:]
+
+    def run_segment(self, greedy: bool = False
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode segment_len tokens for all slots; returns (done, gen) —
+        the loop's ONE host sync. greedy=True is token-exact vs the B=1
+        monolithic engine."""
+        return self.read_packed(self.dispatch_segment(greedy))
 
     def run_segment_greedy(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.run_segment(greedy=True)
@@ -399,7 +409,13 @@ class ContinuousBatcher:
                  n_slots: int = 16, max_gen: Optional[int] = None,
                  segment_len: int = 32, use_diffusion: bool = False,
                  render_min: int = 4,
-                 render_buckets: Sequence[int] = (1, 2, 4, 8, 16)):
+                 render_buckets: Sequence[int] = (1, 2, 4, 8, 16),
+                 pipeline: bool = True):
+        """pipeline: dispatch segment N+1 before syncing segment N's done
+        mask, so the chip never idles during the ~20 ms tunnel RTT of the
+        host read. Refills then lag one segment (a freed slot idles one
+        extra segment before its new occupant starts); per-request results
+        are unchanged (per-row state, frozen done rows)."""
         from xtts_tpu.infer.api import TTSSettings
         self.settings = settings or TTSSettings()
         if (self.settings.num_candidates > 1
@@ -420,6 +436,8 @@ class ContinuousBatcher:
         self._finished: List[Tuple[_Group, np.ndarray, int]] = []
         self._stop = threading.Event()
         self._seq = 0
+        self.pipeline = pipeline
+        self._inflight = None      # dispatched-but-unread packed (done|gen)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -495,8 +513,8 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
 
-    def _refill(self, free: List[int]) -> List[int]:
-        still_free = []
+    def _refill(self, free: List[int]) -> Tuple[List[int], List[int]]:
+        still_free, installed = [], []
         for slot in free:
             try:
                 p = self._q.get_nowait()
@@ -506,12 +524,13 @@ class ContinuousBatcher:
             self._seq += 1
             idx, p.launched = p.launched, p.launched + 1
             self._slot_req[slot] = p
+            installed.append(slot)
             self.dec.install(slot, p.text,
                              p.cond_mel if p.cond_mel is not None
                              else self.cond_mel,
                              key=(None if p.key is None
                                   else jax.random.fold_in(p.key, idx)))
-        return still_free
+        return still_free, installed
 
     def _rerank(self, ready: List[_Group]):
         """CLVP-score each completed group's K candidates (one batched
@@ -602,6 +621,7 @@ class ContinuousBatcher:
                     g.future.set_exception(exc)
         except queue.Empty:
             pass
+        self._inflight = None
         self.dec.reset()
 
     def _loop(self):
@@ -614,8 +634,8 @@ class ContinuousBatcher:
                 free = list(range(self.dec.n_slots))
 
     def _step(self, free: List[int]) -> List[int]:
-        free = self._refill(free)
-        if len(free) == self.dec.n_slots:
+        free, installed = self._refill(free)
+        if len(free) == self.dec.n_slots and self._inflight is None:
             # pool empty: render stragglers, then park on the queue
             if self._finished:
                 self._render()
@@ -625,9 +645,23 @@ class ContinuousBatcher:
             except queue.Empty:
                 pass
             return free
-        done, gen = self.dec.run_segment()
+        packed = (self.dec.dispatch_segment()
+                  if len(free) < self.dec.n_slots else None)
+        stale_ok = ()
+        if self.pipeline:
+            # read LAST round's mask while this round's segment runs —
+            # the host RTT overlaps device compute. That mask was
+            # dispatched BEFORE this round's installs, so a slot refilled
+            # this round still carries its OLD occupant's done flag there
+            # — never harvest it from this (stale) mask.
+            stale_ok = installed
+            packed, self._inflight = self._inflight, packed
+            if packed is None:
+                return free
+        done, gen = self.dec.read_packed(packed)
         harvest = [s for s in range(self.dec.n_slots)
-                   if done[s] and self._slot_req[s] is not None]
+                   if done[s] and self._slot_req[s] is not None
+                   and s not in stale_ok]
         if harvest:
             codes = self.dec.fetch_codes()
             ready = []
