@@ -144,3 +144,14 @@ def test_slots_backend_rejects_hifigan():
     with pytest.raises(ValueError, match="slots"):
         serve_http.SynthesisService(tts, np.zeros(4000, np.float32),
                                     use_hifigan=True, backend="slots")
+
+
+def test_metrics_endpoint(url, svc):
+    """GET /metrics surfaces the backend's serving stats after traffic."""
+    with _post(url, {"text": "你好。"}) as r:
+        assert r.status == 200
+        r.read()
+    with urllib.request.urlopen(url + "/metrics", timeout=60) as r:
+        m = json.loads(r.read())
+    assert m["completed"] >= 1 and m["failed"] == 0
+    assert m["latency_mean_s"] > 0 and m["waves"] >= 1

@@ -144,6 +144,11 @@ def make_handler(svc: SynthesisService):
             if self.path == "/healthz":
                 self._json(200, {"ok": True,
                                  "pending": svc.server.pending()})
+            elif self.path == "/metrics":
+                # serving metrics (BatchServer.stats / ContinuousBatcher
+                # .stats): request counts, latency mean/max, wave sizes or
+                # slot occupancy
+                self._json(200, svc.server.stats())
             else:
                 self._json(404, {"error": "unknown path"})
 

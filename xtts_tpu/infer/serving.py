@@ -280,6 +280,8 @@ class BatchServer:
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._seq = 0
+        self._m = {"completed": 0, "failed": 0, "waves": 0,
+                   "rows_sum": 0, "latency_sum": 0.0, "latency_max": 0.0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -306,13 +308,26 @@ class BatchServer:
                 f"max_text_tokens={cap}; split the text "
                 f"(TextToSpeech.tts() sentence-splits and truncates)")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((toks, cond_mel, spk_mel16, fut))
+        self._q.put((toks, cond_mel, spk_mel16, fut, time.perf_counter()))
         return fut
 
     def pending(self) -> int:
         """Requests submitted but not yet packed into a device program
         (health/observability surface for serving fronts)."""
         return self._q.qsize()
+
+    def stats(self) -> dict:
+        """Serving metrics snapshot: completed/failed counts, mean/max
+        submit->result latency, waves run, mean rows per wave."""
+        m = dict(self._m)
+        m.pop("latency_sum")
+        m["latency_mean_s"] = round(
+            self._m["latency_sum"] / max(m["completed"], 1), 4)
+        m["latency_max_s"] = round(m.pop("latency_max"), 4)
+        m["rows_per_wave"] = round(
+            m.pop("rows_sum") / max(m["waves"], 1), 2)
+        m["pending"] = self._q.qsize()
+        return m
 
     def warmup(self, text_lens: Optional[Sequence[int]] = None,
                batch_sizes: Optional[Sequence[int]] = None) -> int:
@@ -355,8 +370,8 @@ class BatchServer:
         self._thread.join(timeout=5)
         try:
             while True:
-                *_, fut = self._q.get_nowait()
-                fut.cancel()
+                item = self._q.get_nowait()
+                item[3].cancel()
         except queue.Empty:
             pass
 
@@ -388,15 +403,18 @@ class BatchServer:
             # shapes within one program; grouping keeps a mismatched tenant
             # from failing its co-batched neighbors
             groups: dict = {}
-            for t, c, s, f in batch:
+            for t, c, s, f, t0 in batch:
                 gk = (None if c is None else tuple(c.shape),
                       None if s is None else tuple(s.shape))
-                groups.setdefault(gk, []).append((t, c, s, f))
+                groups.setdefault(gk, []).append((t, c, s, f, t0))
             for items in groups.values():
                 reqs = [SynthesisRequest(t, cond_mel=c, spk_mel16=s)
-                        for t, c, s, _ in items]
-                futs = [f for _, _, _, f in items]
+                        for t, c, s, _, _ in items]
+                futs = [f for _, _, _, f, _ in items]
+                t0s = [t0 for *_, t0 in items]
                 self._seq += 1
+                self._m["waves"] += 1
+                self._m["rows_sum"] += len(items)
                 try:
                     wavs = synthesize_batch(
                         self.tts, reqs,
@@ -406,10 +424,17 @@ class BatchServer:
                         spk_mel16=self.spk_mel16,
                         batch_buckets=self.batch_buckets,
                         key=jax.random.PRNGKey(self._seq))
-                    for f, w in zip(futs, wavs):
+                    now = time.perf_counter()
+                    for f, w, t0 in zip(futs, wavs, t0s):
                         if not f.cancelled():  # client gave up mid-batch
                             f.set_result(w)
+                            lat = now - t0
+                            self._m["completed"] += 1
+                            self._m["latency_sum"] += lat
+                            self._m["latency_max"] = max(
+                                self._m["latency_max"], lat)
                 except Exception as e:  # pragma: no cover - defensive
                     for f in futs:
                         if not f.done():
                             f.set_exception(e)
+                            self._m["failed"] += 1

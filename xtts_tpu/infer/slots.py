@@ -391,6 +391,7 @@ class _Group:
     need: int                        # K candidates outstanding
     cands: list                      # harvested (codes_row, gen) pairs
     launched: int = 0                # candidates installed so far
+    t_submit: float = 0.0            # perf_counter at submit (latency stat)
 
 
 class ContinuousBatcher:
@@ -438,6 +439,11 @@ class ContinuousBatcher:
         self._seq = 0
         self.pipeline = pipeline
         self._inflight = None      # dispatched-but-unread packed (done|gen)
+        # serving metrics (stats()): completed requests, latency sum/max,
+        # segments run, live-row-step counts for slot utilization
+        self._m = {"completed": 0, "failed": 0, "latency_sum": 0.0,
+                   "latency_max": 0.0, "segments": 0, "live_row_steps": 0,
+                   "row_steps": 0, "tokens": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -488,8 +494,9 @@ class ContinuousBatcher:
                 f"pad_text would silently truncate it")
         fut: "Future[np.ndarray]" = Future()
         k = self.settings.num_candidates
+        import time as _time
         g = _Group(self.dec.pad_text(toks), len(toks), cond_mel, key, fut,
-                   k, [])
+                   k, [], t_submit=_time.perf_counter())
         for _ in range(k):           # K candidate rows, independently slotted
             self._q.put(g)
         return fut
@@ -498,6 +505,24 @@ class ContinuousBatcher:
         """Candidate decodes not yet installed into a slot (observability;
         a request with num_candidates=K contributes up to K entries)."""
         return self._q.qsize()
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving metrics snapshot: completed/failed request counts,
+        mean/max submit->result latency, decoded tokens, segments run, and
+        slot occupancy (occupied row-steps / total row-steps — the
+        fraction of pool capacity holding requests)."""
+        m = dict(self._m)
+        m.pop("latency_sum")
+        m["latency_mean_s"] = round(
+            self._m["latency_sum"] / max(m["completed"], 1), 4)
+        m["latency_max_s"] = round(m.pop("latency_max"), 4)
+        # fraction of slot-steps spent holding a request (occupancy —
+        # includes rows that finished mid-segment)
+        m["slot_occupancy"] = round(
+            self._m["live_row_steps"] / max(self._m["row_steps"], 1), 4)
+        m.pop("live_row_steps"), m.pop("row_steps")
+        m["pending"] = self._q.qsize()
+        return m
 
     def close(self):
         self._stop.set()
@@ -593,9 +618,16 @@ class ContinuousBatcher:
                     self.tts, jnp.asarray(texts), jnp.asarray(lens), conds,
                     jnp.asarray(codes), gens, self.settings,
                     self.use_diffusion, jax.random.PRNGKey(self._seq))
+                import time as _time
+                now = _time.perf_counter()
                 for (p, _, _), w in zip(items, wavs[:n_real]):
                     if not p.future.cancelled():   # client gave up mid-render
                         p.future.set_result(w)
+                        lat = now - p.t_submit
+                        self._m["completed"] += 1
+                        self._m["latency_sum"] += lat
+                        self._m["latency_max"] = max(self._m["latency_max"],
+                                                     lat)
             except Exception as e:   # pragma: no cover - defensive
                 for p, _, _ in items:
                     if not p.future.done():
@@ -610,6 +642,7 @@ class ContinuousBatcher:
             self._slot_req[s] = None
             if g is not None and not g.future.done():
                 g.future.set_exception(exc)
+                self._m["failed"] += 1
         for g, _, _ in self._finished:
             if not g.future.done():
                 g.future.set_exception(exc)
@@ -659,6 +692,10 @@ class ContinuousBatcher:
             if packed is None:
                 return free
         done, gen = self.dec.read_packed(packed)
+        self._m["segments"] += 1
+        occupied = sum(1 for g in self._slot_req if g is not None)
+        self._m["live_row_steps"] += occupied * self.dec.segment_len
+        self._m["row_steps"] += self.dec.n_slots * self.dec.segment_len
         harvest = [s for s in range(self.dec.n_slots)
                    if done[s] and self._slot_req[s] is not None
                    and s not in stale_ok]
@@ -669,6 +706,7 @@ class ContinuousBatcher:
                 g = self._slot_req[s]
                 self._slot_req[s] = None
                 g.cands.append((codes[s], int(gen[s])))
+                self._m["tokens"] += int(gen[s])
                 free.append(s)
                 if len(g.cands) == g.need:
                     if g.need == 1:
