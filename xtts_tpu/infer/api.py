@@ -201,6 +201,7 @@ class TextToSpeech:
         if not self.vars:
             self.init_random(rng if rng is not None else jax.random.PRNGKey(0))
         self.quantized_decode = quantized_decode
+        self.last_oov = {}          # {hanzi: drops} from the latest request
         self.mesh = None            # set by place_on_mesh
         self._qtree = None
         if quantized_decode:
@@ -784,10 +785,12 @@ class TextToSpeech:
 
     def _text_to_token_lists(self, text: str, lang: str,
                              settings: TTSSettings):
+        from xtts_tpu.text.chinese import oov_stats
         from xtts_tpu.text.frontend import (sentence_to_tokens,
                                             split_sentences)
         token_lists = []
         import logging
+        oov_before = oov_stats()
         for sent in split_sentences(text):
             tokens = sentence_to_tokens(
                 sent, lang, tokenizer=self.tokenizer,
@@ -813,6 +816,20 @@ class TextToSpeech:
                 tokens = np.pad(tokens, (0, max(0, tb - len(tokens))),
                                 constant_values=self.cfg.gpt.stop_text_token)
             token_lists.append(tokens)
+        # Per-call OOV accounting (VERDICT r3): hanzi the lexicon G2P could
+        # not voice are dropped inside g2w (chinese.py) — surface the drop
+        # count per request instead of letting it stay a buried debug log.
+        # The reference's pypinyin backend never drops (chinese.py:105-108);
+        # ours can, on chars outside the built-in lexicon.
+        oov_after = oov_stats()
+        self.last_oov = {c: n - oov_before.get(c, 0)
+                         for c, n in oov_after.items()
+                         if n > oov_before.get(c, 0)}
+        if self.last_oov:
+            logging.getLogger(__name__).warning(
+                "g2p dropped %d hanzi with no reading this request: %s",
+                sum(self.last_oov.values()),
+                "".join(sorted(self.last_oov)))
         return token_lists
 
     def tts_stream(self, text: str, cond_wav: np.ndarray, key=None,

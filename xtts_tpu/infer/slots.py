@@ -522,6 +522,10 @@ class ContinuousBatcher:
             self._m["live_row_steps"] / max(self._m["row_steps"], 1), 4)
         m.pop("live_row_steps"), m.pop("row_steps")
         m["pending"] = self._q.qsize()
+        # process-cumulative count of hanzi dropped by the G2P lexicon
+        # (no reading -> not synthesized); see serving.BatchServer.stats
+        from xtts_tpu.text.chinese import oov_stats
+        m["oov_dropped"] = sum(oov_stats().values())
         return m
 
     def close(self):

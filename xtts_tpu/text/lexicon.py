@@ -106,7 +106,7 @@ _CHAR_DATA = """
 奔ben1 冲chong1 闯chuang3 撤che4 退tui4 返fan3 抵di3 驶shi3 驾jia4 骑qi2 乘cheng2 载zai4
 输shu1 派pai4 遣qian3 投tou2 掷zhi4 扔reng1 抛pao1 丢diu1 捡jian3 拾shi2 捞lao1 捕bu3
 捉zhuo1 逮dai3 擒qin2 猎lie4 钓diao4 割ge1 砍kan3 锯ju4 劈pi1 凿zao2 钻zuan1 挖wa1
-掘jue2 埋mai2 填tian2 铲chan3 扫sao3 拭shi4 洗xi3 刷shua1 漂piao3 晒shai4 晾liang4 频pin2
+掘jue2 埋mai2 填tian2 铲chan3 扫sao3 拭shi4 洗xi3 刷shua1 漂piao1 晒shai4 晾liang4 频pin2
 例li4 倍bei4 均jun1 积ji1 商shang1 余yu2 偶ou3 质zhi4 角jiao3 锥zhui1 柱zhu4 轴zhou2
 径jing4 弦xian2 弧hu2 线xian4 距ju4 宽kuan1 窄zhai3 厚hou4 薄bao2 粗cu1 矮ai3 瘦shou4
 胖pang4 肥fei2 壮zhuang4 弱ruo4 残can2 健jian4 康kang1 症zheng4 疾ji2 疗liao2 诊zhen3 愈yu4
@@ -217,9 +217,45 @@ _CHAR_DATA = """
 颈jing3 漆qi1 夷yi2 郁yu4 斑ban1 忆yi4 阀fa2 卑bei1 抑yi4 仔zai3
 兆zhao4 庸yong1 疯feng1 斩zhan3 赐ci4 柄bing3 轿jiao4 拓tuo4 扮ban4 砂sha1
 辐fu2 玻bo1 昂ang2 圳zhen4 侨qiao2 吟yin2 刃ren4 昨zuo2 浜bang1
+冯feng2 艾ai4 捧peng3 袍pao2 溜liu1 坑keng1 串chuan4 押ya1 宅zhai2 逢feng2
+扁bian3 丑chou3 趁chen4 妥tuo3 卜bu3 陀tuo2 抹mo3 倡chang4 矩ju3 拐guai3
+棍gun4 晕yun1 欠qian4 斋zhai1 丫ya1 涔cen2 戚qi1 硕shuo4 摘zhai1 崖ya2
+喇la3 抄chao1 撰zhuan4 凑cou4 赚zhuan4 勋xun1 匾bian3 攀pan1 惹re3 泼po1
+坟fen2 宠chong3 涛tao1 掏tao1 哑ya3 巢chao2 焚fen2 乖guai1 潘pan1 歪wai1
+鸦ya1 涯ya2 驼tuo2 匪fei3 垄long3 愣leng4 驴lv2 闸zha2 耍shua3 熬ao2
+骚sao1 芽ya2 框kuang4 诈zha4 凛lin3 剖pou1 垮kua3 嵌qian4 犬quan3 烘hong1
+颊jia2 灿can4 棱leng2 拢long3 奢she1 枉wang3 髓sui3 坠zhui4 甩shuai3 瞅chou3
+垒lei3 贬bian3 窜cuan4 胚pei1 芷zhi3 膊bo2 逛guang4 恍huang3 讽feng3 衬chen4
+钾jia3 歉qian4 寝qin3 眷juan4 瀛ying2 倦juan4 淤yu1 戳chuo1 搂lou3 挠nao2
+莽mang3 魁kui2 谎huang3 尬ga4 梭suo1 涅nie4 撇pie3 凹ao1 朽xiu3 嘲chao2
+斐fei3 篷peng2 耿geng3 敞chang3 鞘qiao4 蒿hao1 窍qiao4 拈nian1 灼zhuo2 梗geng3
+鳌ao2 酥su1 眨zha3 稼jia4 邹zou1 逵kui2 聂nie4 琛chen1 蔗zhe4 拇mu3
+倪ni2 缀zhui4 浊zhuo2 瞥pie1 谬miu4 熏xun1 碾nian3 咧lie3 滔tao1 炯jiong3
+唬hu3 峭qiao4 筛shai1 椭tuo3 眯mi1 肘zhou3 孽nie4 樱ying1 榻ta4 憋bie1
+鹧zhe4 吭keng1 翘qiao4 乍zha4 酯zhi3 栅zha4 绰chuo4 莹ying2 奎kui2 揣chuai3
+绢juan4 茸rong2 烁shuo4 朔shuo4 攒zan3 唾tuo4 蕾lei3 葵kui2 镍nie4 俏qiao4
+叭ba1 楞leng4 韬tao1 虐nve4 蒯kuai3 妮ni1 沁qin4 噶ga2 娑suo1 篆zhuan4
+嗦suo5 撬qiao4 酌zhuo2 裳shang5 捻nian3 乓pang1 勺shao2 隘ai4 狸li2 伶ling2
+讧hong4 嘎ga1 纂zuan3 卯mao3 札zha2 绷beng1 瓮weng4 肋lei4 辇nian3 椰ye1
+刨pao2 蕊rui3 褚chu3 匡kuang1 荧ying2 拗ao4 嗔chen1 夔kui2 搀chan1 袄ao3
+眩xuan4 橱chu2 馔zhuan4 酣han1 撩liao2 萤ying2 迥jiong3 獾huan1 鹊que4 辍chuo4
+唆suo1 堑qian4 颓tui2 哽geng3 篡cuan4 躇chu2 啄zhuo2 雏chu2 甭beng2 炫xuan4
+蚣gong1 瘩da5 盎ang4 屉ti4 驮tuo2 噜lu1 夯hang1 湍tuan1 瑛ying1 秤cheng4
+幌huang3 窘jiong3 锄chu2 汾fen2 鳖bie1 咪mi1 儡lei3 笋sun3 啷lang1 蛤ha2
+掺chan1 莺ying1 迂yu1 呸pei1 喽lou5 搔sao1 辗zhan3 掖ye1 稣su1 楹ying2
+蟒mang3 憨han1 赘zhui4 氽tun3 铿keng1 宕dang4 鸾luan2 霓ni2 绚xuan4 妞niu1
+岑cen2 瓢piao2 膺ying1 窿long2 韶shao2 筐kuang1 噎ye1 渲xuan4 杵chu3 忖cun3
+蔼ai3 挛luan2 沱tuo2 撵nian3 淆xiao2 瘀yu1 讷ne4 笆ba1 亘gen4 镯zhuo2
+簪zan1 磊lei3 抠kou1 蹑nie4 肮ang1 峦luan2 怅chang4 擢zhuo2 簸bo3 鲵ni2
+嫖piao2 谝pian3 晁chao2 瞟piao3 戛jia2 翡fei3 辏cou4 蹋ta4 抡lun1 焯chao1
+疟nve4 鼾han1 吮shun3 咫zhi3 缨ying1 榈lv2 谶chen4 跛bo3 攥zuan4 鹦ying1
+篓lou3 匝za1 绠geng3 敖ao2 骈pian2 撅jue1 埙xun1 滦luan2 擞sou3 嗷ao2
+踹chuai4 冗rong3 薰xun1 芍shao2 闾lv2 臊sao1 隗wei3 诽fei3 艮gen4 囧jiong3
+鳔biao4 庹tuo3 畲she1 铳chong4 嘤ying1 佞ning4 岬jia3 谆zhun1 猬wei4
 """
 
 _WORD_DATA = """
+漂亮:piao4,liang4 漂白:piao3,bai2 漂染:piao3,ran3
 银行:yin2,hang2 行业:hang2,ye4 行列:hang2,lie4 一行:yi1,hang2 同行:tong2,hang2
 分行:fen1,hang2 支行:zhi1,hang2 行家:hang2,jia1 外行:wai4,hang2 内行:nei4,hang2
 音乐:yin1,yue4 乐器:yue4,qi4 乐队:yue4,dui4 乐曲:yue4,qu3 乐团:yue4,tuan2
