@@ -1,4 +1,6 @@
 """Batched serving tests on the tiny pipeline config."""
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -341,5 +343,47 @@ def test_submit_rejects_overlong_text(tts, cond_mel):
         too_long = np.ones(tts.cfg.gpt.max_text_tokens + 1, np.int32)
         with pytest.raises(ValueError, match="max_text_tokens"):
             srv.submit(too_long)
+    finally:
+        srv.close()
+
+
+def test_batch_server_backpressure(tts, cond_mel):
+    """max_pending: once the queue holds that many unpacked requests,
+    submit() raises ServerBusy in the caller's thread (fail fast, VERDICT
+    r4 #7) instead of growing the queue without bound."""
+    from xtts_tpu.infer.serving import ServerBusy
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6),
+                      max_batch=1, window_ms=1, max_pending=2)
+    try:
+        futs, rejected = [], 0
+        for i in range(8):
+            try:
+                futs.append(srv.submit(np.array([1, 3, 2], np.int32)))
+            except ServerBusy:
+                rejected += 1
+        # the worker drains at most a couple while we submit back-to-back;
+        # with depth 2 the 8-burst must see rejections
+        assert rejected >= 1
+        assert srv.stats()["oov_dropped"] >= 0   # stats stay serveable
+        for f in futs:
+            assert f.result(timeout=300).size > 0
+    finally:
+        srv.close()
+
+
+def test_batch_server_request_timeout(tts, cond_mel):
+    """request_timeout_s: a request that waited in the queue past the
+    deadline fails with TimeoutError at pack time rather than occupying a
+    wave; the drop is counted in stats()["timed_out"]."""
+    srv = BatchServer(tts, cond_mel, TTSSettings(max_mel_tokens=6),
+                      max_batch=2, window_ms=1, request_timeout_s=0.0)
+    try:
+        fut = srv.submit(np.array([1, 3, 2], np.int32))
+        with pytest.raises(TimeoutError):
+            fut.result(timeout=60)
+        deadline = time.time() + 10
+        while srv.stats()["timed_out"] < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        assert srv.stats()["timed_out"] >= 1
     finally:
         srv.close()

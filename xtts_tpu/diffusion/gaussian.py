@@ -230,15 +230,36 @@ class GaussianDiffusion:
 
         model_fn(x, t_orig) -> (B, 2C, T); model_fn_uncond likewise for the
         conditioning-free branch (hint replaced by the learned embedding).
+
+        key may be one PRNGKey (2,) — batch-level noise, the reference's
+        semantics (ttts/utils/diffusion.py:654-743) — or PER-ROW keys
+        (B, 2): each row's ancestral noise chain then depends only on its
+        own key, making the sampled output a pure per-row function
+        (continuous-batching determinism, infer/slots.py).
         """
-        key, nk = jax.random.split(key)
-        x = noise if noise is not None else jax.random.normal(nk, shape)
+        per_row = key.ndim == 2
+        if per_row:
+            assert key.shape[0] == shape[0], (key.shape, shape)
+            splits = jax.vmap(jax.random.split)(key)     # (B, 2, 2)
+            key, nk = splits[:, 0], splits[:, 1]
+            x = (noise if noise is not None else
+                 jax.vmap(lambda k: jax.random.normal(k, shape[1:]))(nk))
+        else:
+            key, nk = jax.random.split(key)
+            x = noise if noise is not None else jax.random.normal(nk, shape)
         steps = self.num_timesteps
         b = shape[0]
 
         def body(carry, i):
             x, key = carry
-            key, sub = jax.random.split(key)
+            if per_row:
+                splits = jax.vmap(jax.random.split)(key)
+                key, sub = splits[:, 0], splits[:, 1]
+                z = jax.vmap(
+                    lambda k: jax.random.normal(k, x.shape[1:]))(sub)
+            else:
+                key, sub = jax.random.split(key)
+                z = jax.random.normal(sub, x.shape)
             t = jnp.full((b,), steps - 1 - i, jnp.int32)
             t_orig = self.map_t(t)
             out = model_fn(x, t_orig)
@@ -249,7 +270,6 @@ class GaussianDiffusion:
                 assert model_fn_uncond is not None
                 out_uc = model_fn_uncond(x, t_orig)
             pmv = self.p_mean_variance_from_output(out, x, t, out_uc)
-            z = jax.random.normal(sub, x.shape)
             nonzero = (t[0] != 0).astype(x.dtype)
             x = pmv["mean"] + nonzero * jnp.exp(0.5 * pmv["log_variance"]) * z
             return (x, key), None

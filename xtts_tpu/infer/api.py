@@ -616,8 +616,18 @@ class TextToSpeech:
                                        method=self.diffusion.denoise)
             return out[:b], out[b:]
 
-        key, nk = jax.random.split(key)
-        noise = jax.random.normal(nk, shape) * temperature
+        if key.ndim == 2:
+            # per-row keys (B, 2): each row's initial noise + ancestral
+            # chain is a pure function of its own key, independent of the
+            # batch it rides in (continuous-batching determinism,
+            # infer/slots.py; p_sample_loop handles the in-loop draws)
+            splits = jax.vmap(jax.random.split)(key)
+            key, nk = splits[:, 0], splits[:, 1]
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, shape[1:]))(nk) * temperature
+        else:
+            key, nk = jax.random.split(key)
+            noise = jax.random.normal(nk, shape) * temperature
         mel = gd.sample_loop(model_fn, shape, key, noise=noise, sampler=sampler)
         return denormalize_tacotron_mel(mel)[:, :, :out_len]
 

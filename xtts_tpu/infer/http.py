@@ -54,11 +54,17 @@ class SynthesisService:
     def __init__(self, tts, cond_wav: np.ndarray, settings=None,
                  max_batch: int = 8, window_ms: float = 20.0,
                  use_diffusion: bool = False, use_hifigan: bool = False,
-                 batch_buckets=None, backend: str = "waves"):
+                 batch_buckets=None, backend: str = "waves",
+                 max_pending=None, request_timeout_s=None):
         """backend: 'waves' packs arrivals into fixed-batch device programs
         (BatchServer); 'slots' runs a continuously-refilled slot pool
         (slots.ContinuousBatcher — no wave barrier; needs
-        quantized_decode=True, no hifigan/rerank)."""
+        quantized_decode=True, no hifigan/rerank).
+
+        max_pending / request_timeout_s: backpressure knobs passed to the
+        backend — a full queue rejects new sentences (ServerBusy -> 503)
+        and a request queued longer than the timeout fails (-> 504)
+        instead of the queue growing without bound."""
         from xtts_tpu.infer.api import TTSSettings
         from xtts_tpu.infer.serving import BatchServer
 
@@ -74,14 +80,18 @@ class SynthesisService:
                                  " only (use waves for hifigan)")
             self.server = ContinuousBatcher(
                 tts, cond_mel, self.settings, n_slots=max_batch,
-                use_diffusion=use_diffusion)
+                use_diffusion=use_diffusion,
+                max_pending=max_pending,
+                request_timeout_s=request_timeout_s)
         elif backend == "waves":
             self.server = BatchServer(tts, cond_mel, self.settings,
                                       max_batch=max_batch,
                                       window_ms=window_ms,
                                       use_diffusion=use_diffusion,
                                       use_hifigan=use_hifigan, spk_mel16=spk,
-                                      batch_buckets=batch_buckets)
+                                      batch_buckets=batch_buckets,
+                                      max_pending=max_pending,
+                                      request_timeout_s=request_timeout_s)
         else:
             raise ValueError(f"unknown backend {backend!r}")
         self._voice_cache: dict = {}
@@ -168,8 +178,15 @@ def make_handler(svc: SynthesisService):
             try:
                 wav = svc.synthesize(text, req.get("lang", "ZH"),
                                      req.get("voice_path"))
-            except Exception as e:  # surface device errors as 500s
-                self._json(500, {"error": str(e)})
+            except Exception as e:
+                from xtts_tpu.infer.serving import ServerBusy
+                if isinstance(e, ServerBusy):
+                    code = 503          # backpressure: retry later
+                elif isinstance(e, TimeoutError):
+                    code = 504          # queued past request_timeout_s
+                else:
+                    code = 500          # device / pipeline error
+                self._json(code, {"error": str(e)})
                 return
             body = wav_bytes(wav, svc.sample_rate)
             self.send_response(200)
@@ -211,6 +228,12 @@ def main():
                     help="slot-serving backend (continuous batching): a "
                          "pool of --max-batch decode slots refilled "
                          "mid-stream instead of wave batches")
+    ap.add_argument("--max-pending", type=int, default=256,
+                    help="queue-depth bound: submissions beyond this many "
+                         "pending sentences get 503 (0 = unbounded)")
+    ap.add_argument("--request-timeout", type=float, default=120.0,
+                    help="seconds a sentence may wait queued before it "
+                         "fails with 504 (0 = no server-side timeout)")
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the (batch bucket x text bucket) "
                          "grid before accepting traffic (minutes over a "
@@ -236,7 +259,9 @@ def main():
                            use_diffusion=args.diffusion,
                            use_hifigan=args.hifigan,
                            batch_buckets=buckets,
-                           backend="slots" if args.continuous else "waves")
+                           backend="slots" if args.continuous else "waves",
+                           max_pending=args.max_pending or None,
+                           request_timeout_s=args.request_timeout or None)
     if args.warmup:
         print("warming up the serving program grid ...", flush=True)
         n = svc.warmup()

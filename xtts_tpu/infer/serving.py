@@ -229,7 +229,11 @@ def render_rows(tts: TextToSpeech, texts, text_lens, cond, codes_dev,
         wav = np.asarray(wav)
     else:
         from xtts_tpu.models.aa_diffusion import normalize_tacotron_mel
-        key, k2 = jax.random.split(key)
+        if key.ndim == 2:
+            k2 = key          # per-row keys (B, 2): pure per-row noise —
+            #                   _diffusion_mel_impl does the row splits
+        else:
+            key, k2 = jax.random.split(key)
         # multi-clip stacked cond: ReferenceNet/CLIP refer = first clip
         diff_cond = cond if cond.ndim == 3 else cond[:, 0]
         # latent extract + 50-step CFG diffusion + vocos in ONE program
@@ -247,6 +251,12 @@ def render_rows(tts: TextToSpeech, texts, text_lens, cond, codes_dev,
     return [wav[i, :int(ns[i]) * comp * hop] for i in range(b)]
 
 
+class ServerBusy(RuntimeError):
+    """submit() rejected: the server's pending queue is full (backpressure —
+    fail fast instead of growing the queue unboundedly; HTTP fronts map
+    this to 503)."""
+
+
 class BatchServer:
     """Microbatching synthesis front-end.
 
@@ -261,11 +271,20 @@ class BatchServer:
                  use_diffusion: bool = False,
                  use_hifigan: bool = False,
                  spk_mel16: Optional[jnp.ndarray] = None,
-                 batch_buckets: Optional[Sequence[int]] = None):
+                 batch_buckets: Optional[Sequence[int]] = None,
+                 max_pending: Optional[int] = None,
+                 request_timeout_s: Optional[float] = None):
         """batch_buckets: row-count buckets (see synthesize_batch) — bounds
         the number of compiled programs to len(batch_buckets) per text
         bucket instead of one per distinct arrival count, and makes
-        warmup() able to precompile the whole grid up front."""
+        warmup() able to precompile the whole grid up front.
+
+        max_pending: queue-depth bound — submit() raises ServerBusy once
+        this many requests wait unpacked (default None = unbounded, the
+        pre-round-4 behavior). request_timeout_s: a request that waits in
+        the queue longer than this fails with TimeoutError instead of
+        occupying a wave (the client's Future.result(timeout=) only stops
+        the CLIENT waiting; this stops the SERVER doing abandoned work)."""
         self.tts = tts
         self.cond_mel = cond_mel
         self.settings = settings
@@ -277,10 +296,12 @@ class BatchServer:
         self.batch_buckets = (tuple(b for b in batch_buckets
                                     if b <= max_batch)
                               if batch_buckets else None)
+        self.max_pending = max_pending
+        self.request_timeout_s = request_timeout_s
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._seq = 0
-        self._m = {"completed": 0, "failed": 0, "waves": 0,
+        self._m = {"completed": 0, "failed": 0, "waves": 0, "timed_out": 0,
                    "rows_sum": 0, "latency_sum": 0.0, "latency_max": 0.0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -307,6 +328,12 @@ class BatchServer:
                 f"text of {toks.shape[-1]} tokens exceeds "
                 f"max_text_tokens={cap}; split the text "
                 f"(TextToSpeech.tts() sentence-splits and truncates)")
+        if (self.max_pending is not None
+                and self._q.qsize() >= self.max_pending):
+            # fail fast (503 at the HTTP layer) — an unbounded queue turns
+            # overload into silent latency growth and memory creep
+            raise ServerBusy(
+                f"pending queue full ({self.max_pending} requests)")
         fut: "Future[np.ndarray]" = Future()
         self._q.put((toks, cond_mel, spk_mel16, fut, time.perf_counter()))
         return fut
@@ -404,6 +431,22 @@ class BatchServer:
             batch = self._collect()
             if not batch:
                 continue
+            if self.request_timeout_s is not None:
+                now = time.perf_counter()
+                live = []
+                for item in batch:
+                    if now - item[4] > self.request_timeout_s:
+                        if not item[3].done():
+                            item[3].set_exception(TimeoutError(
+                                f"request waited "
+                                f"{now - item[4]:.1f}s in queue "
+                                f"(> {self.request_timeout_s}s)"))
+                        self._m["timed_out"] += 1
+                    else:
+                        live.append(item)
+                batch = live
+                if not batch:
+                    continue
             # group by (cond shape, spk shape): per-request conds must share
             # shapes within one program; grouping keeps a mismatched tenant
             # from failing its co-batched neighbors

@@ -26,9 +26,11 @@ ladder, tests/test_slots.py). Sampled rows carry PER-ROW key chains
 function of its own (text, voice, key) — reproducible no matter what
 else shares the pool, a determinism property wave batching cannot offer
 (its batched draw changes with batch shape/composition). Deterministic
-renders (shortcut DVAE+Vocos, hifigan) inherit that; the diffusion
-render's noise key is batch-level, so those waveforms remain
-traffic-dependent.
+renders (shortcut DVAE+Vocos, hifigan) inherit that; the DIFFUSION render
+draws its noise from a per-row chain derived from the request key
+(fold_in(key, _RENDER_FOLD)) and rows group by their OWN code bucket, so
+keyed diffusion waveforms are traffic-independent too
+(tests/test_slots.py pins byte-identity across pool compositions).
 
 Engine: the int8 XLA chain (qdecode tree — the serving default). The
 per-row step mirrors qdecode._decode_step numerics exactly with per-row
@@ -50,6 +52,10 @@ import numpy as np
 from xtts_tpu.infer.qdecode import _layer_norm, qdot
 from xtts_tpu.infer.sampling import greedy_token, sample_token_rows
 from xtts_tpu.nn.transformer import KVCache, NEG_INF, gelu_new
+
+# fold_in namespace separating a request's RENDER noise chain from its AR
+# candidate chains (candidate i uses fold_in(key, i), i < num_candidates)
+_RENDER_FOLD = 0x52454E44  # "REND"
 
 
 class SlotState(NamedTuple):
@@ -411,12 +417,20 @@ class ContinuousBatcher:
                  segment_len: int = 32, use_diffusion: bool = False,
                  render_min: int = 4,
                  render_buckets: Sequence[int] = (1, 2, 4, 8, 16),
-                 pipeline: bool = True):
+                 pipeline: bool = True,
+                 max_pending: Optional[int] = None,
+                 request_timeout_s: Optional[float] = None):
         """pipeline: dispatch segment N+1 before syncing segment N's done
         mask, so the chip never idles during the ~20 ms tunnel RTT of the
         host read. Refills then lag one segment (a freed slot idles one
         extra segment before its new occupant starts); per-request results
-        are unchanged (per-row state, frozen done rows)."""
+        are unchanged (per-row state, frozen done rows).
+
+        max_pending: candidate-queue depth bound — submit() raises
+        serving.ServerBusy when the K candidates wouldn't fit (backpressure;
+        503 at the HTTP layer). request_timeout_s: a request still fully
+        queued (no candidate installed) after this long fails with
+        TimeoutError instead of ever taking slots."""
         from xtts_tpu.infer.api import TTSSettings
         self.settings = settings or TTSSettings()
         if (self.settings.num_candidates > 1
@@ -432,6 +446,8 @@ class ContinuousBatcher:
             tts, n_slots=n_slots,
             max_gen=max_gen or self.settings.max_mel_tokens,
             segment_len=segment_len, settings=self.settings)
+        self.max_pending = max_pending
+        self.request_timeout_s = request_timeout_s
         self._q: "queue.Queue[_Group]" = queue.Queue()
         self._slot_req: List[Optional[_Group]] = [None] * n_slots
         self._finished: List[Tuple[_Group, np.ndarray, int]] = []
@@ -441,7 +457,8 @@ class ContinuousBatcher:
         self._inflight = None      # dispatched-but-unread packed (done|gen)
         # serving metrics (stats()): completed requests, latency sum/max,
         # segments run, live-row-step counts for slot utilization
-        self._m = {"completed": 0, "failed": 0, "latency_sum": 0.0,
+        self._m = {"completed": 0, "failed": 0, "timed_out": 0,
+                   "latency_sum": 0.0,
                    "latency_max": 0.0, "segments": 0, "live_row_steps": 0,
                    "row_steps": 0, "tokens": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -475,13 +492,14 @@ class ContinuousBatcher:
     def submit(self, text_tokens: np.ndarray,
                cond_mel: Optional[jnp.ndarray] = None,
                key: Optional[jax.Array] = None) -> "Future[np.ndarray]":
-        """key: optional request seed — with it, the request's AR codes
-        (and therefore any deterministic render: shortcut DVAE+Vocos,
-        hifigan) are reproducible regardless of concurrent traffic
-        (per-row RNG chains; candidate i of K draws from fold_in(key, i)).
-        The DIFFUSION render's noise key is batch-level (renders are
-        grouped across requests), so use_diffusion waveforms can vary
-        run-to-run even with a fixed key."""
+        """key: optional request seed — with it, the request's output
+        waveform is reproducible regardless of concurrent traffic: AR codes
+        come from per-row RNG chains (candidate i of K draws from
+        fold_in(key, i)), deterministic renders (shortcut DVAE+Vocos,
+        hifigan) follow from the codes, and the diffusion render draws its
+        noise from fold_in(key, _RENDER_FOLD) per row, grouped by the
+        row's own code bucket (see _render). Without a key, fresh seeds
+        are used per install/render."""
         if self._stop.is_set():
             raise RuntimeError("ContinuousBatcher is closed")
         toks = np.asarray(text_tokens, np.int32)
@@ -494,6 +512,11 @@ class ContinuousBatcher:
                 f"pad_text would silently truncate it")
         fut: "Future[np.ndarray]" = Future()
         k = self.settings.num_candidates
+        if (self.max_pending is not None
+                and self._q.qsize() + k > self.max_pending):
+            from xtts_tpu.infer.serving import ServerBusy
+            raise ServerBusy(
+                f"pending candidate queue full ({self.max_pending})")
         import time as _time
         g = _Group(self.dec.pad_text(toks), len(toks), cond_mel, key, fut,
                    k, [], t_submit=_time.perf_counter())
@@ -543,11 +566,30 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def _refill(self, free: List[int]) -> Tuple[List[int], List[int]]:
+        import time as _time
         still_free, installed = [], []
         for slot in free:
-            try:
-                p = self._q.get_nowait()
-            except queue.Empty:
+            p = None
+            while p is None:
+                try:
+                    p = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if p.future.done():    # sibling candidate already failed
+                    p = None
+                    continue
+                if (self.request_timeout_s is not None and p.launched == 0
+                        and _time.perf_counter() - p.t_submit
+                        > self.request_timeout_s):
+                    # fully-queued request expired: fail it rather than
+                    # spend slots on work the client has abandoned (its
+                    # remaining queued candidates skip via future.done())
+                    p.future.set_exception(TimeoutError(
+                        f"request waited > {self.request_timeout_s}s "
+                        f"queued"))
+                    self._m["timed_out"] += 1
+                    p = None
+            if p is None:
                 still_free.append(slot)
                 continue
             self._seq += 1
@@ -593,17 +635,27 @@ class ContinuousBatcher:
 
     def _render(self):
         """Render the harvested rows through the batched wave-render path,
-        grouped by (text bucket, cond shape); the row count pads up to a
-        render_buckets rung (repeating row 0, extra outputs dropped) so the
-        compiled-program count stays bounded like synthesize_batch's
-        batch_buckets."""
+        grouped by (text bucket, cond shape, own code bucket); the row count
+        pads up to a render_buckets rung (repeating row 0, extra outputs
+        dropped) so the compiled-program count stays bounded like
+        synthesize_batch's batch_buckets.
+
+        Determinism: rows group by their OWN code bucket (not the harvest
+        max) and each row renders with its OWN noise key chain derived from
+        the request key (fold_in(key, _RENDER_FOLD); per-row draws inside
+        p_sample_loop/_diffusion_mel_impl) — so a keyed request's diffusion
+        waveform is a pure function of (text, voice, key), independent of
+        what else was in the pool. Exceeds the reference (batch-level noise
+        in ttts/utils/diffusion.py:654-743)."""
         from xtts_tpu.infer.api import bucket_len
         from xtts_tpu.infer.serving import render_rows
         batch, self._finished = self._finished, []
+        cbuckets = self.tts._code_buckets()
         groups: Dict[Any, list] = {}
         for p, codes, gen in batch:
             ck = (len(p.text),
-                  None if p.cond_mel is None else tuple(p.cond_mel.shape))
+                  None if p.cond_mel is None else tuple(p.cond_mel.shape),
+                  bucket_len(max(int(gen) - 2, 1), cbuckets))
             groups.setdefault(ck, []).append((p, codes, gen))
         for items in groups.values():
             n_real = len(items)
@@ -617,11 +669,17 @@ class ContinuousBatcher:
             conds = (jnp.concatenate([p.cond_mel for p, _, _ in padded], 0)
                      if cond is not None else
                      jnp.tile(self.cond_mel, (len(padded), 1, 1)))
+            self._seq += 1
+            row_keys = jnp.stack([
+                (jax.random.fold_in(p.key, _RENDER_FOLD)
+                 if p.key is not None else
+                 jax.random.PRNGKey(self._seq * 1024 + i))
+                for i, (p, _, _) in enumerate(padded)])
             try:
                 wavs = render_rows(
                     self.tts, jnp.asarray(texts), jnp.asarray(lens), conds,
                     jnp.asarray(codes), gens, self.settings,
-                    self.use_diffusion, jax.random.PRNGKey(self._seq))
+                    self.use_diffusion, row_keys)
                 import time as _time
                 now = _time.perf_counter()
                 for (p, _, _), w in zip(items, wavs[:n_real]):

@@ -49,14 +49,17 @@ NEG_INF = -1e9
 
 
 def _pick_chunk(b: int, d: int, s_max: int) -> int:
-    """Cache-chunk length: (B, Sc, D) int8 buffer ~<= 1 MB, 8-aligned,
-    and no longer than the (8-aligned) cache itself. 1 MB keeps the 4
-    double-buffered chunk slots at ~4 MB so the weight ring fits the
-    scoped-VMEM budget (see _pick_group). XTTS_SERVING_CHUNK overrides
-    (tests/perf sweeps)."""
+    """Cache-chunk length: (B, Sc, D) int8 buffer ~<= 1 MB target, but never
+    below 128 — the per-position scale slices ks/vs are (B, Sc) slabs of an
+    (L, B, S) f32 array, and a DMA slice's TRAILING dim must be 128-aligned
+    (CLAUDE.md; Mosaic rejects Sc=64 at B=16 with "Slice shape along
+    dimension 2 must be aligned to tiling (128)"). At B=16 this makes the 4
+    chunk slots 8 MB and _pick_group shrinks the weight ring to fit. Also
+    no longer than the (128-aligned) cache itself. XTTS_SERVING_CHUNK
+    overrides (tests/perf sweeps)."""
     ov = os.environ.get("XTTS_SERVING_CHUNK")
-    sc = int(ov) if ov else max(8, (1 << 20) // (b * d) // 8 * 8)
-    return min(sc, -(-s_max // 8) * 8)
+    sc = int(ov) if ov else max(128, (1 << 20) // (b * d) // 128 * 128)
+    return min(sc, -(-s_max // 128) * 128)
 
 
 def _pick_group(b: int, d: int, s_chunk: int, ring: int, group: int) -> int:
