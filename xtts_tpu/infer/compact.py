@@ -14,9 +14,13 @@ finished rows, and continue the live rows at a smaller static row bucket.
 Exactness: row math is independent, and the per-step RNG split sequence is
 preserved across segment boundaries, so with NO row drop the result is
 bit-identical to the monolithic program (greedy and sampled). After a drop
-the categorical draw's shape changes, so sampled tokens can differ from
-the monolithic program — the same tolerance class as batch-count bucketing
-(serving.synthesize_batch); greedy decode stays token-exact throughout.
+the shared-key categorical draw's shape changes, so sampled tokens can
+differ from the monolithic program — the same tolerance class as
+batch-count bucketing (serving.synthesize_batch); greedy decode stays
+token-exact throughout. per_row_keys=True switches to slot-serving's
+per-row chains (sampling.sample_token_rows): sampled tokens then become
+INVARIANT to drops (pure per-row functions), at the cost of no longer
+matching the shared-key monolithic draw.
 
 No reference counterpart: the reference generates at fixed batch via HF
 `generate` (ttts/gpt/model.py:588). Engines covered: the bf16 flax chain
@@ -104,12 +108,25 @@ def _run_segment(model: UnifiedVoice, variables, qtree, state, cap: int,
 
     def body_fn(st):
         step, logits, cache, done, seen, codes, lengths, k = st
-        k, sub = jax.random.split(k)
+        if k.ndim == 2:
+            # per-row chains (per_row_keys=True): row i's draws depend only
+            # on its own key, so sampled tokens are invariant to drops
+            splits = jax.vmap(jax.random.split)(k)
+            k, sub = splits[:, 0], splits[:, 1]
+        else:
+            k, sub = jax.random.split(k)
         if do_sample:
-            tok = sample_token(sub, logits, temperature=temperature,
-                               top_p=top_p, seen=seen,
-                               repetition_penalty=repetition_penalty,
-                               typical_mass=typical_mass)
+            if sub.ndim == 2:
+                from xtts_tpu.infer.sampling import sample_token_rows
+                tok = sample_token_rows(sub, logits, temperature=temperature,
+                                        top_p=top_p, seen=seen,
+                                        repetition_penalty=repetition_penalty,
+                                        typical_mass=typical_mass)
+            else:
+                tok = sample_token(sub, logits, temperature=temperature,
+                                   top_p=top_p, seen=seen,
+                                   repetition_penalty=repetition_penalty,
+                                   typical_mass=typical_mass)
         else:
             tok = greedy_token(logits)
         tok = jnp.where(done, stop, tok)
@@ -138,13 +155,13 @@ def _run_segment(model: UnifiedVoice, variables, qtree, state, cap: int,
 
 @functools.partial(jax.jit, donate_argnames=("state",))
 def _take_rows(state, idx):
-    """Gather decode-state rows (cache batch axis is 1, the rest 0; step and
-    key are shared scalars)."""
+    """Gather decode-state rows (cache batch axis is 1, the rest 0; step is
+    a shared scalar; key is shared unless per-row (B, 2) chains ride in)."""
     step, logits, cache, done, seen, codes, lengths, key = state
     t0 = lambda a: jnp.take(a, idx, axis=0)
     cache = type(cache)(*(jnp.take(a, idx, axis=1) for a in cache))
     return (step, t0(logits), cache, t0(done), t0(seen), t0(codes),
-            t0(lengths), key)
+            t0(lengths), key if key.ndim == 1 else t0(key))
 
 
 def generate_speech_compacting(
@@ -164,6 +181,7 @@ def generate_speech_compacting(
     quantize_kv_cache: bool = False,
     cache_ladder: Optional[tuple] = None,
     row_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    per_row_keys: bool = False,
 ) -> GenerateResult:
     """generate_speech with row compaction at segment boundaries.
 
@@ -174,6 +192,12 @@ def generate_speech_compacting(
     shrink through — each (rows, rung) pair compiles one program, so keep
     the set small and warm it up for serving (BatchServer.warmup).
 
+    per_row_keys: row i samples from its own chain fold_in(key, i) (as in
+    slot serving), making sampled tokens INVARIANT to drops/compaction —
+    the draw no longer depends on the live batch's shape. Default False
+    preserves the monolithic programs' shared-key draw sequence (sampled
+    output bit-identical to generate_speech when nothing drops).
+
     Returns codes/lengths in the ORIGINAL row order. `steps` counts decode
     iterations of the longest-lived row (the wave's critical path)."""
     cfg = model.cfg
@@ -182,6 +206,8 @@ def generate_speech_compacting(
                          "(pass the qtree)")
     text_tokens = jnp.asarray(text_tokens, jnp.int32)
     b0 = text_tokens.shape[0]
+    if per_row_keys:
+        key = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b0))
     caps = ladder_caps(cache_ladder or default_rungs(max_gen), max_gen)
     n_cond = cfg.perceiver_latents if cfg.use_perceiver else 1
     state = _init_state(model, variables, cond_mel, text_tokens, key,
