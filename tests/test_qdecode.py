@@ -120,38 +120,6 @@ class TestQuantizedDecode:
         assert int(r.lengths[0]) <= 8
 
 
-class TestBatchedAttentionGate:
-    """The Pallas batched attention kernel behind the shape gate produces
-    the same step outputs as the XLA einsum path (interpret mode on CPU)."""
-
-    def test_cached_attention_kernel_matches_einsum(self, monkeypatch):
-        from xtts_tpu.infer import qdecode as qd
-        rng = np.random.default_rng(0)
-        b, s, h, hd = 8, 256, 4, 32
-        q = jnp.asarray(rng.standard_normal((b, h, hd)).astype(np.float32))
-        k = jnp.asarray(rng.standard_normal((b, s, h, hd)).astype(np.float32) * 0.5,
-                        jnp.bfloat16)
-        v = jnp.asarray(rng.standard_normal((b, s, h, hd)).astype(np.float32) * 0.5,
-                        jnp.bfloat16)
-        monkeypatch.setenv("XTTS_BATCHED_ATTN", "0")
-        want = qd._cached_attention(q, k, v, 97)
-        monkeypatch.setenv("XTTS_BATCHED_ATTN", "1")
-        got = qd._cached_attention(q, k, v, 97)
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(want, np.float32),
-                                   rtol=3e-2, atol=3e-2)
-
-    def test_gate_semantics(self, monkeypatch):
-        """Default off (kernel loses in-program, PERF.md); env forces it on
-        only at 128-aligned cache lengths."""
-        from xtts_tpu.infer import qdecode as qd
-        monkeypatch.delenv("XTTS_BATCHED_ATTN", raising=False)
-        assert not qd._use_batched_attn_kernel(8, 1024)
-        monkeypatch.setenv("XTTS_BATCHED_ATTN", "1")
-        assert qd._use_batched_attn_kernel(8, 1024)
-        assert not qd._use_batched_attn_kernel(8, 1000)  # unaligned s_max
-
-
 class TestFusedEngine:
     def test_fused_generate_matches_xla_engine(self, setup):
         """use_fused=True runs each token as one pallas_call (interpret on

@@ -153,29 +153,18 @@ def _layer_norm(x: jnp.ndarray, ln: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
 
 
-def _use_batched_attn_kernel(b: int, s: int) -> bool:
-    """Opt-in gate for the Pallas batched flash-decode attention
-    (ops/decode_attention.decode_attention_batched). The kernel beats the
-    XLA einsum in ISOLATION at B=8/S=1024 (78.7 vs 88.9 us), but inside the
-    real 15-layer decode program it LOSES (2.64 vs 2.10 ms/step, same shape,
-    scripts/bench_batched_attn.py): the per-custom-call launch cost and the
-    fusion barrier it puts in XLA's schedule outweigh the valid-prefix DMA
-    savings. Default OFF; XTTS_BATCHED_ATTN=1 forces it on (read at trace
-    time) for regimes where prefix skipping dominates (S >> 1k)."""
-    import os
-    return os.environ.get("XTTS_BATCHED_ATTN") == "1" and s % 128 == 0
-
-
 def _cached_attention(q: jnp.ndarray, k_all: jnp.ndarray, v_all: jnp.ndarray,
                       index) -> jnp.ndarray:
     """Single-token attention over the cached prefix: q (B, H, hd),
-    k_all/v_all (B, S, H, hd) -> (B, H, hd). Dispatches to the Pallas
-    batched kernel where it wins (shape gate above), XLA einsum otherwise."""
+    k_all/v_all (B, S, H, hd) -> (B, H, hd). Plain XLA einsum — a Pallas
+    per-layer flash-decode kernel (3 variants, incl. a batched strided-DMA
+    one) was built, won in isolation (78.7 vs 88.9 us at B=8/S=1024), and
+    LOST 25% inside the real 15-layer program (2.64 vs 2.10 ms/step): 15
+    custom-call launches/step break XLA's fusion scheduling. Deleted in
+    round 4 (graveyard note in PERF.md) once the FUSED whole-step serving
+    kernel (ops/serving_step.py) won the same regime properly (1.62x,
+    scripts/ab_fused_serving.py)."""
     b, s, heads, hd = k_all.shape
-    if _use_batched_attn_kernel(b, s):
-        from xtts_tpu.ops.decode_attention import decode_attention_batched
-        return decode_attention_batched(
-            q.astype(jnp.bfloat16), k_all, v_all, index).astype(jnp.bfloat16)
     scale = 1.0 / np.sqrt(hd)
     logits = jnp.einsum("bhd,bshd->bhs", q.astype(jnp.bfloat16),
                         k_all.astype(jnp.bfloat16)) * scale

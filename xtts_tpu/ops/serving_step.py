@@ -10,7 +10,8 @@ two proven in-repo designs:
 * the B=1 fused kernel's grouped weight-DMA ring + head-indicator-matrix
   attention (ops/decode_step.py — same stacked (T, D, D) int8 tile layout,
   so the qtree's existing "fused" stack is reused verbatim);
-* the flash-decode kernels' chunked cache streaming (ops/decode_attention.py)
+* the (round-2, since-deleted) flash-decode kernels' chunked cache
+  streaming
   as an online-softmax loop over (B, S_chunk, D) int8 cache chunks with
   double-buffered DMAs.
 
