@@ -155,3 +155,37 @@ def test_metrics_endpoint(url, svc):
         m = json.loads(r.read())
     assert m["completed"] >= 1 and m["failed"] == 0
     assert m["latency_mean_s"] > 0 and m["waves"] >= 1
+
+
+def test_backpressure_503_and_timeout_504():
+    """A full queue maps ServerBusy -> 503; a server-side request timeout
+    maps TimeoutError -> 504 (VERDICT r4 #7)."""
+    tts = TextToSpeech(TINY, rng=jax.random.PRNGKey(0))
+    cond = np.zeros(4000, np.float32)
+    s = serve_http.SynthesisService(
+        tts, cond, settings=TTSSettings(max_mel_tokens=8), max_batch=1,
+        window_ms=1.0, max_pending=0)
+    httpd = serve_http.serve(s, "127.0.0.1", 0)
+    host, port = httpd.server_address[:2]
+    u = f"http://{host}:{port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(u, {"text": "你好。"})
+        assert ei.value.code == 503
+    finally:
+        httpd.shutdown()
+        s.close()
+
+    s = serve_http.SynthesisService(
+        tts, cond, settings=TTSSettings(max_mel_tokens=8), max_batch=1,
+        window_ms=1.0, request_timeout_s=0.0)
+    httpd = serve_http.serve(s, "127.0.0.1", 0)
+    host, port = httpd.server_address[:2]
+    u = f"http://{host}:{port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(u, {"text": "你好。"})
+        assert ei.value.code == 504
+    finally:
+        httpd.shutdown()
+        s.close()
