@@ -46,6 +46,13 @@ VARIANTS = {
     "ladder": dict(cache_ladder=(128, 256)),
     "kvq_ladder": dict(kv_quant=True, cache_ladder=(128, 256)),
     "fused": dict(_fused=True),
+    # sparse ReferenceNet hoist: render is 69% of the B=16 K=2 wave and
+    # ReferenceNet recompute is its per-step overhead vs the (losing at
+    # B=16) full hoist — k trades a bounded approximation for ~(k-1)/k of
+    # that cost (TTSSettings.refnet_interval)
+    "refnet3": dict(refnet_interval=3),
+    "refnet5": dict(refnet_interval=5),
+    "refnet5_kvq": dict(refnet_interval=5, kv_quant=True),
 }
 
 
@@ -56,9 +63,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                        quantized_decode=True, with_clvp=True)
-    # clamp for tiny CPU-smoke configs whose caps sit below the bench text
+    # clamp for tiny CPU-smoke configs whose caps sit below the bench
+    # inputs (text cap, CLIP patch capacity); no-ops on the real config
     tl = min(50, cfg.gpt.max_text_tokens - 4, cfg.clvp.text_seq_len - 4)
     cond_mel, text_tokens = synthetic_inputs(tts, cfg, text_len=tl)
+    tmax = cfg.diffusion.clip.max_patches * cfg.diffusion.clip.patch_size
+    if cond_mel.shape[-1] > tmax:
+        cond_mel = cond_mel[:, :, :tmax]
     sr = cfg.mel.sample_rate
 
     from xtts_tpu.infer.serving import SynthesisRequest, synthesize_batch

@@ -31,6 +31,24 @@ class TestVQOp:
                                            interpret=True))
         np.testing.assert_array_equal(got, ref)
 
+    def test_pallas_under_value_and_grad(self, rng):
+        """Regression: on TPU trainers, value_and_grad traced the Pallas VQ
+        call with nonzero input tangents and hit Pallas's unimplemented JVP
+        rule (AssertionError). vq_nearest stop-grads its inputs so the JVP
+        trace short-circuits; this exercises the exact TPU dispatch body."""
+        x = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+        e = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+
+        def loss(x):
+            xs = jax.lax.stop_gradient(x)
+            es = jax.lax.stop_gradient(e)
+            codes = vq_nearest_pallas(xs, es, interpret=True)
+            q = jax.nn.one_hot(codes, 32) @ es.T
+            return jnp.sum((q - x) ** 2)
+
+        v, g = jax.value_and_grad(loss)(x)
+        assert np.isfinite(float(v)) and g.shape == x.shape
+
     def test_tie_break_first_index(self):
         # two identical codes -> argmin must pick the first
         e = np.zeros((4, 8), np.float32)

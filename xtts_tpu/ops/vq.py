@@ -123,6 +123,12 @@ def vq_nearest(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     x may be (..., D); returns int32 codes of shape x.shape[:-1].
     """
     lead = x.shape[:-1]
+    # int32 codes carry no tangent, but under value_and_grad the Pallas call
+    # would still be traced with nonzero input tangents and hit Pallas's
+    # unimplemented JVP rule (AssertionError on TPU trainers). stop_gradient
+    # makes the tangents symbolic zeros so JVP short-circuits to the primal.
+    x = jax.lax.stop_gradient(x)
+    embed = jax.lax.stop_gradient(embed)
     flat = x.reshape(-1, x.shape[-1])
     if jax.default_backend() == "tpu":
         codes = vq_nearest_pallas(flat, embed)
