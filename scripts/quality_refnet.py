@@ -46,6 +46,21 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     tts = TextToSpeech(cfg, rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16,
                        quantized_decode=True)
+    # The UNet/ReferenceNet use LDM zero-init output projections, so at
+    # random init every transformer block (incl. the refer cross-attention)
+    # contributes exactly zero and k=1 vs k>1 would compare as bitwise
+    # equal. Fill the all-zero kernels with small noise so the refer
+    # features actually reach the output.
+    kz = [jax.random.PRNGKey(1234)]
+
+    def _unzero(p):
+        if p.ndim >= 1 and p.size and not np.any(np.asarray(p)):
+            kz[0], sub = jax.random.split(kz[0])
+            return 0.02 * jax.random.normal(sub, p.shape, p.dtype)
+        return p
+
+    tts.vars["diffusion"] = jax.tree_util.tree_map(_unzero,
+                                                   tts.vars["diffusion"])
     tl = min(50, cfg.gpt.max_text_tokens - 4)
     cond_mel, text_tokens = synthetic_inputs(tts, cfg, text_len=tl)
     tmax = cfg.diffusion.clip.max_patches * cfg.diffusion.clip.patch_size
