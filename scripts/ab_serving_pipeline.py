@@ -53,6 +53,8 @@ VARIANTS = {
     "refnet3": dict(refnet_interval=3),
     "refnet5": dict(refnet_interval=5),
     "refnet5_kvq": dict(refnet_interval=5, kv_quant=True),
+    # composition candidates at B*K in {8,16} where the fused kernel applies
+    "fused_refnet5": dict(refnet_interval=5, _fused=True),
 }
 
 
