@@ -63,15 +63,31 @@ def _pick_chunk(b: int, d: int, s_max: int) -> int:
     return min(sc, -(-s_max // 128) * 128)
 
 
-def _pick_group(b: int, d: int, s_chunk: int, ring: int, group: int) -> int:
+def _pick_group(b: int, d: int, s_chunk: int, ring: int, group: int,
+                layers: int = 15, tiles: int = 12, head_tiles: int = 9) -> int:
     """Shrink the weight-DMA group until ring*group (D, D)-int8 tiles + the
-    4 chunk slots fit a ~12 MB scoped-VMEM budget (~2.5 MB aux on top of
-    the 16 MB limit) — same discipline as the B=1 path's fused_group
-    (infer/qdecode.py)."""
+    4 chunk slots + the FIXED VMEM buffers fit the 16 MB scoped-VMEM limit
+    with ~2.5 MB margin for Mosaic's own stack. The fixed buffers (the
+    (T, D) f32 scale/bias tables ~1.5 MB, ln tables, logits out, new-row
+    outs) were originally ignored, which let the B=16 ladder-rung program
+    hit `Scoped allocation ... 17.16M > 16.00M` at compile
+    (measurements_r4/ab_fused_b16_ladder.log)."""
     chunk_mb = 4 * b * s_chunk * d / (1 << 20)
+    t = layers * tiles + 9  # stacked tile count incl. head tiles (qdecode)
+    fixed_mb = (
+        2 * t * d * 4                # s_ref/b_ref (T, D) f32
+        + layers * 4 * d * 4         # ln (L, 4, D) f32
+        + 4 * d * 4                  # lnf
+        + b * head_tiles * d * 4     # logits out
+        + 2 * layers * b * d         # krows/vrows int8
+        + 4 * b * s_chunk * 4        # k/v scale slots (2 x 2 slots) f32
+    ) / (1 << 20)
     tile_mb = d * d / (1 << 20)
+    # 14.5: keeps the measured B=8 winner at group=4 (est. 14.36 MB, known
+    # to compile) and drops B=16 from group=2 (est. 14.92 MB — the shape
+    # that OOM'd in the ladder-rung program) to group=1 (est. 12.92 MB)
     g = group
-    while g > 1 and ring * g * tile_mb + chunk_mb > 12.0:
+    while g > 1 and ring * g * tile_mb + chunk_mb + fixed_mb > 14.5:
         g //= 2
     return g
 
@@ -302,7 +318,8 @@ def _fused_serving_logits(stacked, x, kc, vc, ks, vs, index, layers, heads,
     s_max = kc.shape[2]
     s_chunk = _pick_chunk(b, d, s_max)
     assert s_max % s_chunk == 0, (s_max, s_chunk)
-    group = _pick_group(b, d, s_chunk, ring, group)
+    group = _pick_group(b, d, s_chunk, ring, group,
+                        layers=layers, head_tiles=head_tiles)
     kern = _make_serving_kernel(layers, d, heads, s_max, b, head_tiles,
                                 group, ring, s_chunk)
     idx = jnp.asarray(index, jnp.int32).reshape(1)
