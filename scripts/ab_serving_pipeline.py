@@ -55,6 +55,10 @@ VARIANTS = {
     "refnet5_kvq": dict(refnet_interval=5, kv_quant=True),
     # composition candidates at B*K in {8,16} where the fused kernel applies
     "fused_refnet5": dict(refnet_interval=5, _fused=True),
+    # ladder (AR lever, 1.40x at B=16 K=2) x refnet5 (render lever) —
+    # orthogonal stages, expected to compose where kvq_ladder didn't
+    "refnet5_ladder": dict(refnet_interval=5, cache_ladder=(128, 256)),
+    "refnet3_ladder": dict(refnet_interval=3, cache_ladder=(128, 256)),
 }
 
 

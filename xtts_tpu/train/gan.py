@@ -209,3 +209,43 @@ class GANTrainer:
 
     def step(self, state: GANState, batch, rng):
         return self._step(state, batch, rng)
+
+    def grad_check(self, state: GANState, batch, rng):
+        """Losses + raw grad trees for DDP-parity checks (no donation, no
+        optimizer): reproduces _train_step's exact sequence — d grads on
+        the current params, then g grads against the d-updated params.
+
+        Used by the multichip dryrun: comparing GRADIENTS between the
+        sharded and single-device arms is the principled DDP check. The
+        post-step params can't be compared elementwise under Adam: at any
+        step the update is ~lr*sign(m_hat), so every element whose two
+        grad estimates straddle zero (near-zero grads under f32 tiling
+        differences, 10-30% of some conv tensors here) flips the FULL
+        +-lr, drowning real signal (a wrong psum/mean shows up in grads
+        directly as a 2x scale, which sign() erases)."""
+        def probe(state, batch, rng):
+            fake = jax.lax.stop_gradient(self.gen(state.g_params, batch, rng))
+
+            def d_loss_fn(d_params):
+                sr, _ = self.disc(d_params, batch["wav"])
+                sf, _ = self.disc(d_params, fake)
+                return discriminator_adv_loss(sr, sf)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            d_updates, _ = self.d_tx.update(d_grads, state.d_opt,
+                                            state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+
+            def g_loss_fn(g_params):
+                y_hat = self.gen(g_params, batch, rng)
+                sf, ff = self.disc(d_params, y_hat)
+                _, fr = self.disc(d_params, batch["wav"])
+                w = self.weights
+                return (w.adv * generator_adv_loss(sf)
+                        + w.feat_match * feature_matching_loss(ff, fr)
+                        + w.stft * multi_scale_stft_loss(y_hat, batch["wav"]))
+
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+            return d_loss, g_loss, d_grads, g_grads
+
+        return jax.jit(probe)(state, batch, rng)
