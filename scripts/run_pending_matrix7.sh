@@ -26,6 +26,6 @@ run() {
   echo "[matrix7] DONE  $name rc=$rc $(date +%H:%M:%S)"
 }
 
-run pipe_fused_refnet_b8 7200 AB_B=8 AB_VARIANTS=base,fused,refnet5,fused_refnet5 python scripts/ab_serving_pipeline.py
+run pipe_fused_refnet_b8 7200 AB_B=8 AB_REPS=7 AB_VARIANTS=base,fused,refnet5,fused_refnet5 python scripts/ab_serving_pipeline.py
 
 echo "[matrix7] ALL DONE $(date +%H:%M:%S)"
