@@ -26,7 +26,7 @@ run() {
   echo "[matrix9] DONE  $name rc=$rc $(date +%H:%M:%S)"
 }
 
-run pipe_compose_b16 7200 AB_B=16 AB_REPS=7 AB_VARIANTS=base,ladder,refnet5_ladder,refnet3_ladder python scripts/ab_serving_pipeline.py
+run pipe_compose_b16 7200 AB_B=16 AB_REPS=7 AB_VARIANTS=base,ladder,kvq_ladder,refnet5_ladder,refnet3_ladder python scripts/ab_serving_pipeline.py
 run serving_fused_b16k1 2400 BENCH_PATH=serving BENCH_BATCH=16 BENCH_RERANK_K=1 XTTS_FUSED_SERVING=1 python bench.py
 
 echo "[matrix9] ALL DONE $(date +%H:%M:%S)"
