@@ -35,8 +35,9 @@ Knobs (env):
   BENCH_RERANK_K    serving CLVP candidates per utterance (default 2;
                     1 = rerank off)
   BENCH_CACHE_LADDER  comma-separated cache-capacity rungs for the serving
-                    AR decode (e.g. "128,256"); empty/unset = monolithic
-                    cache (see TTSSettings.cache_ladder)
+                    AR decode (e.g. "128,256"); unset = "auto" ((128, 256)
+                    at >=16 AR rows — the round-4 serving default);
+                    "none" = monolithic cache (see TTSSettings.cache_ladder)
   BENCH_REFNET_INTERVAL  sparse ReferenceNet hoist interval k (default 1 =
                     exact reference semantics; see
                     TTSSettings.refnet_interval)
@@ -259,8 +260,16 @@ def main():
     # (tests/test_api_e2e.py::test_speculative_render_matches_default).
     # BENCH_SPECULATIVE=0 turns it off.
     spec = os.environ.get("BENCH_SPECULATIVE", "1") == "1"
+    # unset -> "auto" (round-4 default: (128, 256) at >=16 AR rows, token-
+    # exact 1.40x in the pipe_b16 A/B); BENCH_CACHE_LADDER=none forces
+    # monolithic, a comma list forces those rungs
     _lad = os.environ.get("BENCH_CACHE_LADDER", "")
-    cache_ladder = tuple(int(x) for x in _lad.split(",") if x) or None
+    if _lad == "":
+        cache_ladder = "auto"
+    elif _lad.lower() == "none":
+        cache_ladder = None
+    else:
+        cache_ladder = tuple(int(x) for x in _lad.split(",") if x) or None
     # BENCH_KV_QUANT=1: int8 KV cache (scales folded into scores/probs) —
     # halves the serving-batch cache stream; needs BENCH_QUANT=1
     kv_quant = os.environ.get("BENCH_KV_QUANT", "0") == "1"
@@ -296,12 +305,15 @@ def main():
                     tts.gpt, tts.vars["gpt"], tts._qtree, cond_mel,
                     jnp.asarray(text_tokens), key, max_gen=max_gen,
                     do_sample=False, use_fused=fused,
-                    cache_ladder=cache_ladder)
+                    cache_ladder=None if cache_ladder == "auto"
+                    else cache_ladder)
             else:
                 res = generate_speech(
                     tts.gpt, tts.vars["gpt"], cond_mel,
                     jnp.asarray(text_tokens), key, max_gen=max_gen,
-                    do_sample=False, cache_ladder=cache_ladder)
+                    do_sample=False,
+                    cache_ladder=None if cache_ladder == "auto"
+                    else cache_ladder)
             jax.block_until_ready(res.codes)
             return int(res.steps)
 

@@ -400,6 +400,44 @@ def test_tts_truncates_unsplittable_long_sentence(tts, caplog):
     assert any("truncating" in r.message for r in caplog.records)
 
 
+def test_cache_ladder_auto_default(tts, monkeypatch):
+    """cache_ladder="auto" (the default) resolves to (128, 256) at >=16 AR
+    rows and to monolithic (None) below — the round-4 serving default
+    (PERF.md pipe_b16: token-exact 1.40x at B=16 K=2). Explicit ()/None
+    stays monolithic at any B."""
+    import xtts_tpu.infer.api as api_mod
+    captured = {}
+
+    def fake_generate(model, variables, cond, text, key, **kw):
+        captured["ladder"] = kw.get("cache_ladder")
+        b = text.shape[0]
+        from xtts_tpu.models.gpt_infer import GenerateResult
+        return GenerateResult(
+            jnp.full((b, kw["max_gen"]), model.cfg.stop_mel_token, jnp.int32),
+            jnp.ones((b,), jnp.int32), jnp.int32(1))
+
+    monkeypatch.setattr(api_mod, "generate_speech", fake_generate)
+    cond1 = jnp.zeros((1, MEL_BINS, 16))
+    text1 = jnp.ones((1, 6), jnp.int32)
+    k = jax.random.PRNGKey(0)
+
+    tts._generate(cond1, text1, k, TTSSettings(max_mel_tokens=8))
+    assert captured["ladder"] is None            # B=1: monolithic
+
+    cond16 = jnp.zeros((16, MEL_BINS, 16))
+    text16 = jnp.ones((16, 6), jnp.int32)
+    tts._generate(cond16, text16, k, TTSSettings(max_mel_tokens=8))
+    assert captured["ladder"] == (128, 256)      # >=16 rows: ladder on
+
+    tts._generate(cond16, text16, k,
+                  TTSSettings(max_mel_tokens=8, cache_ladder=None))
+    assert captured["ladder"] is None            # explicit off
+
+    tts._generate(cond16, text16, k,
+                  TTSSettings(max_mel_tokens=8, cache_ladder=(64,)))
+    assert captured["ladder"] == (64,)           # explicit rungs honored
+
+
 def test_refnet_interval(tts, rng):
     """Sparse ReferenceNet hoist: k=1 must be bitwise the default path
     (same cached-feature grid); k>1 swaps in floor-nearest cached features

@@ -22,7 +22,7 @@ from __future__ import annotations
 import functools
 import os
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -120,9 +120,13 @@ class TTSSettings:
     # runs against progressively larger caches so early steps read a much
     # smaller K/V buffer (TPU-shaped "KV-cache paging", BASELINE config #5;
     # token-exact, see gpt_infer.generate_speech). Pays off when cache
-    # reads dominate — large-B serving; None = monolithic cache. Ignored by
-    # the fused B=1 engine.
-    cache_ladder: Optional[tuple] = None
+    # reads dominate — large-B serving: the round-4 same-process pipeline
+    # A/B measured 1.40x full-quality at B=16 K=2 (PERF.md pipe_b16), so
+    # "auto" (the default) engages (128, 256) at >=16 AR rows and stays
+    # monolithic below (B=1 e2e is unaffected — the fused B=1 engine
+    # ignores the ladder). Explicit None/() = always monolithic; an
+    # explicit tuple is used as given.
+    cache_ladder: Union[str, tuple, None] = "auto"
     # int8 KV cache (quantized_decode engines only): per-(position, head)
     # symmetric int8 K/V with scales folded into the attention scores/probs
     # — halves the dominant serving-batch cache stream; near-lossless
@@ -213,8 +217,14 @@ class TextToSpeech:
 
     def _generate(self, cond, text, key, settings: "TTSSettings"):
         """AR generation via the active decode engine."""
-        ladder = (tuple(settings.cache_ladder) if settings.cache_ladder
-                  else None)   # lists would break jit's static-arg hashing
+        if settings.cache_ladder == "auto":
+            # serving default (round-4 pipe_b16 A/B: 1.40x at 32 AR rows,
+            # token-exact); monolithic below 16 rows where rung-transition
+            # overhead eats the smaller cache savings
+            ladder = (128, 256) if text.shape[0] >= 16 else None
+        else:
+            ladder = (tuple(settings.cache_ladder) if settings.cache_ladder
+                      else None)  # lists would break jit's static-arg hashing
         kw = dict(max_gen=settings.max_mel_tokens, top_p=settings.top_p,
                   temperature=settings.temperature,
                   repetition_penalty=settings.repetition_penalty,
