@@ -168,6 +168,36 @@ class TestQuantizationQualityGate:
         # int4 is strictly coarser than int8 on random (flat-logit) weights
         assert r4["agreement"] <= r8["agreement"] + 1e-6
 
+    def test_kv_quant_gate_contract(self, setup):
+        """kv_quant=True gates the int8-KV serving lever on the same
+        teacher-forced-agreement axis as the weight quantization."""
+        from xtts_tpu.infer.qdecode import quantization_quality_gate
+        model, variables, qt, cond, text = setup
+        rng = np.random.default_rng(7)
+        codes = rng.integers(0, 31, (1, 16)).astype(np.int32)
+        res = quantization_quality_gate(model, variables, cond, text, codes,
+                                        bits=8, kv_quant=True)
+        assert res["kv_quant"] and not res["fused_serving"]
+        assert 0.0 <= res["agreement"] <= 1.0
+        with pytest.raises(ValueError):
+            quantization_quality_gate(model, variables, cond, text, codes,
+                                      kv_quant=True, fused_serving=True)
+
+    def test_fused_serving_gate_contract(self, setup):
+        """fused_serving=True gates the whole-step Pallas serving kernel
+        (coarser per-position int8 KV) — rows must be 8 or 16."""
+        from xtts_tpu.infer.qdecode import quantization_quality_gate
+        model, variables, qt, cond, text = setup
+        rng = np.random.default_rng(8)
+        b = 8
+        cond8 = jnp.tile(cond, (b, 1, 1))
+        text8 = jnp.tile(text, (b, 1))
+        codes = rng.integers(0, 31, (b, 6)).astype(np.int32)
+        res = quantization_quality_gate(model, variables, cond8, text8,
+                                        codes, bits=8, fused_serving=True)
+        assert res["fused_serving"] and res["n_positions"] == b * 6
+        assert 0.0 <= res["agreement"] <= 1.0
+
     def test_int4_grid_matches_fused_packing_math(self, setup):
         """requantize_int4_tree must reproduce stack_qtree_int4's weight grid
         (ops/decode_step.py:427-432) so the XLA-chain gate measures the SAME

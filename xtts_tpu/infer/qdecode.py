@@ -293,14 +293,23 @@ def requantize_int4_tree(qtree: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
+@functools.partial(jax.jit, static_argnames=("model", "kv_quant",
+                                             "fused_serving"))
 def _teacher_forced_agreement(model: UnifiedVoice, variables, qtree,
-                              cond_mel, text_tokens, codes):
+                              cond_mel, text_tokens, codes,
+                              kv_quant: bool = False,
+                              fused_serving: bool = False):
     """Per-position greedy-argmax agreement between the quantized decode
     engine and the full-precision decode chain under TEACHER FORCING: both
     engines see the same ground-truth history, so agreement isolates
-    per-step logit fidelity from compounding sampling drift."""
+    per-step logit fidelity from compounding sampling drift.
+
+    kv_quant: the quantized arm additionally stores K/V as per-(position,
+    head) int8 (the serving kv_quant lever). fused_serving: the quantized
+    arm runs the whole-step Pallas serving kernel over its coarser
+    per-(layer, row, position) int8 cache (ops/serving_step.py)."""
     cfg = model.cfg
+    d = cfg.model_dim
     prefix, n_cond = model.apply(variables, cond_mel, text_tokens,
                                  method=model.encode_prefix)
     b, p_len, _ = prefix.shape
@@ -313,6 +322,19 @@ def _teacher_forced_agreement(model: UnifiedVoice, variables, qtree,
                              method=model.prefill)
     _, cache_q = model.apply(variables, prefix, mk_cache(),
                              method=model.prefill)
+    if fused_serving:
+        from xtts_tpu.ops.serving_step import (_fused_serving_logits,
+                                               _pick_chunk,
+                                               quantize_kv_rowwise)
+        s_pad = -(-s_max // _pick_chunk(b, d, s_max)) * _pick_chunk(b, d,
+                                                                    s_max)
+        cache_q = quantize_kv_rowwise(cache_q, s_pad)
+        vocab = cfg.number_mel_codes
+        stacked = {k: v for k, v in qtree["fused"].items() if k != "pmat"}
+        ht = -(-vocab // d)
+        interp = jax.default_backend() != "tpu"
+    elif kv_quant:
+        cache_q = quantize_kv(cache_q)
 
     def body(carry, t):
         cache_f, cache_q = carry
@@ -320,8 +342,19 @@ def _teacher_forced_agreement(model: UnifiedVoice, variables, qtree,
         mel_pos = t + 1 + (n_cond if cfg.decode_position_quirk else 0)
         lf, cache_f = model.apply(variables, tok, mel_pos, cache_f,
                                   p_len + t, method=model.decode_one)
-        lq, cache_q = _decode_logits(qtree, cfg.heads, tok, mel_pos,
-                                     cache_q, p_len + t)
+        if fused_serving:
+            x = (qtree["mel_embedding"][tok]
+                 + qtree["mel_pos_embedding"][jnp.atleast_1d(mel_pos)])
+            kc, vc, ks, vs = cache_q
+            lq, kc, vc, ks, vs = _fused_serving_logits(
+                stacked, x, kc, vc, ks, vs, p_len + t,
+                layers=cfg.layers, heads=cfg.heads, head_tiles=ht,
+                interpret=interp)
+            lq = lq[:, :vocab].astype(jnp.float32)
+            cache_q = (kc, vc, ks, vs)
+        else:
+            lq, cache_q = _decode_logits(qtree, cfg.heads, tok, mel_pos,
+                                         cache_q, p_len + t)
         return (cache_f, cache_q), (jnp.argmax(lf, -1), jnp.argmax(lq, -1))
 
     _, (af, aq) = jax.lax.scan(body, (cache_f, cache_q), jnp.arange(n))
@@ -330,29 +363,46 @@ def _teacher_forced_agreement(model: UnifiedVoice, variables, qtree,
 
 def quantization_quality_gate(model: UnifiedVoice, variables, cond_mel,
                               text_tokens, codes, bits: int = 8,
+                              kv_quant: bool = False,
+                              fused_serving: bool = False,
                               min_agreement: float = 0.98) -> Dict[str, Any]:
     """The acceptance check for enabling a quantized decode engine by
     default on a given set of weights (VERDICT r2 #9).
 
-    Measures teacher-forced greedy top-1 agreement of the int8 (or
-    int4-grid) engine against the full-precision decode chain over the
-    provided mel-code sequences. A trained model's peaked logits score far
-    higher than random weights (PERF.md round 2: ~2/3 on random int4); gate
-    on REAL converted weights before flipping a default.
+    Measures teacher-forced greedy top-1 agreement of the quantized engine
+    against the full-precision decode chain over the provided mel-code
+    sequences. A trained model's peaked logits score far higher than
+    random weights (PERF.md round 2: ~2/3 on random int4); gate on REAL
+    converted weights before flipping a default.
 
-    Returns {bits, agreement, n_positions, min_agreement, passed}.
-    Policy: int8 defaults on at >= 0.98; int4 stays experimental
-    (XTTS_DECODE_BITS=4) until its gate passes on the target checkpoint.
+    Engine selection mirrors the serving levers:
+      bits=8|4            int8 / int4-grid weights (bf16 KV cache)
+      kv_quant=True       + per-(position, head) int8 KV
+                          (TTSSettings.kv_quant)
+      fused_serving=True  the whole-step Pallas serving kernel over its
+                          coarser per-(layer, row, position) int8 KV
+                          (XTTS_FUSED_SERVING; rows must be 8 or 16)
+
+    Returns {bits, kv_quant, fused_serving, agreement, n_positions,
+    min_agreement, passed}. Policy: int8 weights default on at >= 0.98;
+    the int8-KV levers (kv_quant / fused_serving) and int4 stay opt-in
+    until their gate passes on the target checkpoint.
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
-    qtree = quantize_gpt_decode(variables, model.cfg, include_fused=False)
+    if kv_quant and fused_serving:
+        raise ValueError("kv_quant and fused_serving are separate engines; "
+                         "gate them one at a time")
+    qtree = quantize_gpt_decode(variables, model.cfg,
+                                include_fused=fused_serving)
     if bits == 4:
         qtree = requantize_int4_tree(qtree)
     agreement = float(_teacher_forced_agreement(
         model, variables, qtree, jnp.asarray(cond_mel),
-        jnp.asarray(text_tokens, jnp.int32), jnp.asarray(codes, jnp.int32)))
-    return {"bits": bits, "agreement": agreement,
+        jnp.asarray(text_tokens, jnp.int32), jnp.asarray(codes, jnp.int32),
+        kv_quant=kv_quant, fused_serving=fused_serving))
+    return {"bits": bits, "kv_quant": kv_quant,
+            "fused_serving": fused_serving, "agreement": agreement,
             "n_positions": int(codes.shape[0]) * int(codes.shape[1]),
             "min_agreement": min_agreement,
             "passed": agreement >= min_agreement}
