@@ -71,6 +71,29 @@ def test_gan_family_contract(tiny_cfg_path, capsys):
     assert np.isfinite(out["final_d_loss"])
 
 
+def test_diffusion_split_frozen_contract(tiny_cfg_path, capsys):
+    """BENCH_SPLIT_FROZEN=1 (diffusion): the two-program fallback for
+    chips whose remote-compile transport can't fit the fused step must
+    run and flag itself in the JSON line."""
+    out = _run(capsys, {
+        "BENCH_TRAIN_FAMILY": "diffusion", "BENCH_TRAIN_BS": "2",
+        "BENCH_TRAIN_STEPS": "1", "BENCH_SPLIT_FROZEN": "1",
+        "BENCH_CONFIG": tiny_cfg_path})
+    assert out["metric"] == "train_diffusion_samples_per_sec"
+    assert out["value"] > 0 and out["split_frozen"] is True
+    assert np.isfinite(out["final_loss"])
+
+
+def test_gan_split_frozen_contract(tiny_cfg_path, capsys):
+    out = _run(capsys, {
+        "BENCH_TRAIN_FAMILY": "hifigan", "BENCH_TRAIN_BS": "2",
+        "BENCH_TRAIN_STEPS": "1", "BENCH_TRAIN_SECONDS": "0.2",
+        "BENCH_SPLIT_FROZEN": "1", "BENCH_CONFIG": tiny_cfg_path})
+    assert out["metric"] == "train_hifigan_samples_per_sec"
+    assert out["value"] > 0 and out["split_frozen"] is True
+    assert np.isfinite(out["final_g_loss"])
+
+
 def test_slots_path_contract(tiny_cfg_path, capsys):
     """BENCH_PATH=slots JSON contract (continuous-batching steady-state)."""
     env = {"BENCH_PATH": "slots", "BENCH_BATCH": "2", "BENCH_SLOTS_N": "3",

@@ -287,6 +287,84 @@ class TestDiffusionTraining:
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["mse"]))
 
+    def test_split_frozen_latent_equals_fused(self, rng):
+        """Precomputed batch['latent'] (diffusion_latent_fn as its own
+        program — the BENCH_SPLIT_FROZEN path for chips whose remote
+        compile can't fit the fused step) must give the SAME loss as the
+        fused step that recomputes the frozen GPT/DVAE pass inline."""
+        from xtts_tpu.train.steps import diffusion_latent_fn
+        diff_cfg = DiffusionModelConfig(
+            in_channels=MEL, out_channels=2 * MEL, model_channels=16,
+            num_res_blocks=1, channel_mult=(1,), num_heads=2, context_dim=16,
+            in_latent_channels=32,
+            clip=CLIPRefConfig(embed_dim=16, width=16, layers=1, head_width=8,
+                               patch_size=4, in_channels=MEL, max_patches=64))
+        diff = AADiffusion(diff_cfg)
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        dvars = diff.init(jax.random.PRNGKey(2), jnp.zeros((2, MEL, 16)),
+                          jnp.array([0, 1]), jnp.zeros((2, 32, 4)),
+                          jnp.zeros((2, MEL, 16)))
+        gd = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+        loss_fn = make_diffusion_loss(diff, gd, gpt, gpt_vars, dvae,
+                                      dvae_vars)
+        batch = {
+            "mel": jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32)),
+            "refer_mel": jnp.asarray(rng.standard_normal((2, MEL, 24)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (2, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((2,), 8, jnp.int32),
+            "wav_lengths": jnp.full((2,), 6 * 1024, jnp.int32),
+        }
+        key = jax.random.PRNGKey(3)
+        l_fused, _ = loss_fn(dvars["params"], {}, batch, key)
+        latent = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
+        l_split, _ = loss_fn(dvars["params"], {},
+                             {**batch, "latent": latent}, key)
+        np.testing.assert_allclose(float(l_fused), float(l_split), rtol=1e-6)
+
+    def test_gan_split_frozen_latent_equals_fused(self, rng):
+        """make_hifigan_generator_fn: the precomputed batch['latent'] path
+        (gen_fn.latent_of as its own program — BENCH_SPLIT_FROZEN) must
+        produce the same waveform as the fused frozen DVAE->GPT pass."""
+        from xtts_tpu.core.config import HiFiGANConfig
+        from xtts_tpu.models.hifigan import HifiDecoder
+        from xtts_tpu.train.gan import make_hifigan_generator_fn
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        hifi_cfg = HiFiGANConfig(
+            decoder_input_dim=GPT_CFG.model_dim, d_vector_dim=16,
+            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3, 5),))
+        decoder = HifiDecoder(hifi_cfg)
+        dec_vars = decoder.init(jax.random.PRNGKey(8),
+                                jnp.zeros((1, 8, GPT_CFG.model_dim)),
+                                ref_mel16k=jnp.zeros((1, 16, 64)))
+        gen_fn = make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae,
+                                           dvae_vars)
+        wav_len = 8 * 256
+        batch = {
+            "wav": jnp.asarray(
+                rng.standard_normal((2, wav_len)).astype(np.float32)),
+            "mel": jnp.asarray(
+                rng.standard_normal((2, MEL, 8)).astype(np.float32)),
+            "refer_mel16": jnp.asarray(
+                rng.standard_normal((2, 16, 64)).astype(np.float32)),
+            "wav_length": jnp.full((2,), wav_len, jnp.int32)}
+        k = jax.random.PRNGKey(5)
+        fused = gen_fn(dec_vars["params"], batch, k)
+        latent = gen_fn.latent_of(batch)
+        split = gen_fn(dec_vars["params"], {**batch, "latent": latent}, k)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+
     def test_step_with_importance_sampler(self, rng):
         """loss_second_moment timestep sampler threads its loss-history state
         through state_cols and updates it each step."""

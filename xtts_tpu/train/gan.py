@@ -119,7 +119,11 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
     batch: {'wav': (B, T), 'mel': (B, bins, F), 'refer_mel16': (B, T16, 64),
             'wav_length': (B,)}
     """
-    def gen_fn(g_params, batch, rng):
+    def latent_of(batch):
+        """The frozen-aux half (DVAE codes -> GPT latents); exposed as
+        gen_fn.latent_of so benches can run it as its OWN jitted program
+        and pass batch['latent'] — the fused GAN step's compile exceeds
+        the tunneled chip's remote-compile transport limit (PERF.md r4)."""
         codes = dvae.apply(dvae_vars, batch["mel"],
                            method=dvae.get_codebook_indices)
         codes = jax.lax.stop_gradient(codes)
@@ -128,7 +132,11 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
             jnp.zeros((batch["mel"].shape[0], 4), jnp.int32),
             jnp.full((batch["mel"].shape[0],), 4, jnp.int32),
             codes, batch["wav_length"], return_latent=True)  # (B, N, D)
-        latent = jax.lax.stop_gradient(latent)
+        return jax.lax.stop_gradient(latent)
+
+    def gen_fn(g_params, batch, rng):
+        latent = (batch["latent"] if "latent" in batch
+                  else latent_of(batch))
         wav_hat = decoder.apply({"params": g_params}, latent,
                                 ref_mel16k=batch["refer_mel16"])
         # trim/pad to the real crop length for the discriminators
@@ -141,6 +149,7 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
         # when the generator computes in bf16 (f32-losses convention)
         return wav_hat.astype(jnp.float32)
 
+    gen_fn.latent_of = latent_of
     return gen_fn
 
 

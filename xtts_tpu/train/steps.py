@@ -76,6 +76,33 @@ def make_gpt_loss(gpt: UnifiedVoice, dvae: DVAE, dvae_vars,
     return loss_fn
 
 
+def diffusion_latent_fn(gpt: UnifiedVoice, gpt_vars, dvae: DVAE, dvae_vars,
+                        jit: bool = True):
+    """The frozen-aux half of the diffusion train step: mel -> DVAE codes ->
+    teacher-forced GPT latents, padding-zeroed (ttts/diffusion/
+    train_ms.py:311-319). Factored out so it can run as its OWN jitted
+    program (pass its output as batch['latent'] to make_diffusion_loss) —
+    the fused step's compile exceeds the tunneled chip's remote-compile
+    transport limit (PERF.md round 4); split programs compile separately
+    and compute identically (tests/test_train.py pins equality)."""
+    def latent_of(batch):
+        codes = dvae.apply(dvae_vars, batch["mel"],
+                           method=dvae.get_codebook_indices)
+        latent = gpt.apply(
+            gpt_vars, batch["refer_mel"], batch["text"],
+            batch["text_lengths"], codes, batch["wav_lengths"],
+            return_latent=True)                     # (B, N, D)
+        latent = jax.lax.stop_gradient(jnp.swapaxes(latent, 1, 2))  # (B,D,N)
+        n = latent.shape[-1]
+        code_lens = jnp.ceil(
+            batch["wav_lengths"] / gpt.cfg.mel_length_compression
+        ).astype(jnp.int32) + 1
+        mask = (jnp.arange(n)[None, :] < code_lens[:, None])
+        return latent * mask[:, None, :]
+
+    return jax.jit(latent_of) if jit else latent_of
+
+
 def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
                         gpt: UnifiedVoice, gpt_vars,
                         dvae: DVAE, dvae_vars,
@@ -102,19 +129,16 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
         mel = batch["mel"]
         b = mel.shape[0]
 
-        codes = dvae.apply(dvae_vars, mel, method=dvae.get_codebook_indices)
-        latent = gpt.apply(
-            gpt_vars, batch["refer_mel"], batch["text"],
-            batch["text_lengths"], codes, batch["wav_lengths"],
-            return_latent=True)                     # (B, N, D)
-        latent = jax.lax.stop_gradient(jnp.swapaxes(latent, 1, 2))  # (B,D,N)
-        # zero padding positions (make_pad_mask, train_ms.py:317-319)
-        n = latent.shape[-1]
-        code_lens = jnp.ceil(
-            batch["wav_lengths"] / gpt.cfg.mel_length_compression
-        ).astype(jnp.int32) + 1
-        mask = (jnp.arange(n)[None, :] < code_lens[:, None])
-        latent = latent * mask[:, None, :]
+        if "latent" in batch:
+            # precomputed by diffusion_latent_fn (two-program mode): the
+            # frozen GPT/DVAE pass runs as its own jitted program — same
+            # math, but each XLA program compiles separately (the fused
+            # step's compile exceeds the remote-compile transport's
+            # ~28-30 min limit on the tunneled chip; PERF.md round 4)
+            latent = batch["latent"]
+        else:
+            latent = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars,
+                                         jit=False)(batch)
 
         x_start = normalize_tacotron_mel(mel)
         if resampler is not None:
