@@ -59,6 +59,15 @@ VARIANTS = {
     # orthogonal stages, expected to compose where kvq_ladder didn't
     "refnet5_ladder": dict(refnet_interval=5, cache_ladder=(128, 256)),
     "refnet3_ladder": dict(refnet_interval=3, cache_ladder=(128, 256)),
+    # the reference's own speed/quality dial: fewer spaced DPM++2M render
+    # steps (its presets run 30-200 iters, ttts/api.py:276-281; the live
+    # path runs 50, test.py:113-118). Renders stay CFG + rerank-exact at
+    # the chosen step count; fidelity cost quantified by
+    # scripts/quality_steps.py
+    "steps30": dict(diffusion_steps=30),
+    "steps20": dict(diffusion_steps=20),
+    "steps30_ladder": dict(diffusion_steps=30, cache_ladder=(128, 256)),
+    "steps20_ladder": dict(diffusion_steps=20, cache_ladder=(128, 256)),
 }
 
 
@@ -84,7 +93,8 @@ def main():
     def settings_for(name):
         kw = dict(VARIANTS[name])
         fused = kw.pop("_fused", False)
-        return TTSSettings(max_mel_tokens=MAX_GEN, diffusion_steps=STEPS,
+        kw.setdefault("diffusion_steps", STEPS)
+        return TTSSettings(max_mel_tokens=MAX_GEN,
                            num_candidates=K, **kw), fused
 
     def run(name, key):
