@@ -107,7 +107,8 @@ def load_model(name: str, cfg: XTTSConfig = XTTSConfig(),
     model = entry["build"](cfg, dtype)
     args = entry["init_args"](cfg)
     if weights_path is None:
-        variables = jax.jit(model.init)(rng or jax.random.PRNGKey(0), *args)
+        variables = jax.jit(model.init)(
+            rng if rng is not None else jax.random.PRNGKey(0), *args)
         return model, variables
 
     if weights_path.endswith(".npz"):
