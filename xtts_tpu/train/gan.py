@@ -164,15 +164,28 @@ class GANTrainer:
     def __init__(self, generator_fn: Callable, discriminator_fn: Callable,
                  g_lr: float = 2e-4, d_lr: float = 2e-4,
                  weights: GANLossWeights = GANLossWeights(),
-                 grad_clip: float = 1.0):
+                 grad_clip: float = 1.0,
+                 stft_resolutions: Tuple[Sequence[int], Sequence[int],
+                                         Sequence[int]] | None = None):
         self.gen = generator_fn
         self.disc = discriminator_fn
         self.weights = weights
+        # (n_ffts, hops, wins); None = the reference's three resolutions
+        # (losses.py MultiScaleSTFTLoss defaults). Overridable so tiny-shape
+        # dryruns/tests can compile one resolution instead of three.
+        self.stft_resolutions = stft_resolutions
         self.g_tx = optax.chain(optax.clip_by_global_norm(grad_clip),
                                 optax.adamw(g_lr, b1=0.8, b2=0.99))
         self.d_tx = optax.chain(optax.clip_by_global_norm(grad_clip),
                                 optax.adamw(d_lr, b1=0.8, b2=0.99))
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    def _stft_loss(self, y_hat, real):
+        if self.stft_resolutions is None:
+            return multi_scale_stft_loss(y_hat, real)
+        n_ffts, hops, wins = self.stft_resolutions
+        return multi_scale_stft_loss(y_hat, real, n_ffts=n_ffts, hops=hops,
+                                     wins=wins)
 
     def init_state(self, g_params, d_params) -> GANState:
         return GANState(g_params, d_params, self.g_tx.init(g_params),
@@ -201,7 +214,7 @@ class GANTrainer:
             _, fr = self.disc(d_params, real)
             adv = generator_adv_loss(sf)
             fm = feature_matching_loss(ff, fr)
-            stft_l = multi_scale_stft_loss(y_hat, real)
+            stft_l = self._stft_loss(y_hat, real)
             w = self.weights
             loss = w.adv * adv + w.feat_match * fm + w.stft * stft_l
             return loss, {"g_adv": adv, "g_fm": fm, "g_stft": stft_l}
@@ -252,7 +265,7 @@ class GANTrainer:
                 w = self.weights
                 return (w.adv * generator_adv_loss(sf)
                         + w.feat_match * feature_matching_loss(ff, fr)
-                        + w.stft * multi_scale_stft_loss(y_hat, batch["wav"]))
+                        + w.stft * self._stft_loss(y_hat, batch["wav"]))
 
             g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
             return d_loss, g_loss, d_grads, g_grads
