@@ -1,12 +1,15 @@
-"""Same-PROCESS A/B of GPT trainer-step batch scaling (bs 8 vs 32).
+"""Same-PROCESS A/B of trainer-step batch scaling (any family).
 
-Cross-process singles said bs32 runs at 0.57x the samples/s of bs8
-(27.7 vs 48.1) — implausible unless the step is compute-saturated at bs8
-already (it is ~11% MFU, so it is not). Interleaves the two batch sizes
-in one process to strip chip-moment drift.
+Round-4 origin: cross-process singles said GPT bs32 runs at 0.57x the
+samples/s of bs8 — implausible; interleaving the batch sizes in one
+process strips the chip-moment drift (PERF.md phase 11: bs8/bs32 FLAT,
+the step saturates at bs8). Round 5 extends it to the families whose
+round-4 table rows claimed "latency-bound, scales with bs" without a
+probe (vqvae, classifier — VERDICT r4 weak #5).
 
 Run: python scripts/ab_train_scaling.py   (holds the TPU; run alone)
-Env: AB_BS (default "8,32"), AB_STEPS (10), AB_REPS (3), AB_FAMILY (gpt).
+Env: AB_BS (default "8,32"), AB_STEPS (10), AB_REPS (3), AB_FAMILY
+     (gpt|vqvae|classifier|clvp|diffusion; batch shapes mirror bench.py).
 """
 import os
 import sys
@@ -52,11 +55,34 @@ def main():
         text = jnp.asarray(rng.integers(3, vmax, (bs, tlen)).astype(np.int32))
         mel = lambda f, b=bs: jnp.asarray(
             rng.standard_normal((b, bins, f)).astype(np.float32) * 0.1)
-        batch = {"cond_mel": mel(min(400, mlen)), "text": text,
-                 "text_lengths": jnp.full((bs,), tlen, jnp.int32),
-                 "mel": mel(mlen),
-                 "wav_lengths": jnp.full((bs,), mlen * cfg.mel.hop_length,
-                                         jnp.int32)}
+        if FAMILY == "gpt":
+            batch = {"cond_mel": mel(min(400, mlen)), "text": text,
+                     "text_lengths": jnp.full((bs,), tlen, jnp.int32),
+                     "mel": mel(mlen),
+                     "wav_lengths": jnp.full((bs,), mlen * cfg.mel.hop_length,
+                                             jnp.int32)}
+        elif FAMILY == "vqvae":
+            batch = {"mel": mel(min(200, mlen))}
+        elif FAMILY == "classifier":
+            spec = jnp.asarray(rng.standard_normal(
+                (bs, 400, cfg.classifier.spec_dim)).astype(np.float32) * 0.1)
+            batch = {"mel": spec, "label": jnp.asarray(
+                rng.integers(0, 2, (bs,)).astype(np.int32))}
+        elif FAMILY == "clvp":
+            cl = min(250, cfg.clvp.speech_seq_len - 2)
+            batch = {"text": text[:, :min(120, cfg.clvp.text_seq_len - 2)],
+                     "codes": jnp.asarray(
+                         rng.integers(0, min(8192, cfg.vqvae.num_tokens),
+                                      (bs, cl)).astype(np.int32))}
+        elif FAMILY == "diffusion":
+            dlen = min(400, mlen)
+            batch = {"mel": mel(dlen), "refer_mel": mel(min(304, dlen)),
+                     "text": text, "text_lengths":
+                         jnp.full((bs,), tlen, jnp.int32),
+                     "wav_lengths": jnp.full((bs,), dlen * cfg.mel.hop_length,
+                                             jnp.int32)}
+        else:
+            raise SystemExit(f"AB_FAMILY={FAMILY!r} unsupported")
         trainer = Trainer(loss_fn, cfg.train)
         state = trainer.init_state(params, cols or None)
         arms[bs] = [trainer, state, batch]
