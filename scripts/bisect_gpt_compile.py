@@ -1,0 +1,161 @@
+"""Bisect WHICH axis of the frozen-GPT latent program breaks the remote
+compile transport (PERF.md phase 13/15).
+
+Evidence so far: every program containing the teacher-forced GPT forward
+at batch>=2 hangs the remote compile (>26 min -> Broken pipe), while the
+SAME architecture compiles fine as (a) jit init at tiny shapes, (b) B=1
+AR prefill/decode, (c) the bf16 fwd+bwd train step at bs8 (3 min,
+2026-08-19 13:41). This script probes one (layers, bs, text, mel,
+dtype, cond) point per SUBPROCESS with a hard timeout, so a hang costs
+TIMEOUT_S instead of 26 min, and prints a verdict table.
+
+Run:  python scripts/bisect_gpt_compile.py            # the probe matrix
+      BISECT_PROBE=layers=2,bs=16 python scripts/bisect_gpt_compile.py one
+Env:  BISECT_TIMEOUT (s per probe, default 420).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_xtts"))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TIMEOUT = int(os.environ.get("BISECT_TIMEOUT", 420))
+
+# each probe: overrides on (layers, bs, text, mel, dtype)
+PROBES = [
+    # batch axis (bs2 hifigan-split already hung in r4; bs1 is the open one)
+    {"name": "bs1", "bs": 1},
+    {"name": "bs2", "bs": 2},
+    # depth axis at the hanging batch
+    {"name": "L2_bs16", "layers": 2, "bs": 16},
+    {"name": "L8_bs16", "layers": 8, "bs": 16},
+    # sequence axis
+    {"name": "shortseq_bs16", "bs": 16, "text": 32, "mel": 64},
+    # dtype axis
+    {"name": "bf16_bs16", "bs": 16, "dtype": "bfloat16"},
+    # the known hang, as the control (costs TIMEOUT_S)
+    {"name": "full_bs16", "bs": 16},
+    # non-GPT control at similar scale: diffusion UNet denoise fwd at
+    # bs16 — discriminates "GPT-program-specific" vs "service degraded
+    # for all mid-size programs right now"
+    {"name": "unet_bs16", "kind": "unet", "bs": 16},
+]
+
+
+def run_one():
+    """Subprocess body: build ONE gpt-latent program and compile it."""
+    spec = json.loads(os.environ["BISECT_SPEC"])
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from xtts_tpu.core.config import XTTSConfig
+    from xtts_tpu.utils.registry import load_model
+
+    cfg = XTTSConfig()
+    if "layers" in spec:
+        cfg = cfg.replace(gpt=cfg.gpt.replace(layers=spec["layers"]))
+    dt = jnp.bfloat16 if spec.get("dtype") == "bfloat16" else jnp.float32
+    bs, tlen, dlen = spec.get("bs", 16), spec.get("text", 150), \
+        spec.get("mel", 400)
+
+    if spec.get("kind") == "unet":
+        from xtts_tpu.models.aa_diffusion import AADiffusion
+        model = AADiffusion(cfg.diffusion, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(
+            (bs, cfg.diffusion.in_channels, dlen)).astype(np.float32))
+        hint = jnp.asarray(rng.standard_normal(
+            (bs, cfg.diffusion.in_latent_channels, dlen)).astype(np.float32))
+        refer = jnp.asarray(rng.standard_normal(
+            (bs, cfg.diffusion.in_channels, 304)).astype(np.float32))
+        t = jnp.zeros((bs,), jnp.int32)
+        t0 = time.time()
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, hint,
+                                        refer)
+        float(np.asarray(
+            jax.tree_util.tree_leaves(variables)[0]).ravel()[0])
+        print(f"init done {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        lowered = jax.jit(lambda v, xx: model.apply(v, xx, t, hint, refer)
+                          ).lower(variables, x)
+        print(f"lowered {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        compiled = lowered.compile()
+        print(f"compiled {time.time()-t0:.1f}s", flush=True)
+        out = compiled(variables, x)
+        print(f"sum={float(np.asarray(out).sum()):.3e}", flush=True)
+        return
+
+    t0 = time.time()
+    gpt, gv = load_model("gpt", cfg, dtype=dt)
+    # fence: the jit init dispatch is async — force a host fetch so the
+    # init COMPILE (remote) is not misattributed to the next phase
+    # (block_until_ready can return early on this tunnel; fetch a value)
+    float(np.asarray(jax.tree_util.tree_leaves(gv)[0]).ravel()[0])
+    print(f"init done (incl. remote init compile) {time.time()-t0:.1f}s",
+          flush=True)
+
+    rng = np.random.default_rng(0)
+    refer = jnp.asarray(rng.standard_normal(
+        (bs, cfg.mel.n_mels, 304)).astype(np.float32) * 0.1)
+    text = jnp.asarray(rng.integers(3, 250, (bs, tlen)).astype(np.int32))
+    text_lens = jnp.full((bs,), tlen, jnp.int32)
+    wav_lens = jnp.full((bs,), dlen * cfg.mel.hop_length, jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 8192, (bs, dlen // 4)).astype(np.int32))
+
+    def latent_of_codes(codes_):
+        lat = gpt.apply(gv, refer, text, text_lens, codes_, wav_lens,
+                        return_latent=True)
+        return jnp.swapaxes(lat, 1, 2)
+
+    t0 = time.time()
+    lowered = jax.jit(latent_of_codes).lower(codes)
+    print(f"lowered {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    compiled = lowered.compile()
+    print(f"compiled {time.time()-t0:.1f}s", flush=True)
+    out = compiled(codes)
+    print(f"sum={float(np.asarray(out).sum()):.3e}", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "one":
+        run_one()
+        return
+    only = os.environ.get("BISECT_ONLY")
+    probes = PROBES
+    if only:
+        names = {n.strip() for n in only.split(",")}
+        probes = [p for p in PROBES if p["name"] in names]
+    results = {}
+    for spec in probes:
+        name = spec["name"]
+        env = dict(os.environ, BISECT_SPEC=json.dumps(spec))
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "one"],
+                env=env, capture_output=True, text=True, timeout=TIMEOUT,
+                check=False)
+            ok = p.returncode == 0
+            tail = (p.stdout + p.stderr).strip().splitlines()[-3:]
+        except subprocess.TimeoutExpired as e:
+            ok, tail = False, ["TIMEOUT (compile hang)"]
+            so = e.stdout or b""
+            if so:
+                tail = so.decode()[-300:].splitlines()[-3:] + tail
+        dt = time.time() - t0
+        results[name] = {"ok": ok, "wall_s": round(dt, 1)}
+        print(f"[{time.strftime('%H:%M:%S')}] {name}: "
+              f"{'OK' if ok else 'FAIL'} in {dt:.0f}s | " + " | ".join(tail),
+              flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,13 +98,21 @@ def main():
                 return dvae.apply(dvae_vars, mel_,
                                   method=dvae.get_codebook_indices)
             results[stage] = time_compile(stage, codes_of, mel)
-        elif stage == "gpt_latent":
+        elif stage in ("gpt_latent", "gpt_latent_bf16"):
+            # _bf16: same params (f32), bf16 COMPUTE module — discriminates
+            # the dtype hypothesis: build_loss("gpt")'s trained GPT is bf16
+            # and compiled in ~3 min (PERF.md r4), while every transport-
+            # killed latent program wraps the frozen f32 GPT.
+            g = gpt
+            if stage.endswith("_bf16"):
+                from xtts_tpu.utils.registry import load_model
+                g, _ = load_model("gpt", cfg, dtype=jnp.bfloat16)
             codes = jnp.asarray(
                 rng.integers(0, 8192, (bs, dlen // 4)).astype(np.int32))
 
-            def latent_of_codes(codes_):
-                lat = gpt.apply(gpt_vars, refer, text, text_lens, codes_,
-                                wav_lens, return_latent=True)
+            def latent_of_codes(codes_, g=g):
+                lat = g.apply(gpt_vars, refer, text, text_lens, codes_,
+                              wav_lens, return_latent=True)
                 return jnp.swapaxes(lat, 1, 2)
             results[stage] = time_compile(stage, latent_of_codes, codes)
         elif stage == "latent_fn":
