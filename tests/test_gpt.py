@@ -275,3 +275,42 @@ class TestCapacityGuards:
                                                tm=CFG.max_mel_tokens)
         lt, lm = model.apply(variables, cond, text, tl, mel, wl)
         assert np.isfinite(float(lt)) and np.isfinite(float(lm))
+
+
+class TestScanStack:
+    """scan-over-layers execution (GPT2Stack.scan) == unrolled stack.
+
+    The scanned form exists because the UNROLLED teacher-forced forward at
+    bs>=2 hangs the tunneled chip's remote XLA compile (PERF.md round-5
+    phase-13 diagnosis); it must be math-identical on converted params."""
+
+    def test_latent_matches_unrolled(self, model_and_vars, rng):
+        from xtts_tpu.nn.transformer import scan_gpt_variables
+        model, variables = model_and_vars
+        inputs = _rand_inputs(rng)
+        ref = model.apply(variables, *inputs, return_latent=True)
+        scan_model = model.clone(scan_stack=True)
+        scan_vars = scan_gpt_variables(variables, CFG.layers)
+        got = scan_model.apply(scan_vars, *inputs, return_latent=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_losses_match_unrolled(self, model_and_vars, rng):
+        from xtts_tpu.nn.transformer import scan_gpt_variables
+        model, variables = model_and_vars
+        inputs = _rand_inputs(rng)
+        lt_ref, lm_ref = model.apply(variables, *inputs)
+        scan_model = model.clone(scan_stack=True)
+        scan_vars = scan_gpt_variables(variables, CFG.layers)
+        lt, lm = scan_model.apply(scan_vars, *inputs)
+        np.testing.assert_allclose(float(lt), float(lt_ref), rtol=1e-6)
+        np.testing.assert_allclose(float(lm), float(lm_ref), rtol=1e-6)
+
+    def test_collect_kv_rejected(self, model_and_vars, rng):
+        """prefill/decode stay on the unrolled stack; scan mode refuses."""
+        from xtts_tpu.nn.transformer import GPT2Stack
+        stack = GPT2Stack(2, 64, 4, scan=True)
+        x = jnp.zeros((1, 4, 64))
+        v = stack.init(jax.random.PRNGKey(0), x)
+        with pytest.raises(ValueError, match="scan=True"):
+            stack.apply(v, x, collect_kv=True)

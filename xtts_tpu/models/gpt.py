@@ -53,8 +53,15 @@ def _normal_embed(std=0.02):
 
 
 class UnifiedVoice(nn.Module):
+    """scan_stack: run the GPT2 layers as one nn.scan'd block (params in
+    the h_scan stacked layout — convert unrolled checkpoints with
+    nn.transformer.scan_gpt_variables). Teacher-forced forward only; built
+    for the frozen latent-extraction programs whose unrolled bs>=2 compile
+    hangs the tunneled chip's remote XLA service (PERF.md round 5)."""
+
     cfg: GPTConfig = GPTConfig()
     dtype: Dtype = jnp.float32
+    scan_stack: bool = False
 
     def setup(self):
         c = self.cfg
@@ -77,7 +84,7 @@ class UnifiedVoice(nn.Module):
         self.text_pos_embedding = nn.Embed(
             c.max_text_positions, c.model_dim, embedding_init=_normal_embed())
         self.gpt = GPT2Stack(c.layers, c.model_dim, c.heads, dtype=self.dtype,
-                             remat=c.remat)
+                             remat=c.remat, scan=self.scan_stack)
         self.final_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                        name="final_norm")
         self.text_head = nn.Dense(c.number_text_tokens * c.types + 1,

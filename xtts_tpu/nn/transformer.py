@@ -150,28 +150,70 @@ class Block(nn.Module):
         return x, cache
 
 
+class _BlockNoKV(Block):
+    """Block whose __call__ drops the K/V output — the lax.scan body for
+    the scanned stack (a scan that carried the per-layer K/V stack would
+    allocate a dead (L, B, T, H, hd) pair; returning None keeps the loop
+    state minimal without relying on XLA's dead-tuple elimination)."""
+
+    def __call__(self, x, attn_mask=None):
+        x, _ = super().__call__(x, attn_mask)
+        return x, None
+
+
 class GPT2Stack(nn.Module):
     """n_layer pre-LN blocks + final LayerNorm (HF GPT2Model equivalent).
 
     remat: per-block gradient checkpointing policy (xtts_tpu/nn/remat.py) —
     the TPU counterpart of HF `gradient_checkpointing`
     (ttts/gpt/model.py:257). Params and the decode path are unaffected;
-    only training-backward memory/FLOPs change."""
+    only training-backward memory/FLOPs change.
+
+    scan: execute the layers as ONE `nn.scan`d block with params stacked on
+    a leading L axis (name "h_scan") instead of L unrolled blocks. Math-
+    identical (same Block, same op order per layer; tests/test_gpt.py pins
+    equality), but the lowered program is ~L× smaller — built for the
+    frozen teacher-forced latent forward, whose UNROLLED bs>=2 program
+    pathologically hangs the tunneled chip's remote XLA compile (>28 min
+    Broken pipe, PERF.md round-5 phase-13 diagnosis) while everything
+    around it compiles in minutes. Convert unrolled checkpoint params with
+    `stack_layer_params` / `scan_gpt_variables`. Only the plain forward is
+    supported (prefill/decode use the unrolled stack, which compiles fine
+    as a B=1 while-loop program)."""
 
     layers: int
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
     remat: str = "none"
+    scan: bool = False
 
     def setup(self):
         from xtts_tpu.nn.remat import maybe_remat
+        if self.scan:
+            scan_cls = nn.scan(
+                maybe_remat(_BlockNoKV, self.remat),
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.layers,
+                in_axes=nn.broadcast)
+            self.h_scan = scan_cls(self.dim, self.heads, dtype=self.dtype,
+                                   name="h_scan")
+            self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+            return
         block_cls = maybe_remat(Block, self.remat)
         self.blocks = [block_cls(self.dim, self.heads, dtype=self.dtype,
                                  name=f"h_{i}") for i in range(self.layers)]
         self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
 
     def __call__(self, x, attn_mask=None, collect_kv: bool = False):
+        if self.scan:
+            if collect_kv:
+                raise ValueError(
+                    "GPT2Stack(scan=True) supports only the plain forward; "
+                    "prefill/decode paths use the unrolled stack")
+            x, _ = self.h_scan(x, attn_mask)
+            return x, self.ln_f(x).astype(x.dtype)
         kvs = []
         for blk in self.blocks:
             x, kv = blk(x, attn_mask)
@@ -200,3 +242,27 @@ class GPT2Stack(nn.Module):
             x, cache = blk.step(x, cache, i, index)
         normed = self.ln_f(x).astype(x.dtype)
         return normed, cache
+
+
+def stack_layer_params(stack_params, layers: int):
+    """Convert unrolled GPT2Stack params ({h_0..h_{L-1}, ln_f}) to the
+    scan layout ({h_scan: leaves stacked on a leading L axis, ln_f}).
+
+    Pure restructuring — `GPT2Stack(scan=True).apply` on the converted tree
+    computes the same function as the unrolled stack on the original."""
+    hs = [stack_params[f"h_{i}"] for i in range(layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *hs)
+    rest = {k: v for k, v in stack_params.items()
+            if not (k.startswith("h_") and k[2:].isdigit())}
+    rest["h_scan"] = stacked
+    return rest
+
+
+def scan_gpt_variables(variables, layers: int, submodule: str = "gpt"):
+    """UnifiedVoice variables with params[submodule] converted for
+    scan_stack=True execution (see GPT2Stack.scan)."""
+    v = dict(variables)
+    p = dict(v["params"])
+    p[submodule] = stack_layer_params(dict(p[submodule]), layers)
+    v["params"] = p
+    return v

@@ -119,11 +119,15 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
     batch: {'wav': (B, T), 'mel': (B, bins, F), 'refer_mel16': (B, T16, 64),
             'wav_length': (B,)}
     """
+    from xtts_tpu.train.steps import _scan_latent_gpt
+    gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
+
     def latent_of(batch):
         """The frozen-aux half (DVAE codes -> GPT latents); exposed as
         gen_fn.latent_of so benches can run it as its OWN jitted program
         and pass batch['latent'] — the fused GAN step's compile exceeds
-        the tunneled chip's remote-compile transport limit (PERF.md r4)."""
+        the tunneled chip's remote-compile transport limit (PERF.md r4).
+        The frozen GPT runs scan-over-layers (see steps._scan_latent_gpt)."""
         codes = dvae.apply(dvae_vars, batch["mel"],
                            method=dvae.get_codebook_indices)
         codes = jax.lax.stop_gradient(codes)

@@ -76,6 +76,21 @@ def make_gpt_loss(gpt: UnifiedVoice, dvae: DVAE, dvae_vars,
     return loss_fn
 
 
+def _scan_latent_gpt(gpt: UnifiedVoice, gpt_vars):
+    """Swap the frozen GPT to scan-over-layers execution for latent
+    extraction (XTTS_SCAN_LATENT=0 restores the unrolled stack). The
+    unrolled teacher-forced forward at bs>=2 is the program that hangs the
+    tunneled chip's remote XLA compile (>28 min Broken pipe — PERF.md
+    round-5 phase-13 diagnosis); the scanned form is math-identical
+    (tests/test_gpt.py) and ~L× smaller to compile."""
+    import os
+    if gpt.scan_stack or os.environ.get("XTTS_SCAN_LATENT", "1") == "0":
+        return gpt, gpt_vars
+    from xtts_tpu.nn.transformer import scan_gpt_variables
+    return (gpt.clone(scan_stack=True),
+            scan_gpt_variables(gpt_vars, gpt.cfg.layers))
+
+
 def diffusion_latent_fn(gpt: UnifiedVoice, gpt_vars, dvae: DVAE, dvae_vars,
                         jit: bool = True):
     """The frozen-aux half of the diffusion train step: mel -> DVAE codes ->
@@ -85,6 +100,8 @@ def diffusion_latent_fn(gpt: UnifiedVoice, gpt_vars, dvae: DVAE, dvae_vars,
     the fused step's compile exceeds the tunneled chip's remote-compile
     transport limit (PERF.md round 4); split programs compile separately
     and compute identically (tests/test_train.py pins equality)."""
+    gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
+
     def latent_of(batch):
         codes = dvae.apply(dvae_vars, batch["mel"],
                            method=dvae.get_codebook_indices)
