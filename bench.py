@@ -110,6 +110,11 @@ def _bench_train_gan(cfg, args, bs, steps, rng):
     # crop length in seconds (BENCH_TRAIN_SECONDS; tiny CPU smoke uses <1)
     secs = float(os.environ.get("BENCH_TRAIN_SECONDS", 2.0))
     wav_len = int(secs * cfg.mel.sample_rate) // 256 * 256
+    # clamp the crop to the GPT's mel-position capacity so tiny CPU-smoke
+    # configs don't trip the trainer's guard (no-op on the real config:
+    # 2 s is ~48 codes vs max_mel_tokens=608)
+    cap = (cfg.gpt.max_mel_tokens - 2) * cfg.gpt.mel_length_compression
+    wav_len = min(wav_len, cap // 256 * 256)
     frames = wav_len // cfg.mel.hop_length
     batch = {
         "wav": jnp.asarray(
