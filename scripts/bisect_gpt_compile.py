@@ -46,6 +46,26 @@ PROBES = [
     {"name": "unet_bs16", "kind": "unet", "bs": 16},
 ]
 
+# Round-5 second wave: scan-over-layers ALSO hung (~25 min pipe,
+# measurements_r5/diag_scan_latent.log) -> size/unroll is not the axis.
+# The same forward compiles inside value_and_grad (GPT train step, 3 min,
+# phase 11). These discriminate WHICH part of the fwd-only program the
+# service's compiler spins on.
+PROBES2 = [
+    # halves of the program, each alone
+    {"name": "cond_only", "kind": "cond", "bs": 16},
+    {"name": "stack_only", "kind": "stack", "bs": 16},
+    # output-materialization axes: scalar output / untransposed output
+    {"name": "latent_sum", "kind": "latent_sum", "bs": 16},
+    {"name": "latent_notrans", "kind": "latent_notrans", "bs": 16},
+    # the fwd+bwd formulation that is KNOWN to compile as a train step:
+    # value_and_grad over params with the latent as aux — if this
+    # compiles, it is a (2-3x FLOP) fallback engine for latent extraction
+    {"name": "latent_grad", "kind": "grad", "bs": 16},
+    # service control
+    {"name": "unet_ctl", "kind": "unet", "bs": 16},
+]
+
 
 def run_one():
     """Subprocess body: build ONE gpt-latent program and compile it."""
@@ -108,18 +128,58 @@ def run_one():
     wav_lens = jnp.full((bs,), dlen * cfg.mel.hop_length, jnp.int32)
     codes = jnp.asarray(rng.integers(0, 8192, (bs, dlen // 4)).astype(np.int32))
 
-    def latent_of_codes(codes_):
-        lat = gpt.apply(gv, refer, text, text_lens, codes_, wav_lens,
-                        return_latent=True)
-        return jnp.swapaxes(lat, 1, 2)
+    kind = spec.get("kind", "latent")
+    if kind == "cond":
+        def probe_fn(r_):
+            return gpt.apply(gv, r_, method=gpt.get_conditioning)
+        probe_args = (refer,)
+    elif kind == "stack":
+        # the 15-layer stack alone on a latent-program-shaped embedding
+        # sequence (1 cond + 151 text + 102 mel), full (B,T,D) output
+        seq = 1 + (tlen + 2) + (dlen // 4 + 2)
+        emb = jnp.asarray(rng.standard_normal(
+            (bs, seq, cfg.gpt.model_dim)).astype(np.float32) * 0.02)
+
+        def probe_fn(e_):
+            _, normed = gpt.apply(gv, e_, method=lambda m, x: m.gpt(x))
+            return normed
+        probe_args = (emb,)
+    elif kind == "latent_sum":
+        def probe_fn(codes_):
+            lat = gpt.apply(gv, refer, text, text_lens, codes_, wav_lens,
+                            return_latent=True)
+            return jnp.sum(lat.astype(jnp.float32))
+        probe_args = (codes,)
+    elif kind == "latent_notrans":
+        def probe_fn(codes_):
+            return gpt.apply(gv, refer, text, text_lens, codes_, wav_lens,
+                             return_latent=True)
+        probe_args = (codes,)
+    elif kind == "grad":
+        def loss_of(params, codes_):
+            lat = gpt.apply({**gv, "params": params}, refer, text,
+                            text_lens, codes_, wav_lens, return_latent=True)
+            return jnp.sum(lat.astype(jnp.float32)) * 0.0, lat
+
+        def probe_fn(codes_):
+            (_, lat), _ = jax.value_and_grad(loss_of, has_aux=True)(
+                gv["params"], codes_)
+            return jnp.swapaxes(lat, 1, 2)
+        probe_args = (codes,)
+    else:
+        def probe_fn(codes_):
+            lat = gpt.apply(gv, refer, text, text_lens, codes_, wav_lens,
+                            return_latent=True)
+            return jnp.swapaxes(lat, 1, 2)
+        probe_args = (codes,)
 
     t0 = time.time()
-    lowered = jax.jit(latent_of_codes).lower(codes)
+    lowered = jax.jit(probe_fn).lower(*probe_args)
     print(f"lowered {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     compiled = lowered.compile()
     print(f"compiled {time.time()-t0:.1f}s", flush=True)
-    out = compiled(codes)
+    out = compiled(*probe_args)
     print(f"sum={float(np.asarray(out).sum()):.3e}", flush=True)
 
 
@@ -127,11 +187,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         run_one()
         return
+    all_probes = PROBES + PROBES2
+    probes = PROBES2 if os.environ.get("BISECT_WAVE") == "2" else PROBES
     only = os.environ.get("BISECT_ONLY")
-    probes = PROBES
     if only:
         names = {n.strip() for n in only.split(",")}
-        probes = [p for p in PROBES if p["name"] in names]
+        probes = [p for p in all_probes if p["name"] in names]
     results = {}
     for spec in probes:
         name = spec["name"]
