@@ -131,8 +131,10 @@ def _bench_train_gan(cfg, args, bs, steps, rng):
     # loop includes both programs.
     split = os.environ.get("BENCH_SPLIT_FROZEN", "0") == "1"
     if split:
-        latent_fn = jax.jit(gan.gen.latent_of)
-        step_batch = lambda b_: {**b_, "latent": latent_fn(b_)}
+        # jit latent_with_aux (NOT latent_of): the alternate latent engines'
+        # liveness aux must be an output of the jitted program (steps.gpt_latent)
+        latent_fn = jax.jit(gan.gen.latent_with_aux)
+        step_batch = lambda b_: {**b_, "latent": latent_fn(b_)[0]}
     else:
         step_batch = lambda b_: b_
 
@@ -234,7 +236,11 @@ def bench_train():
                  "label": jnp.asarray(
                      rng.integers(0, 2, (bs,)).astype(np.int32))}
 
-    trainer = Trainer(loss_fn, cfg.train)
+    # frozen aux params (diffusion: GPT+DVAE; gpt: DVAE) as runtime args of
+    # the jitted step, NOT embedded HLO constants (remote-compile transport
+    # root cause — PERF.md round 5)
+    trainer = Trainer(loss_fn, cfg.train,
+                      frozen=getattr(loss_fn, "frozen", None))
     state = trainer.init_state(params, cols or None)
 
     # BENCH_SPLIT_FROZEN=1 (diffusion): run the frozen GPT/DVAE latent

@@ -62,6 +62,23 @@ PROBES2 = [
     # value_and_grad over params with the latent as aux — if this
     # compiles, it is a (2-3x FLOP) fallback engine for latent extraction
     {"name": "latent_grad", "kind": "grad", "bs": 16},
+    # grad with a RUNTIME cotangent: the 'grad' probe's sum(lat)*0.0 loss
+    # seeds the backward with a CONSTANT zero the compiler can fold away,
+    # collapsing the program back to the fwd-only shape (it hung 900s+ on
+    # 2026-08-20 22:33). vdot(lat, probe) with probe a runtime input makes
+    # the backward unfoldable — the true fwd+bwd train-step shape.
+    {"name": "latent_grad_rt", "kind": "grad_rt", "bs": 16},
+    # prefill-shaped extraction (collect_kv + cache write kept as output):
+    # the program family the B=16 serving engine compiles on this chip
+    {"name": "latent_prefill", "kind": "prefill", "bs": 16},
+    # THE DECISIVE ONE (post stack-probe HTTP 413, 2026-08-20 22:55): the
+    # same fwd-only latent program with the 933 MB of GPT params passed as
+    # jit ARGUMENTS instead of closure constants. Closure params embed in
+    # the serialized HLO: the remote-compile POST either trips the
+    # service's body-size limit (413) or uploads at ~600 KB/s for ~25 min
+    # until the pipe breaks — the entire phase-13 "compile hang". Every
+    # program that ever compiled fine passes params as args.
+    {"name": "latent_args", "kind": "latent_args", "bs": 16},
     # service control
     {"name": "unet_ctl", "kind": "unet", "bs": 16},
 ]
@@ -166,6 +183,44 @@ def run_one():
                 gv["params"], codes_)
             return jnp.swapaxes(lat, 1, 2)
         probe_args = (codes,)
+    elif kind == "grad_rt":
+        # runtime cotangent + grad-norm OUTPUT: the 22:33 'grad' probe
+        # discarded the grads, so JAX/XLA dead-code-eliminated the whole
+        # backward and compiled exactly the fwd-only (hanging) program.
+        # Seeding the backward with a runtime zeros array AND returning a
+        # reduction of the grads keeps the fwd+bwd (train-step) shape alive
+        # (matches xtts_tpu/train/steps.py gpt_latent).
+        def loss_of_rt(params, codes_, probe_):
+            lat = gpt.apply({**gv, "params": params}, refer, text,
+                            text_lens, codes_, wav_lens, return_latent=True)
+            return jnp.vdot(lat.astype(jnp.float32), probe_), lat
+
+        def probe_fn(codes_, probe_):
+            (_, lat), grads = jax.value_and_grad(loss_of_rt, has_aux=True)(
+                gv["params"], codes_, probe_)
+            gn = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                     for g in jax.tree_util.tree_leaves(grads))
+            return jnp.swapaxes(lat, 1, 2), gn
+        lat_shape = jax.eval_shape(
+            lambda c: gpt.apply(gv, refer, text, text_lens, c, wav_lens,
+                                return_latent=True), codes).shape
+        probe_args = (codes, jnp.zeros(lat_shape, jnp.float32))
+    elif kind == "prefill":
+        # prefill-SHAPED extraction: the same teacher-forced sequence run
+        # through GPT2Stack.prefill (collect_kv + cache write) — the
+        # program family the B=16 serving engine compiles on this chip.
+        def probe_fn(codes_):
+            lat, cache = gpt.apply(gv, refer, text, text_lens, codes_,
+                                   wav_lens, return_latent=True,
+                                   latent_via_prefill=True)
+            return jnp.swapaxes(lat, 1, 2), cache
+        probe_args = (codes,)
+    elif kind == "latent_args":
+        def probe_fn(gv_, codes_):
+            lat = gpt.apply(gv_, refer, text, text_lens, codes_, wav_lens,
+                            return_latent=True)
+            return jnp.swapaxes(lat, 1, 2)
+        probe_args = (gv, codes)
     else:
         def probe_fn(codes_):
             lat = gpt.apply(gv, refer, text, text_lens, codes_, wav_lens,

@@ -326,6 +326,42 @@ class TestDiffusionTraining:
                              {**batch, "latent": latent}, key)
         np.testing.assert_allclose(float(l_fused), float(l_split), rtol=1e-6)
 
+    def test_latent_via_grad_equals_direct(self, rng, monkeypatch):
+        """XTTS_LATENT_VIA_GRAD=1 (the value_and_grad program shape — the
+        ONLY teacher-forced formulation the tunneled chip's remote XLA
+        service compiles at bs>=2; PERF.md round-5 phase-15) must produce
+        bit-identical latents to the direct fwd-only extraction."""
+        from xtts_tpu.train.steps import diffusion_latent_fn
+        dvae = DVAE(DVAE_CFG)
+        dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
+        gpt = UnifiedVoice(GPT_CFG)
+        gpt_vars = gpt.init(jax.random.PRNGKey(1), jnp.zeros((1, MEL, 40)),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8]),
+                            jnp.zeros((1, 8), jnp.int32), jnp.array([8 * 1024]))
+        batch = {
+            "mel": jnp.asarray(rng.standard_normal((2, MEL, 32)).astype(np.float32)),
+            "refer_mel": jnp.asarray(rng.standard_normal((2, MEL, 24)).astype(np.float32)),
+            "text": jnp.asarray(rng.integers(2, 15, (2, 8)).astype(np.int32)),
+            "text_lengths": jnp.full((2,), 8, jnp.int32),
+            "wav_lengths": jnp.full((2,), 6 * 1024, jnp.int32),
+        }
+        monkeypatch.setenv("XTTS_SCAN_LATENT", "0")  # same stack all arms
+        monkeypatch.setenv("XTTS_LATENT_VIA_GRAD", "0")
+        monkeypatch.setenv("XTTS_LATENT_VIA_PREFILL", "0")
+        lat_direct = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
+        # value_and_grad / prefill change fusion in the compiled forward,
+        # so equality is ULP-level (max 1e-7 abs observed), not bitwise
+        monkeypatch.setenv("XTTS_LATENT_VIA_GRAD", "1")
+        lat_grad = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
+        np.testing.assert_allclose(np.asarray(lat_direct),
+                                   np.asarray(lat_grad),
+                                   rtol=1e-4, atol=1e-6)
+        monkeypatch.setenv("XTTS_LATENT_VIA_PREFILL", "1")  # wins over grad
+        lat_pre = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
+        np.testing.assert_allclose(np.asarray(lat_direct),
+                                   np.asarray(lat_pre),
+                                   rtol=1e-4, atol=1e-6)
+
     def test_gan_split_frozen_latent_equals_fused(self, rng):
         """make_hifigan_generator_fn: the precomputed batch['latent'] path
         (gen_fn.latent_of as its own program — BENCH_SPLIT_FROZEN) must
@@ -363,7 +399,12 @@ class TestDiffusionTraining:
         fused = gen_fn(dec_vars["params"], batch, k)
         latent = gen_fn.latent_of(batch)
         split = gen_fn(dec_vars["params"], {**batch, "latent": latent}, k)
-        np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+        # latent_of is its OWN jitted program (vars-as-args, PERF.md r5)
+        # while the fused arm traces the same math inline — separately
+        # compiled programs fuse differently, so equality is ULP-level,
+        # not bitwise (observed max 3e-7 abs / 6e-5 rel at tiny shapes)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                                   rtol=1e-3, atol=1e-5)
 
     def test_step_with_importance_sampler(self, rng):
         """loss_second_moment timestep sampler threads its loss-history state

@@ -332,7 +332,8 @@ def build_gan_trainer(cfg: XTTSConfig, gpt_weights=None, dvae_weights=None):
     gen_fn = make_hifigan_generator_fn(decoder, gpt, gv, dvae, dv)
     disc_fn = lambda p, wav: disc.apply({"params": p}, wav)
     trainer = GANTrainer(gen_fn, disc_fn, g_lr=cfg.train.lr,
-                         d_lr=cfg.train.lr, grad_clip=cfg.train.grad_clip)
+                         d_lr=cfg.train.lr, grad_clip=cfg.train.grad_clip,
+                         frozen=gen_fn.frozen)
     state = trainer.init_state(dvars["params"], disc_vars["params"])
     return trainer, state, gen_fn
 
@@ -480,7 +481,8 @@ def main(argv: Optional[list] = None):
 
     loss_fn, params, cols, loss_ctx = build_loss(args.model, cfg, args)
     trainer = Trainer(loss_fn, cfg.train, accum_steps=1,
-                      checkpoint_dir=os.path.join(args.model_dir, "ckpt"))
+                      checkpoint_dir=os.path.join(args.model_dir, "ckpt"),
+                      frozen=getattr(loss_fn, "frozen", None))
     state = trainer.init_state(params, cols)
     if args.resume:
         state = trainer.restore(state)

@@ -119,28 +119,47 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
     batch: {'wav': (B, T), 'mel': (B, bins, F), 'refer_mel16': (B, T16, 64),
             'wav_length': (B,)}
     """
-    from xtts_tpu.train.steps import _scan_latent_gpt
-    gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
+    from xtts_tpu.train.steps import (_latent_via_grad_enabled,
+                                      _scan_latent_gpt, gpt_latent)
+    if not _latent_via_grad_enabled():  # grad mode stays unrolled
+        gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
 
-    def latent_of(batch):
-        """The frozen-aux half (DVAE codes -> GPT latents); exposed as
-        gen_fn.latent_of so benches can run it as its OWN jitted program
-        and pass batch['latent'] — the fused GAN step's compile exceeds
-        the tunneled chip's remote-compile transport limit (PERF.md r4).
-        The frozen GPT runs scan-over-layers (see steps._scan_latent_gpt)."""
-        codes = dvae.apply(dvae_vars, batch["mel"],
+    def _latent_impl(gv_, dv_, batch):
+        """The frozen-aux half (DVAE codes -> GPT latents). Frozen params
+        are ARGUMENTS, never closure constants: closed-over params embed
+        in the serialized HLO and break the tunneled chip's remote-compile
+        transport (~1.1 GB body -> HTTP 413 or a ~25 min upload until the
+        pipe drops; PERF.md round 5 root cause)."""
+        codes = dvae.apply(dv_, batch["mel"],
                            method=dvae.get_codebook_indices)
         codes = jax.lax.stop_gradient(codes)
-        latent = gpt.apply(
-            gpt_vars, batch["mel"],
+        latent, aux = gpt_latent(
+            gpt, gv_, batch["mel"],
             jnp.zeros((batch["mel"].shape[0], 4), jnp.int32),
             jnp.full((batch["mel"].shape[0],), 4, jnp.int32),
-            codes, batch["wav_length"], return_latent=True)  # (B, N, D)
-        return jax.lax.stop_gradient(latent)
+            codes, batch["wav_length"])  # (B, N, D)
+        return jax.lax.stop_gradient(latent), aux
 
-    def gen_fn(g_params, batch, rng):
-        latent = (batch["latent"] if "latent" in batch
-                  else latent_of(batch))
+    _latent_jit = jax.jit(_latent_impl)
+
+    def latent_with_aux(batch):
+        """Standalone jitted split-path program (BENCH_SPLIT_FROZEN):
+        frozen vars enter as runtime args; the engine aux stays in the jit
+        output (liveness anchor — see steps.gpt_latent). Call directly; do
+        NOT re-wrap in jax.jit (that re-captures the vars as constants)."""
+        return _latent_jit(gpt_vars, dvae_vars, batch)
+
+    def latent_of(batch):
+        return latent_with_aux(batch)[0]
+
+    def gen_fn(g_params, batch, rng, frozen=None):
+        if "latent" in batch:
+            latent = batch["latent"]
+        elif frozen is not None:
+            latent = _latent_impl(frozen["gpt_vars"], frozen["dvae_vars"],
+                                  batch)[0]
+        else:
+            latent = _latent_impl(gpt_vars, dvae_vars, batch)[0]
         wav_hat = decoder.apply({"params": g_params}, latent,
                                 ref_mel16k=batch["refer_mel16"])
         # trim/pad to the real crop length for the discriminators
@@ -154,6 +173,10 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
         return wav_hat.astype(jnp.float32)
 
     gen_fn.latent_of = latent_of
+    gen_fn.latent_with_aux = latent_with_aux
+    # canonical frozen tree for GANTrainer(frozen=...): frozen params as
+    # runtime args of the fused step (matches the latent engine's layout)
+    gen_fn.frozen = {"gpt_vars": gpt_vars, "dvae_vars": dvae_vars}
     return gen_fn
 
 
@@ -170,7 +193,14 @@ class GANTrainer:
                  weights: GANLossWeights = GANLossWeights(),
                  grad_clip: float = 1.0,
                  stft_resolutions: Tuple[Sequence[int], Sequence[int],
-                                         Sequence[int]] | None = None):
+                                         Sequence[int]] | None = None,
+                 frozen=None):
+        # frozen: optional pytree forwarded to generator_fn as its 4th
+        # argument — frozen aux params (GPT+DVAE) as runtime args of the
+        # jitted step instead of ~1.1 GB of embedded HLO constants, which
+        # break the tunneled chip's remote-compile transport (PERF.md r5).
+        # Use GANTrainer(..., frozen=gen_fn.frozen).
+        self.frozen = frozen
         self.gen = generator_fn
         self.disc = discriminator_fn
         self.weights = weights
@@ -195,11 +225,17 @@ class GANTrainer:
         return GANState(g_params, d_params, self.g_tx.init(g_params),
                         self.d_tx.init(d_params), jnp.zeros((), jnp.int32))
 
-    def _train_step(self, state: GANState, batch, rng):
+    def _gen_call(self, g_params, batch, rng, frozen):
+        if frozen is not None:
+            return self.gen(g_params, batch, rng, frozen)
+        return self.gen(g_params, batch, rng)
+
+    def _train_step(self, state: GANState, batch, rng, frozen=None):
         real = batch["wav"]
 
         # --- discriminator update (generator frozen) ---
-        fake = jax.lax.stop_gradient(self.gen(state.g_params, batch, rng))
+        fake = jax.lax.stop_gradient(
+            self._gen_call(state.g_params, batch, rng, frozen))
 
         def d_loss_fn(d_params):
             sr, _ = self.disc(d_params, real)
@@ -213,7 +249,7 @@ class GANTrainer:
 
         # --- generator update (new discriminator frozen) ---
         def g_loss_fn(g_params):
-            y_hat = self.gen(g_params, batch, rng)
+            y_hat = self._gen_call(g_params, batch, rng, frozen)
             sf, ff = self.disc(d_params, y_hat)
             _, fr = self.disc(d_params, real)
             adv = generator_adv_loss(sf)
@@ -234,7 +270,7 @@ class GANTrainer:
                         state.step + 1), metrics
 
     def step(self, state: GANState, batch, rng):
-        return self._step(state, batch, rng)
+        return self._step(state, batch, rng, self.frozen)
 
     def grad_check(self, state: GANState, batch, rng):
         """Losses + raw grad trees for DDP-parity checks (no donation, no
@@ -249,8 +285,9 @@ class GANTrainer:
         differences, 10-30% of some conv tensors here) flips the FULL
         +-lr, drowning real signal (a wrong psum/mean shows up in grads
         directly as a 2x scale, which sign() erases)."""
-        def probe(state, batch, rng):
-            fake = jax.lax.stop_gradient(self.gen(state.g_params, batch, rng))
+        def probe(state, batch, rng, frozen):
+            fake = jax.lax.stop_gradient(
+                self._gen_call(state.g_params, batch, rng, frozen))
 
             def d_loss_fn(d_params):
                 sr, _ = self.disc(d_params, batch["wav"])
@@ -263,7 +300,7 @@ class GANTrainer:
             d_params = optax.apply_updates(state.d_params, d_updates)
 
             def g_loss_fn(g_params):
-                y_hat = self.gen(g_params, batch, rng)
+                y_hat = self._gen_call(g_params, batch, rng, frozen)
                 sf, ff = self.disc(d_params, y_hat)
                 _, fr = self.disc(d_params, batch["wav"])
                 w = self.weights
@@ -274,4 +311,4 @@ class GANTrainer:
             g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
             return d_loss, g_loss, d_grads, g_grads
 
-        return jax.jit(probe)(state, batch, rng)
+        return jax.jit(probe)(state, batch, rng, self.frozen)

@@ -64,7 +64,16 @@ class Trainer:
         accum_steps: Optional[int] = None,
         ema_decay: Optional[float] = None,
         checkpoint_dir: Optional[str] = None,
+        frozen=None,
     ):
+        # frozen: optional pytree of frozen aux params (e.g. the diffusion
+        # family's GPT+DVAE) passed to the jitted step as a runtime
+        # ARGUMENT and forwarded to loss_fn as its 5th parameter. Without
+        # it, loss closures embed frozen params as HLO constants — ~1.1 GB
+        # for the diffusion step — which breaks the tunneled chip's
+        # remote-compile transport (PERF.md round 5). Use
+        # `Trainer(..., frozen=loss_fn.frozen)` for losses that export one.
+        self.frozen = frozen
         self.loss_fn = loss_fn
         self.cfg = cfg
         self.mesh = mesh
@@ -98,12 +107,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _train_step(self, state: TrainState, batch, rng):
+    def _train_step(self, state: TrainState, batch, rng, frozen=None):
         """One optimizer step over `accum` microbatches.
 
         batch: pytree with leading axis (accum, per_step_batch, ...) when
-        accum > 1, else (batch, ...).
+        accum > 1, else (batch, ...). frozen: see __init__ — forwarded to
+        loss_fn as a traced argument (NOT split across microbatches).
         """
+        if frozen is not None:
+            loss_call = lambda p, c, mb, r: self.loss_fn(p, c, mb, r, frozen)
+        else:
+            loss_call = self.loss_fn
+
         def split_aux(aux, cols):
             if isinstance(aux, dict) and "new_state_cols" in aux:
                 cols = aux["new_state_cols"]
@@ -114,7 +129,7 @@ class Trainer:
             grads_acc, loss_acc, cols = carry
             mb, r = mb_and_rng
             (loss, aux), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True)(state.params, cols, mb, r)
+                loss_call, has_aux=True)(state.params, cols, mb, r)
             aux, cols = split_aux(aux, cols)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss, cols), aux
@@ -129,8 +144,8 @@ class Trainer:
             aux = jax.tree_util.tree_map(jnp.mean, auxes) if auxes else {}
         else:
             (loss, aux), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True)(state.params, state.state_cols,
-                                            batch, rng)
+                loss_call, has_aux=True)(state.params, state.state_cols,
+                                         batch, rng)
             aux, cols = split_aux(aux, state.state_cols)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -186,7 +201,7 @@ class Trainer:
         keep only the returned state."""
         if self._step_jit is None:
             self.compile(state, batch, rng)
-        return self._step_jit(state, batch, rng)
+        return self._step_jit(state, batch, rng, self.frozen)
 
     # ------------------------------------------------------------------
 
