@@ -131,10 +131,10 @@ def _bench_train_gan(cfg, args, bs, steps, rng):
     # loop includes both programs.
     split = os.environ.get("BENCH_SPLIT_FROZEN", "0") == "1"
     if split:
-        # jit latent_with_aux (NOT latent_of): the alternate latent engines'
-        # liveness aux must be an output of the jitted program (steps.gpt_latent)
-        latent_fn = jax.jit(gan.gen.latent_with_aux)
-        step_batch = lambda b_: {**b_, "latent": latent_fn(b_)[0]}
+        # latent_of is internally jitted with the frozen vars as ARGUMENTS;
+        # do not re-wrap it in jax.jit (re-captures them as constants)
+        latent_fn = gan.gen.latent_of
+        step_batch = lambda b_: {**b_, "latent": latent_fn(b_)}
     else:
         step_batch = lambda b_: b_
 

@@ -68,9 +68,6 @@ PROBES2 = [
     # 2026-08-20 22:33). vdot(lat, probe) with probe a runtime input makes
     # the backward unfoldable — the true fwd+bwd train-step shape.
     {"name": "latent_grad_rt", "kind": "grad_rt", "bs": 16},
-    # prefill-shaped extraction (collect_kv + cache write kept as output):
-    # the program family the B=16 serving engine compiles on this chip
-    {"name": "latent_prefill", "kind": "prefill", "bs": 16},
     # THE DECISIVE ONE (post stack-probe HTTP 413, 2026-08-20 22:55): the
     # same fwd-only latent program with the 933 MB of GPT params passed as
     # jit ARGUMENTS instead of closure constants. Closure params embed in
@@ -205,16 +202,6 @@ def run_one():
             lambda c: gpt.apply(gv, refer, text, text_lens, c, wav_lens,
                                 return_latent=True), codes).shape
         probe_args = (codes, jnp.zeros(lat_shape, jnp.float32))
-    elif kind == "prefill":
-        # prefill-SHAPED extraction: the same teacher-forced sequence run
-        # through GPT2Stack.prefill (collect_kv + cache write) — the
-        # program family the B=16 serving engine compiles on this chip.
-        def probe_fn(codes_):
-            lat, cache = gpt.apply(gv, refer, text, text_lens, codes_,
-                                   wav_lens, return_latent=True,
-                                   latent_via_prefill=True)
-            return jnp.swapaxes(lat, 1, 2), cache
-        probe_args = (codes,)
     elif kind == "latent_args":
         def probe_fn(gv_, codes_):
             lat = gpt.apply(gv_, refer, text, text_lens, codes_, wav_lens,

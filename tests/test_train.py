@@ -326,12 +326,18 @@ class TestDiffusionTraining:
                              {**batch, "latent": latent}, key)
         np.testing.assert_allclose(float(l_fused), float(l_split), rtol=1e-6)
 
-    def test_latent_via_grad_equals_direct(self, rng, monkeypatch):
-        """XTTS_LATENT_VIA_GRAD=1 (the value_and_grad program shape — the
-        ONLY teacher-forced formulation the tunneled chip's remote XLA
-        service compiles at bs>=2; PERF.md round-5 phase-15) must produce
-        bit-identical latents to the direct fwd-only extraction."""
-        from xtts_tpu.train.steps import diffusion_latent_fn
+    def test_latent_program_embeds_no_param_constants(self, rng):
+        """Remote-compile payload guard (PERF.md round-5 root cause): the
+        frozen-latent program must take the GPT/DVAE params as ARGUMENTS.
+        A closure-captured param tree embeds every tensor as an inline
+        `stablehlo.constant dense<...>` literal in the serialized module —
+        at the real config that is a ~933 MB remote-compile request body,
+        which the tunneled chip's service rejects (HTTP 413) or times out
+        uploading (the round-4/5 'compile hang'). Guard: no dense literal
+        in the lowered text is larger than a few KB (masks/iota etc. are
+        tiny; any param tensor at real scale would blow this bound)."""
+        import re
+        from xtts_tpu.train.steps import diffusion_latent_impl
         dvae = DVAE(DVAE_CFG)
         dvae_vars = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, MEL, 32)))
         gpt = UnifiedVoice(GPT_CFG)
@@ -345,22 +351,19 @@ class TestDiffusionTraining:
             "text_lengths": jnp.full((2,), 8, jnp.int32),
             "wav_lengths": jnp.full((2,), 6 * 1024, jnp.int32),
         }
-        monkeypatch.setenv("XTTS_SCAN_LATENT", "0")  # same stack all arms
-        monkeypatch.setenv("XTTS_LATENT_VIA_GRAD", "0")
-        monkeypatch.setenv("XTTS_LATENT_VIA_PREFILL", "0")
-        lat_direct = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
-        # value_and_grad / prefill change fusion in the compiled forward,
-        # so equality is ULP-level (max 1e-7 abs observed), not bitwise
-        monkeypatch.setenv("XTTS_LATENT_VIA_GRAD", "1")
-        lat_grad = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
-        np.testing.assert_allclose(np.asarray(lat_direct),
-                                   np.asarray(lat_grad),
-                                   rtol=1e-4, atol=1e-6)
-        monkeypatch.setenv("XTTS_LATENT_VIA_PREFILL", "1")  # wins over grad
-        lat_pre = diffusion_latent_fn(gpt, gpt_vars, dvae, dvae_vars)(batch)
-        np.testing.assert_allclose(np.asarray(lat_direct),
-                                   np.asarray(lat_pre),
-                                   rtol=1e-4, atol=1e-6)
+        impl = diffusion_latent_impl(gpt, dvae)
+        txt = jax.jit(impl).lower(gpt_vars, dvae_vars, batch).as_text()
+        big = [m for m in re.finditer(r"dense<[^>]{4096,}", txt)]
+        assert not big, (
+            f"latent program embeds {len(big)} large dense constants — "
+            f"params leaked into the program as closure captures")
+        # control: the closure-captured form DOES trip the guard (the test
+        # would silently pass if as_text ever started eliding literals)
+        txt_bad = jax.jit(lambda b: impl(gpt_vars, dvae_vars, b)).lower(
+            batch).as_text()
+        assert re.search(r"dense<[^>]{4096,}", txt_bad), (
+            "closure-capture control no longer shows inline constants; "
+            "the guard above is vacuous — update the detection")
 
     def test_gan_split_frozen_latent_equals_fused(self, rng):
         """make_hifigan_generator_fn: the precomputed batch['latent'] path

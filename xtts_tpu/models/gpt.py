@@ -144,7 +144,6 @@ class UnifiedVoice(nn.Module):
         wav_lengths: jnp.ndarray,   # (B,)
         return_latent: bool = False,
         return_logits: bool = False,
-        latent_via_prefill: bool = False,
     ):
         """Teacher-forced forward (ttts/gpt/model.py:478-557).
 
@@ -193,22 +192,7 @@ class UnifiedVoice(nn.Module):
 
         emb = jnp.concatenate([conds.astype(text_emb.dtype), text_emb, mel_emb],
                               axis=1)
-        if latent_via_prefill:
-            # Same math through GPT2Stack.prefill (collect_kv=True + cache
-            # write) — the program family the tunneled chip's remote XLA
-            # service compiles in minutes at serving batch sizes, unlike
-            # this exact forward as a plain fwd-only program (hangs >25 min
-            # at bs>=2; PERF.md round-5 phase-13/15). The returned cache
-            # MUST stay an output of the enclosing jit: if it is dropped
-            # inside the program, XLA dead-code-eliminates the kv
-            # collection and the program collapses back to the hanging
-            # fwd-only shape.
-            cache = KVCache.zeros(c.layers, emb.shape[0], emb.shape[1],
-                                  c.heads, c.model_dim // c.heads,
-                                  dtype=self.dtype)
-            _, normed, cache = self.gpt.prefill(emb, cache)
-        else:
-            _, normed = self.gpt(emb)
+        _, normed = self.gpt(emb)
         # get_logits drops exactly ONE leading position no matter how many
         # conditioning slots there are ("The first logit is tied to the
         # speech_conditioning_input", ttts/gpt/model.py:445). With the plain
@@ -225,10 +209,7 @@ class UnifiedVoice(nn.Module):
         mel_latent = enc[:, -t_mel:]
 
         if return_latent:
-            lat = mel_latent[:, :-2]  # strip the 2 tokens this fwd added (:538)
-            # prefill mode: the caller must keep `cache` in the jit output
-            # (see the comment above) — callers drop it host-side
-            return (lat, cache) if latent_via_prefill else lat
+            return mel_latent[:, :-2]  # strip the 2 tokens this fwd added (:538)
 
         text_logits = self.text_head(text_latent)
         mel_logits = self.mel_head(mel_latent)

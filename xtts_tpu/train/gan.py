@@ -119,10 +119,8 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
     batch: {'wav': (B, T), 'mel': (B, bins, F), 'refer_mel16': (B, T16, 64),
             'wav_length': (B,)}
     """
-    from xtts_tpu.train.steps import (_latent_via_grad_enabled,
-                                      _scan_latent_gpt, gpt_latent)
-    if not _latent_via_grad_enabled():  # grad mode stays unrolled
-        gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
+    from xtts_tpu.train.steps import _scan_latent_gpt
+    gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
 
     def _latent_impl(gv_, dv_, batch):
         """The frozen-aux half (DVAE codes -> GPT latents). Frozen params
@@ -133,33 +131,29 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
         codes = dvae.apply(dv_, batch["mel"],
                            method=dvae.get_codebook_indices)
         codes = jax.lax.stop_gradient(codes)
-        latent, aux = gpt_latent(
-            gpt, gv_, batch["mel"],
+        latent = gpt.apply(
+            gv_, batch["mel"],
             jnp.zeros((batch["mel"].shape[0], 4), jnp.int32),
             jnp.full((batch["mel"].shape[0],), 4, jnp.int32),
-            codes, batch["wav_length"])  # (B, N, D)
-        return jax.lax.stop_gradient(latent), aux
+            codes, batch["wav_length"], return_latent=True)  # (B, N, D)
+        return jax.lax.stop_gradient(latent)
 
     _latent_jit = jax.jit(_latent_impl)
 
-    def latent_with_aux(batch):
-        """Standalone jitted split-path program (BENCH_SPLIT_FROZEN):
-        frozen vars enter as runtime args; the engine aux stays in the jit
-        output (liveness anchor — see steps.gpt_latent). Call directly; do
-        NOT re-wrap in jax.jit (that re-captures the vars as constants)."""
-        return _latent_jit(gpt_vars, dvae_vars, batch)
-
     def latent_of(batch):
-        return latent_with_aux(batch)[0]
+        """Standalone jitted split-path program (BENCH_SPLIT_FROZEN):
+        frozen vars enter as runtime args. Call directly; do NOT re-wrap
+        in jax.jit (that re-captures the vars as closure constants)."""
+        return _latent_jit(gpt_vars, dvae_vars, batch)
 
     def gen_fn(g_params, batch, rng, frozen=None):
         if "latent" in batch:
             latent = batch["latent"]
         elif frozen is not None:
             latent = _latent_impl(frozen["gpt_vars"], frozen["dvae_vars"],
-                                  batch)[0]
+                                  batch)
         else:
-            latent = _latent_impl(gpt_vars, dvae_vars, batch)[0]
+            latent = _latent_impl(gpt_vars, dvae_vars, batch)
         wav_hat = decoder.apply({"params": g_params}, latent,
                                 ref_mel16k=batch["refer_mel16"])
         # trim/pad to the real crop length for the discriminators
@@ -173,9 +167,8 @@ def make_hifigan_generator_fn(decoder, gpt, gpt_vars, dvae, dvae_vars):
         return wav_hat.astype(jnp.float32)
 
     gen_fn.latent_of = latent_of
-    gen_fn.latent_with_aux = latent_with_aux
     # canonical frozen tree for GANTrainer(frozen=...): frozen params as
-    # runtime args of the fused step (matches the latent engine's layout)
+    # runtime args of the fused step (matches the latent pass's layout)
     gen_fn.frozen = {"gpt_vars": gpt_vars, "dvae_vars": dvae_vars}
     return gen_fn
 

@@ -80,75 +80,6 @@ def make_gpt_loss(gpt: UnifiedVoice, dvae: DVAE, dvae_vars,
     return loss_fn
 
 
-def _latent_engine() -> str:
-    """Which program SHAPE extracts the frozen teacher-forced latent.
-
-    'fwd' (default): the plain forward (unrolled, or scan-over-layers via
-    _scan_latent_gpt). 'grad' (XTTS_LATENT_VIA_GRAD=1): fwd+bwd via
-    value_and_grad. 'prefill' (XTTS_LATENT_VIA_PREFILL=1, wins over grad):
-    the collect_kv + cache-write prefill program.
-
-    Why this exists: every fwd-only teacher-forced program at bs>=2
-    (unrolled OR scanned) hangs the tunneled chip's remote XLA compile
-    >25 min until the transport drops, while the SAME math compiles in
-    minutes as a train step (fwd+bwd) or as the serving engine's B=16
-    prefill (PERF.md round-5 phase-13/15 bisect)."""
-    import os
-    if os.environ.get("XTTS_LATENT_VIA_PREFILL", "0") == "1":
-        return "prefill"
-    if os.environ.get("XTTS_LATENT_VIA_GRAD", "0") == "1":
-        return "grad"
-    return "fwd"
-
-
-def _latent_via_grad_enabled() -> bool:
-    return _latent_engine() != "fwd"
-
-
-def gpt_latent(gpt: UnifiedVoice, gpt_vars, *apply_args):
-    """Teacher-forced GPT latent for the frozen-aux programs.
-
-    Returns (lat (B, N, D), aux) where aux is a pytree that MUST be kept in
-    the output of any jit enclosing this call: it carries the values whose
-    liveness forces XLA to keep the engine's program shape (the KV cache
-    for 'prefill', the grad-norm scalar for 'grad' — if they are dead, DCE
-    collapses the program back to the fwd-only shape that hangs the
-    tunneled chip's remote compile; see _latent_engine). aux is () for the
-    plain forward. Both alternate engines are math-identical to the direct
-    forward (pinned by tests/test_train.py).
-
-    'grad' details: scalar = vdot(latent, zeros-passed-at-RUNTIME). A
-    constant-zero cotangent (sum(lat)*0.0) folds the backward away; a
-    discarded gradient DCEs it (the 22:33 grad probe hung for exactly that
-    reason) — hence runtime probe + grad-norm in aux. ~3x forward FLOPs.
-    Both alternate engines keep the stack unrolled to match the program
-    shapes known to compile."""
-    eng = _latent_engine()
-    if eng == "prefill":
-        lat, cache = gpt.apply(gpt_vars, *apply_args, return_latent=True,
-                               latent_via_prefill=True)
-        return lat, cache
-    if eng != "grad":
-        return gpt.apply(gpt_vars, *apply_args, return_latent=True), ()
-    params = gpt_vars["params"]
-    rest = {k: v for k, v in gpt_vars.items() if k != "params"}
-
-    def loss_of(p, probe):
-        lat = gpt.apply({**rest, "params": p}, *apply_args,
-                        return_latent=True)
-        return jnp.vdot(lat.astype(jnp.float32), probe), lat
-
-    lat_shape = jax.eval_shape(
-        lambda p: gpt.apply({**rest, "params": p}, *apply_args,
-                            return_latent=True), params).shape
-    probe = jnp.zeros(lat_shape, jnp.float32)
-    (_, lat), grads = jax.value_and_grad(loss_of, has_aux=True)(params,
-                                                                probe)
-    gn = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
-             for g in jax.tree_util.tree_leaves(grads))
-    return lat, gn
-
-
 def _scan_latent_gpt(gpt: UnifiedVoice, gpt_vars):
     """Optionally (XTTS_SCAN_LATENT=1) swap the frozen GPT to
     scan-over-layers execution for latent extraction — an ~L× smaller
@@ -173,50 +104,49 @@ def diffusion_latent_fn(gpt: UnifiedVoice, gpt_vars, dvae: DVAE, dvae_vars,
     teacher-forced GPT latents, padding-zeroed (ttts/diffusion/
     train_ms.py:311-319). Factored out so it can run as its OWN jitted
     program (pass its output as batch['latent'] to make_diffusion_loss) —
-    the fused step's compile exceeds the tunneled chip's remote-compile
-    transport limit (PERF.md round 4); split programs compile separately
-    and compute identically (tests/test_train.py pins equality)."""
-    if not _latent_via_grad_enabled():  # alternate engines stay unrolled
-        gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
+    split programs compile separately (each with a small remote-compile
+    payload — frozen vars are ARGUMENTS, see diffusion_latent_impl) and
+    compute identically (tests/test_train.py pins equality)."""
+    gpt, gpt_vars = _scan_latent_gpt(gpt, gpt_vars)
 
     impl = diffusion_latent_impl(gpt, dvae)
     inner = jax.jit(impl) if jit else impl
 
     def latent_of(batch):
-        return inner(gpt_vars, dvae_vars, batch)[0]
+        return inner(gpt_vars, dvae_vars, batch)
 
     return latent_of
 
 
 def diffusion_latent_impl(gpt: UnifiedVoice, dvae: DVAE):
     """Unbound frozen-latent pass: f(gpt_vars, dvae_vars, batch) ->
-    (masked latent (B, D, N), engine aux).
+    masked latent (B, D, N).
 
     The frozen params are function ARGUMENTS, never closure captures:
     closed-over params embed as constants in the serialized HLO, and the
     933 MB GPT f32 tree either trips the remote-compile service's request
     body limit (HTTP 413 — observed 2026-08-20 22:55) or uploads through
     the tunnel for ~25 min until the HTTP pipe drops — the entire
-    round-4/5 "phase-13 compile hang" (PERF.md round 5)."""
+    round-4/5 "phase-13 compile hang" (PERF.md round 5; args-passed, the
+    same program compiles in 11 s)."""
 
-    def latent_with_aux(gv_, dv_, batch):
+    def latent_fn(gv_, dv_, batch):
         codes = dvae.apply(dv_, batch["mel"],
                            method=dvae.get_codebook_indices)
         codes = jax.lax.stop_gradient(codes)
-        latent, aux = gpt_latent(
-            gpt, gv_, batch["refer_mel"], batch["text"],
-            batch["text_lengths"], codes, batch["wav_lengths"])  # (B, N, D)
+        latent = gpt.apply(
+            gv_, batch["refer_mel"], batch["text"],
+            batch["text_lengths"], codes, batch["wav_lengths"],
+            return_latent=True)                     # (B, N, D)
         latent = jax.lax.stop_gradient(jnp.swapaxes(latent, 1, 2))  # (B,D,N)
         n = latent.shape[-1]
         code_lens = jnp.ceil(
             batch["wav_lengths"] / gpt.cfg.mel_length_compression
         ).astype(jnp.int32) + 1
         mask = (jnp.arange(n)[None, :] < code_lens[:, None])
-        # aux stays in the jitted program's OUTPUT (liveness anchor for the
-        # alternate engines; dropped host-side by callers — see gpt_latent)
-        return latent * mask[:, None, :], aux
+        return latent * mask[:, None, :]
 
-    return latent_with_aux
+    return latent_fn
 
 
 def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
@@ -246,10 +176,7 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
                                                  LossSecondMomentResampler)
         resampler = LossSecondMomentResampler(gd.num_timesteps)
 
-    if _latent_engine() == "fwd":
-        gpt_l, gpt_vars_l = _scan_latent_gpt(gpt, gpt_vars)
-    else:  # alternate engines stay unrolled (see gpt_latent)
-        gpt_l, gpt_vars_l = gpt, gpt_vars
+    gpt_l, gpt_vars_l = _scan_latent_gpt(gpt, gpt_vars)
     latent_impl = diffusion_latent_impl(gpt_l, dvae)
 
     def loss_fn(params, state_cols, batch, rng, frozen=None):
@@ -265,7 +192,7 @@ def make_diffusion_loss(diff: AADiffusion, gd: GaussianDiffusion,
         else:
             gv_ = frozen["gpt_vars"] if frozen is not None else gpt_vars_l
             dv_ = frozen["dvae_vars"] if frozen is not None else dvae_vars
-            latent = latent_impl(gv_, dv_, batch)[0]
+            latent = latent_impl(gv_, dv_, batch)
 
         x_start = normalize_tacotron_mel(mel)
         if resampler is not None:
