@@ -71,8 +71,10 @@ def main():
         import jax
         from xtts_tpu.utils.registry import load_model
         dvae, dv = load_model("vqvae", cfg, weights_path=args.dvae_weights)
-        codes_fn = jax.jit(lambda mel: dvae.apply(
-            dv, mel, method=dvae.get_codebook_indices))
+        # vars as a jit ARG, not a ~206 MB embedded constant (PERF.md r5)
+        _codes_impl = jax.jit(lambda dv_, mel: dvae.apply(
+            dv_, mel, method=dvae.get_codebook_indices))
+        codes_fn = lambda mel: _codes_impl(dv, mel)
         n = prepare.cache_vq_codes([e.wav_path for e in entries], codes_fn)
         print(f"VQ cache: {n} new")
 

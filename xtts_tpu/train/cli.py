@@ -266,11 +266,12 @@ def build_eval_render(model: str, cfg: XTTSConfig, args, ctx):
             cfg.diffusion_process.timesteps, steps,
             schedule=cfg.diffusion_process.schedule, conditioning_free=False)
 
-        def sample_mel(params, mel, refer, text, text_lengths, wav_lengths,
-                       key):
-            codes = dvae.apply(dvae_vars, mel,
+        # frozen vars as jit ARGUMENTS (remote-compile payload; PERF.md r5)
+        def sample_mel(params, gv_, dv_, mel, refer, text, text_lengths,
+                       wav_lengths, key):
+            codes = dvae.apply(dv_, mel,
                                method=dvae.get_codebook_indices)
-            latent = gpt.apply(gpt_vars, refer, text, text_lengths, codes,
+            latent = gpt.apply(gv_, refer, text, text_lengths, codes,
                                wav_lengths, return_latent=True)
             latent = jnp.swapaxes(latent, 1, 2)
             refer_n = normalize_tacotron_mel(refer)
@@ -286,7 +287,7 @@ def build_eval_render(model: str, cfg: XTTSConfig, args, ctx):
 
         def render_diffusion(params, state_cols, batch, ml, step):
             mel = jnp.asarray(batch["mel"][:1])
-            out = sample_jit(params, mel,
+            out = sample_jit(params, gpt_vars, dvae_vars, mel,
                              jnp.asarray(batch["refer_mel"][:1]),
                              jnp.asarray(batch["text"][:1]),
                              jnp.asarray(batch["text_lengths"][:1]),
@@ -358,7 +359,9 @@ def _train_hifigan(args, cfg: XTTSConfig, tok, logger):
 
     trainer, state, gen_fn = build_gan_trainer(
         cfg, gpt_weights=args.gpt_weights, dvae_weights=args.dvae_weights)
-    render_gen = jax.jit(gen_fn)
+    # frozen as a runtime arg of the jitted render (payload; PERF.md r5)
+    _render_impl = jax.jit(gen_fn)
+    render_gen = lambda p, b, r: _render_impl(p, b, r, gen_fn.frozen)
 
     from xtts_tpu.core.checkpoint import CheckpointManager
     ckpt = CheckpointManager(os.path.join(args.model_dir, "ckpt"),
@@ -507,8 +510,15 @@ def main(argv: Optional[list] = None):
         val_batches = [adapt_batch(args.model, b) for b in batch_iterator(
             val_ds, cfg.train.batch_size, collate, shuffle=False,
             epochs=1)][:8]
-        eval_fn = jax.jit(
-            lambda p, cols, b, r: loss_fn(p, cols, b, r)[0])
+        _fz = getattr(loss_fn, "frozen", None)
+        if _fz is not None:
+            # frozen as a traced ARG (not a closure constant; PERF.md r5)
+            _eval_impl = jax.jit(
+                lambda p, cols, b, r, fz: loss_fn(p, cols, b, r, fz)[0])
+            eval_fn = lambda p, cols, b, r: _eval_impl(p, cols, b, r, _fz)
+        else:
+            eval_fn = jax.jit(
+                lambda p, cols, b, r: loss_fn(p, cols, b, r)[0])
         logger.info("eval: %d held-out batches", len(val_batches))
 
     for batch in it:
