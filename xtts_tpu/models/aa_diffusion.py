@@ -87,6 +87,21 @@ class UNetResBlock(nn.Module):
         return x + h
 
 
+def _use_flash(tq: int, tk: int) -> bool:
+    """Trace-time gate for the flash-attention path: TPU backend, the
+    kernel importable, the score matrix big enough that skipping its HBM
+    materialization wins (threshold 2^19 ~ the render/train consumer
+    attn1 shapes; attn2's ~100-token CLIP context stays on einsum), and
+    not disabled via XTTS_FLASH_ATTN=0."""
+    import os
+    if os.environ.get("XTTS_FLASH_ATTN", "auto") == "0":
+        return False
+    if tq * tk < (1 << 19):
+        return False
+    from xtts_tpu.nn.flash_attn import flash_available
+    return flash_available()
+
+
 class CrossAttention(nn.Module):
     """ldm attention.py CrossAttention: biasless qkv, f32 softmax."""
 
@@ -107,9 +122,20 @@ class CrossAttention(nn.Module):
         q = q.reshape(*q.shape[:-1], h, dh)
         k = k.reshape(*k.shape[:-1], h, dh)
         v = v.reshape(*v.shape[:-1], h, dh)
-        sim = jnp.einsum("bihd,bjhd->bhij", q, k) * (dh ** -0.5)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v)
+        if _use_flash(q.shape[1], k.shape[1]):
+            # big self-attention ([x ; refer] consumer rows): Pallas flash
+            # kernel — never materializes the (B,H,Tq,Tk) score matrix
+            # that makes the einsum path bandwidth-bound (~51% of the
+            # denoise step at 21% MFU, PERF.md round-5 phase 17). Exact
+            # attention math, f32 online softmax; differs from the einsum
+            # path only in summation order. XTTS_FLASH_ATTN=0 disables.
+            from xtts_tpu.nn.flash_attn import flash_mha
+            out = flash_mha(q, k, v, dh ** -0.5)
+        else:
+            sim = jnp.einsum("bihd,bjhd->bhij", q, k) * (dh ** -0.5)
+            attn = jax.nn.softmax(sim.astype(jnp.float32),
+                                  axis=-1).astype(sim.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v)
         out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
