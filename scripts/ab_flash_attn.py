@@ -34,7 +34,7 @@ cfg = XTTSConfig().diffusion
 
 
 def main():
-    model = AADiffusion(cfg, dtype=jnp.bfloat16)
+    model = AADiffusion(cfg, dtype=jnp.bfloat16, flash=True)  # env arms toggle
     rng = np.random.default_rng(0)
     out_len = T_LAT * 4
     x = jnp.asarray(rng.standard_normal(

@@ -54,7 +54,8 @@ def timed(fn, *args):
 
 
 def main():
-    model = AADiffusion(cfg, dtype=jnp.bfloat16)
+    model = AADiffusion(cfg, dtype=jnp.bfloat16,
+                        flash=os.environ.get("PROF_FLASH", "1") == "1")
     rng = np.random.default_rng(0)
     out_len = T_LAT * 4
     x = jnp.asarray(rng.standard_normal(

@@ -190,7 +190,11 @@ class TextToSpeech:
         self.mel = MelFrontend(cfg.mel)
         self.gpt = UnifiedVoice(cfg.gpt, dtype=dtype)
         self.dvae = DVAE(cfg.vqvae, dtype=dtype)
-        self.diffusion = AADiffusion(cfg.diffusion, dtype=dtype)
+        # flash=True: inference-only flash attention in the big consumer
+        # self-attn — ±1% step time, 30-100x faster render-program compiles
+        # (PERF.md round-5 phase 17); trainers keep einsum (the kernel's
+        # backward at head_dim 64 costs ~27% step). XTTS_FLASH_ATTN=0 kills.
+        self.diffusion = AADiffusion(cfg.diffusion, dtype=dtype, flash=True)
         self.vocos = Vocos(cfg.vocos, dtype=dtype)
         self.clvp = None
         if with_clvp:

@@ -110,6 +110,7 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dtype: Dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -122,7 +123,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(*q.shape[:-1], h, dh)
         k = k.reshape(*k.shape[:-1], h, dh)
         v = v.reshape(*v.shape[:-1], h, dh)
-        if _use_flash(q.shape[1], k.shape[1]):
+        if self.flash and _use_flash(q.shape[1], k.shape[1]):
             # big self-attention ([x ; refer] consumer rows): Pallas flash
             # kernel — never materializes the (B,H,Tq,Tk) score matrix
             # that makes the einsum path bandwidth-bound (~51% of the
@@ -166,6 +167,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     context_dim: int
     dtype: Dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, context, refer=None, skip=()):
@@ -174,7 +176,8 @@ class BasicTransformerBlock(nn.Module):
         ln2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
         ln3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
         attn1 = CrossAttention(self.dim, heads=self.heads, dim_head=self.dim_head,
-                               dtype=self.dtype, name="attn1")
+                               dtype=self.dtype, flash=self.flash,
+                               name="attn1")
         attn2 = CrossAttention(self.dim, context_dim=self.context_dim,
                                heads=self.heads, dim_head=self.dim_head,
                                dtype=self.dtype, name="attn2")
@@ -216,6 +219,7 @@ class SpatialTransformer1D(nn.Module):
     context_dim: int
     depth: int = 1
     dtype: Dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x, context, refer=None, skip=()):
@@ -227,7 +231,8 @@ class SpatialTransformer1D(nn.Module):
         for d in range(self.depth):
             blk = BasicTransformerBlock(
                 self.heads * self.dim_head, self.heads, self.dim_head,
-                self.context_dim, dtype=self.dtype, name=f"block_{d}")
+                self.context_dim, dtype=self.dtype, flash=self.flash,
+                name=f"block_{d}")
             if refer is None:
                 h, produced = blk(h, context)
             else:
@@ -247,6 +252,7 @@ class UNetTrunk(nn.Module):
 
     cfg: DiffusionModelConfig
     dtype: Dtype = jnp.float32
+    flash: bool = False
 
     def setup(self):
         from xtts_tpu.nn.remat import maybe_remat
@@ -266,7 +272,8 @@ class UNetTrunk(nn.Module):
                 attn.append(attn_cls(
                     c.model_channels, c.num_heads,
                     c.model_channels // c.num_heads, c.context_dim,
-                    depth=c.transformer_depth, dtype=self.dtype))
+                    depth=c.transformer_depth, dtype=self.dtype,
+                    flash=self.flash))
                 n_attn += 1
             res.append(res_cls(c.model_channels, 4 * c.model_channels,
                                c.dropout, dtype=self.dtype))
@@ -380,12 +387,17 @@ class AADiffusion(nn.Module):
 
     cfg: DiffusionModelConfig = DiffusionModelConfig()
     dtype: Dtype = jnp.float32
+    # flash attention in the consumer self-attn: INFERENCE-ONLY default.
+    # fwd-only it is ~parity in step time with a 30-100x compile-time win;
+    # under fwd+bwd the kernel's dq/dkv passes at head_dim 64 cost ~27%
+    # step time (ab_split_fused{,_noflash}.log) — trainers leave it False.
+    flash: bool = False
 
     def setup(self):
         c = self.cfg
         self.refer_enc = CLIPRefEncoder(c.clip, dtype=self.dtype)
-        self.refer_model = UNetTrunk(c, dtype=self.dtype)
-        self.base_model = UNetTrunk(c, dtype=self.dtype)
+        self.refer_model = UNetTrunk(c, dtype=self.dtype, flash=self.flash)
+        self.base_model = UNetTrunk(c, dtype=self.dtype, flash=self.flash)
         self.hint_converter = nn.Conv(c.model_channels, (3,), padding=1,
                                       dtype=self.dtype)
         self.out_norm = GroupNorm32()
